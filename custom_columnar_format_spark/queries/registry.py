@@ -1,0 +1,54 @@
+"""Central query registry: every implemented operator from SURVEY.md §2 gets
+one named entry with (a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and
+(b) where SQL-expressible, a DuckDB oracle SQL string over the pre-registered
+parquet views. The driver hash-compares (a) against (b) at sf0.01.
+
+Column-name contract: every computed/aggregate column is aliased identically
+in the Spark code and the oracle SQL (the driver sorts columns by name before
+hashing values).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → driver's weaker rows-only check
+    doc: str = ""
+
+
+_REGISTRY: Dict[str, QueryDef] = {}
+
+
+def query(name: str, sql: Optional[str], doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
+
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_modules() -> None:
+    # Import for side effect of @query registration.
+    from . import llm_ops, relational  # noqa: F401
+
+
+def all_queries() -> Dict[str, QueryDef]:
+    _load_modules()
+    return dict(_REGISTRY)
+
+
+def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in all_queries().items()}
+
+
+def oracle_queries() -> Dict[str, str]:
+    return {name: qd.sql for name, qd in all_queries().items() if qd.sql is not None}

@@ -1,0 +1,200 @@
+"""Spark Python DataSource V2 for the SCBF columnar format.
+
+Registers format ``"scbf"`` so the full DataFrame API works against SCBF data:
+
+    spark.dataSource.register(ScbfDataSource)
+    df = spark.read.format("scbf").load("/data/dir-or-file")
+    df.select("a", "b").filter(...).groupBy(...)...
+    df.write.format("scbf").mode("overwrite").save("/out/dir")
+
+Design (Spark-first, NOT a translation of the reference's single-file engine):
+
+- **Dataset = directory of SCBF files** (or one file for reference compat).
+  A 100 TB dataset is many files; each file is one input partition, so a
+  1000-executor cluster reads them fully in parallel. The reference's
+  single-file, absolute-offset layout (reference SPEC.md:18-26) cannot be
+  appended to concurrently, so parallel writes emit one ``part-*.scbf`` per
+  Spark partition — the same files-per-partition strategy Parquet uses.
+- **Projection pushdown to the storage layer** — the format's raison d'être
+  (reference reader.py:111-133): ``read()`` decompresses only the columns in
+  the schema Spark hands to ``DataSource.reader(schema)``. Whether Catalyst
+  prunes that schema or not, the ``columns`` read option always prunes
+  explicitly, and the codec never touches unrequested blocks.
+- **Arrow exchange** — ``read()`` yields ``pyarrow.RecordBatch`` (SCBF's utf8
+  layout is Arrow's StringArray layout, so strings transfer without per-value
+  copying); the writer is a ``DataSourceArrowWriter``.
+- **Commit protocol** — writers emit to hidden ``.tmp-<uuid>.scbf`` names and
+  ``commit()`` renames them, so failed/speculative tasks never leave partial
+  files visible.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..scbf import codec
+
+SPARK_TYPE_FOR_CODE = {
+    codec.TYPE_INT32: IntegerType(),
+    codec.TYPE_FLOAT64: DoubleType(),
+    codec.TYPE_UTF8: StringType(),
+}
+
+
+def _list_scbf_files(path: str) -> List[str]:
+    """Resolve a load path to concrete SCBF files: a single file, a directory
+    of ``*.scbf``, or a glob pattern."""
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.scbf")))
+        if not files:
+            raise FileNotFoundError(f"no *.scbf files under directory {path}")
+        return files
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no SCBF files match {path}")
+    return files
+
+
+def _schema_of_file(path: str) -> StructType:
+    with open(path, "rb") as f:
+        info = codec.read_file_info(f)
+    return StructType(
+        [
+            StructField(m.name, SPARK_TYPE_FOR_CODE[m.type_code], nullable=False)
+            for m in info.columns
+        ]
+    )
+
+
+class ScbfFilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class ScbfReader(DataSourceReader):
+    """One input partition per SCBF file; pruned Arrow-batch reads."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("scbf read requires a path: .load('/path/to/data')")
+        cols_opt = options.get("columns")
+        # Explicit projection option, applied on top of whatever schema Spark
+        # hands down — guarantees storage-level pruning works even if Catalyst
+        # pruning doesn't reach the Python reader in some Spark version.
+        self.columns: List[str] = (
+            [c.strip() for c in cols_opt.split(",")] if cols_opt else [f.name for f in schema.fields]
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [ScbfFilePartition(p) for p in _list_scbf_files(self.path)]
+
+    def read(self, partition: ScbfFilePartition):
+        table = codec.read_arrow_table(partition.file_path, self.columns)
+        for batch in table.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+@dataclass
+class ScbfCommitMessage(WriterCommitMessage):
+    tmp_path: str = ""
+    final_path: str = ""
+    rows: int = 0
+
+
+class ScbfWriter(DataSourceArrowWriter):
+    """One SCBF file per Spark partition, written via a tmp-name commit
+    protocol (write hidden, rename on commit) so aborted tasks leave nothing
+    visible. Single-file reference-compat output = ``df.coalesce(1)`` first."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("scbf write requires a path: .save('/path/to/dir')")
+        self.level = int(options.get("compression_level", codec.DEFAULT_ZLIB_LEVEL))
+        self.overwrite = overwrite
+        for f in schema.fields:
+            if not isinstance(f.dataType, (IntegerType, DoubleType, StringType)):
+                raise ValueError(
+                    f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
+                    "in SCBF v1 (int32/float64/utf8 only) — cast first"
+                )
+
+    def write(self, iterator: Iterator) -> ScbfCommitMessage:
+        import pyarrow as pa
+
+        batches = list(iterator)
+        os.makedirs(self.path, exist_ok=True)
+        file_id = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".tmp-{file_id}.scbf")
+        final = os.path.join(self.path, f"part-{file_id}.scbf")
+        if not batches:
+            return ScbfCommitMessage(tmp_path="", final_path="", rows=0)
+        table = pa.Table.from_batches(batches)
+        codec.write_arrow_table(tmp, table, self.level)
+        return ScbfCommitMessage(tmp_path=tmp, final_path=final, rows=table.num_rows)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.scbf")):
+                os.unlink(old)
+        for m in messages:
+            if m and m.tmp_path:
+                os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)
+
+
+class ScbfDataSource(DataSource):
+    """Python DataSource V2 for format ``"scbf"``.
+
+    Read options: ``columns`` (comma-separated explicit projection).
+    Write options: ``compression_level`` (zlib 0-9, default 6).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "scbf"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if path is None:
+            raise ValueError("scbf requires a path")
+        return _schema_of_file(_list_scbf_files(path)[0])
+
+    def reader(self, schema: StructType) -> ScbfReader:
+        return ScbfReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ScbfWriter:
+        return ScbfWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotently register the scbf format on a SparkSession."""
+    spark.dataSource.register(ScbfDataSource)
