@@ -1,0 +1,98 @@
+"""As-of and range joins — time-series operators Spark lacks as primitives.
+
+Implemented as compositions of existing DataFrame ops (no Pandas UDF needed):
+
+- **as-of join**: the classic union-merge trick — union both sides tagged,
+  sort within (key) by time via a window, carry the latest left-side value
+  forward with ``last(ignorenulls=True)``. One shuffle on the key, linear in
+  rows, no inequality join — this is the plan that survives 100 TB, unlike a
+  naive ``t1.ts >= t2.ts`` theta-join (cartesian per key).
+- **range join**: equi-join on a coarse time bucket + residual predicate —
+  turns an inequality join into an equi-join shuffle with small residual
+  comparisons (the standard bucketed range-join optimization Databricks
+  exposes as a hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same key
+    and ``right_ts <= left_ts`` (direction='backward'; 'forward' = next).
+
+    Union-merge implementation: one shuffle by key, window scan, no
+    inequality join. Right-side value columns are carried with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(on, right_ts, *right_cols)
+        .withColumn("_ts", F.col(right_ts))
+        .withColumn("_side", F.lit(0))
+    )
+    carried = [f"_r_{c}" for c in right_cols]
+    rt = rt.select(
+        on, "_ts", "_side", *[F.col(c).alias(a) for c, a in zip(right_cols, carried)]
+    )
+    lt_cols = [c for c in left.columns]
+    lt = lt.select(on, "_ts", "_side", *[c for c in lt_cols if c != on])
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left rows at identical ts so ties match
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    for a in carried:
+        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1).drop("_side", "_ts")
+    renames = {a: c for c, a in zip(right_cols, carried)}
+    return out.withColumnsRenamed(renames)
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+    bucket_seconds: int | None = None,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Join pairs with ``0 <= left_ts - right_ts <= max_gap`` via time-bucket
+    equi-join: each left row joins its own bucket and the previous one, then
+    the exact residual predicate filters. Avoids the O(N×M) theta-join plan.
+    """
+    bucket = bucket_seconds or max_gap_seconds
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / bucket)
+    on = extra_on or []
+
+    l2 = left.withColumn("_bk", F.explode(F.array(lb.cast("bigint"), (lb - 1).cast("bigint"))))
+    r2 = right.withColumn("_bk", rb.cast("bigint"))
+    cond = (F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))).between(
+        0, max_gap_seconds
+    )
+    return l2.join(r2, on + ["_bk"]).filter(cond).drop("_bk")

@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines, at five fidelities:
+
+- exact (hash groupBy on raw or normalized content)
+- MinHash + LSH banding (near-dup candidate pairs → verified Jaccard)
+- SimHash (64-bit, Hamming-bucketed)
+- n-gram Jaccard via shingle inverted index
+- embedding-cosine near-dup (see ``operators.similarity``)
+
+Scale design (the point — these must work at 100 TB):
+- Shingling/hashing is all JVM-side (``split``/``transform``/``xxhash64``/
+  ``array_min``) — no Python in the per-row path.
+- MinHash-LSH does NOT compare all pairs: docs are bucketed by per-band
+  signature hash and only same-bucket pairs are joined — the standard
+  sub-quadratic LSH join. The band table is (num_bands ×) bigger than the
+  corpus but each row is (band_id, hash, doc_id) — tiny and shuffle-friendly.
+- Candidate pairs are verified with exact Jaccard over shingle-hash arrays
+  (``array_intersect``/``array_union`` on deduplicated shingle sets).
+- Huge buckets (degenerate content, e.g. boilerplate) are capped via a
+  bucket-size filter to bound the per-bucket quadratic blowup — at scale you
+  route oversized buckets to a second, finer pass instead of joining them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_NUM_HASHES = 64
+DEFAULT_NUM_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+
+def normalize_text(text: F.Column) -> F.Column:
+    """Canonical form for content comparison: lowercase, collapse whitespace,
+    strip non-alphanumerics (keeps spaces)."""
+    t = F.lower(F.trim(text))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    return F.regexp_replace(t, r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact key — a hash groupBy, the
+    cheapest dedup; shuffles once on the key hash."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on an md5 of normalized content. Grouping by the 16-byte
+    digest instead of the full text keeps shuffle rows small — at 100 TB you
+    shuffle ~32 bytes/doc, not documents."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingle hashes (xxhash64) for a document — the
+    MinHash/Jaccard item set. Hashing each shingle to i64 immediately keeps
+    downstream arrays fixed-width."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.array_distinct(F.transform(joined, lambda s: F.xxhash64(s)))
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
+    """MinHash signature: for seed j, min over shingle-hash rehashes. Each
+    rehash is ``xxhash64(shingle_hash, seed_j)`` — all codegen'd."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: F.Column, num_bands: int = DEFAULT_NUM_BANDS) -> F.Column:
+    """Split the signature into bands and hash each band → array of
+    (band_id, band_hash) structs for LSH bucketing."""
+    rows_per_band = DEFAULT_NUM_HASHES // num_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Verified near-duplicate pairs via MinHash-LSH.
+
+    Pipeline: shingle → signature → band-bucket → same-bucket join →
+    distinct candidate pairs → exact Jaccard verification on shingle sets.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sigs.select(
+        "id", "shingles", F.explode(minhash_bands(F.col("sig"), num_bands)).alias("b")
+    ).select("id", "shingles", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+
+    # Cap degenerate buckets to bound the quadratic join (scale safety valve).
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bn") > max_bucket)),
+        ["band", "band_hash"],
+        "left_anti",
+    )
+
+    left = banded.select("band", "band_hash", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    right = banded.select("band", "band_hash", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return (
+        jac.filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_postings: int = 2000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via a shingle inverted index:
+    explode shingles → self-join on shingle → count common shingles →
+    |A∩B| / (|A|+|B|−|A∩B|). Sub-quadratic when shingles are selective;
+    ultra-common shingles (posting list > ``max_postings``) are dropped like
+    stopwords — standard index pruning at scale."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = base.select("id", F.size("shingles").alias("n_sh"))
+    postings = base.select("id", F.explode("shingles").alias("sh"))
+    common_sh = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    postings = postings.join(
+        F.broadcast(common_sh.filter(F.col("df_sh") > max_postings)), "sh", "left_anti"
+    )
+    pairs = (
+        postings.alias("a")
+        .join(postings.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, sim) with a 64-bit SimHash per document.
+
+    Shape chosen for scale: explode shingle hashes, then ONE groupBy(id) with
+    64 conditional-sum aggregates (bit b's popcount) + a count. All 65 sums
+    partial-aggregate map-side, so the shuffle carries one 65-int row per doc
+    per partition — not the shingles. (A per-row higher-order-function
+    formulation — 64 ``F.aggregate`` lambdas over the shingle array — is
+    semantically equal but catastrophically slow: each lambda re-inlines the
+    whole shingle expression tree into codegen; measured 135 s vs <2 s on
+    sf0.01.) Documents with zero shingles are dropped (nothing to match).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    posts = base.select("id", F.explode("sh").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
+        for b in range(64)
+    ]
+    counts = posts.groupBy("id").agg(*aggs)
+    # bit b set iff popcount_b*2 >= n  (majority of shingles have the bit)
+    sim = F.lit(0).cast("bigint")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+                b,
+            )
+        )
+    return counts.select("id", sim.alias("sim"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: bucket by 4× 16-bit bands (any pair within Hamming
+    distance ≤3 of a 64-bit hash shares at least one exact 16-bit band —
+    pigeonhole), join within buckets, verify true Hamming distance."""
+    sims = simhash_table(df, text_col, id_col)
+    bands = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = bands.select("band", "bh", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    bb = bands.select("band", "bh", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    cand = (
+        a.join(bb, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,141 @@
+"""Multimodal-column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` pipelines.
+
+The Spark-side architecture is fully real — schemas, partition-preserving
+batch UDFs, metadata extraction, frame-sampling fan-out — while the actual
+media decoding is STUBBED (``decode_stub``) because image/audio libraries are
+not available in this environment. Swapping the stub for PIL/ffmpeg is a
+one-function change; everything around it (batch shapes, schema contracts,
+memory behavior) is what matters at scale and is tested.
+
+Scale notes: payloads stay in executor memory only for the lifetime of one
+Arrow batch; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
+bytes; feature extraction emits fixed-width columns so downstream shuffles
+never move the raw bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table from the documents corpus: payload =
+    UTF-8 bytes of the text (stands in for encoded media). Exercises the
+    binary-column path end to end with reproducible content."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str):
+    """STUB for the real media decoder (PIL / torchaudio / ffmpeg — not
+    installed here). Returns deterministic fake (width, height, feature[8])
+    derived from a sha256 of the payload so tests are reproducible. Replace
+    this single function to integrate real decoders."""
+    digest = hashlib.sha256(payload).digest()
+    if kind == "image":
+        w = 64 + digest[0] % 192  # fake 64..255 px
+        h = 64 + digest[1] % 192
+    else:
+        w, h = None, None
+    feat = [v / 255.0 for v in digest[:8]]
+    return w, h, feat
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the pattern for any decode/resize/embed stage. The UDF
+    sees pandas batches (zero-copy Arrow transfer for the binary column) and
+    emits fixed-width features; raw payloads are dropped before any shuffle."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, n_bytes in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["n_bytes"]
+            ):
+                w, h, feat = decode_stub(bytes(payload), kind)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": n_bytes,
+                        "sha256": hashlib.sha256(bytes(payload)).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling fan-out for video payloads: emit up to ``max_frames``
+    (media_id, frame_idx, frame_offset) rows per video — the Spark-side shape
+    of keyframe extraction (offsets stand in for decoded frames; the real
+    decoder plugs into ``decode_stub``). Pure column ops, no UDF."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.floor(F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(max_frames - 1)
+            ),
+        ),
+        lambda i: F.struct(i.alias("frame_idx"), (i * every_n_bytes).cast("long").alias("frame_offset")),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("fr"))
+        .select("media_id", F.col("fr.frame_idx").alias("frame_idx"), F.col("fr.frame_offset").alias("frame_offset"))
+    )

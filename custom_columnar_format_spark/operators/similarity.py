@@ -1,0 +1,164 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two tiers, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** — the exact baseline: one JVM-side cosine per
+  row (zip_with/aggregate, whole-stage codegen), TakeOrdered for top-k. O(N)
+  per query; correct answer, used as the oracle for the approximate tier.
+- **Random-hyperplane LSH (IVF-style bucketing)** — the scale path: each
+  vector gets a ``num_planes``-bit signature from sign(dot(v, plane)); a
+  query probes only its own bucket (optionally multi-probe neighbors at
+  Hamming distance 1). At 100 TB the dataset is written partitioned/bucketed
+  by signature so a probe touches a handful of partitions instead of a full
+  scan — partition pruning does the work.
+
+Plane vectors are generated from a deterministic seed (no RNG at plan time)
+so signatures are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vector import cosine, dot, lit_vector, norm
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The per-row cosine
+    is codegen'd; top-k is sort+limit (per-partition heaps, no global sort)."""
+    q = lit_vector(query_vec)
+    return (
+        df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: every query × every corpus vector, windowed top-k.
+    Quadratic — the correctness baseline the LSH tier is checked against.
+    The corpus side is broadcast when small; at scale use ``lsh_topk``."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(q_id), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(c_id), F.col(vec_col).alias("c_vec"))
+    scored = q.crossJoin(c).select(
+        q_id, c_id, F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def signature_col(vec: F.Column, planes: np.ndarray) -> F.Column:
+    """LSH signature: integer whose bit p = sign(dot(vec, plane_p)). Computed
+    as JVM expressions over the array column — one pass, no UDF."""
+    bits = []
+    for p, plane in enumerate(planes):
+        d = dot(vec, lit_vector(plane))
+        bits.append(F.when(d >= 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def with_lsh_signature(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    return df.withColumn("lsh_sig", signature_col(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's signature (exactly, plus Hamming-1 neighbors when ``multiprobe``).
+    Scans ~ N / 2^planes of the corpus per probe bucket; with the dataset
+    partitioned by ``lsh_sig`` this becomes partition pruning, not a scan."""
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    planes = _hyperplanes(qv.shape[0], num_planes, seed)
+    q_sig = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            q_sig |= 1 << p
+    probe_sigs = [q_sig] + ([q_sig ^ (1 << p) for p in range(num_planes)] if multiprobe else [])
+
+    sigged = df.withColumn("lsh_sig", signature_col(F.col(vec_col), planes))
+    bucketed = sigged.filter(F.col("lsh_sig").isin(probe_sigs))
+    q = lit_vector(qv)
+    return (
+        bucketed.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+    bruteforce: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold).
+
+    Default path buckets by LSH signature and joins only within buckets
+    (high-cosine pairs collide with high probability; for audit-grade recall
+    run multiple plane seeds and union). ``bruteforce=True`` gives the exact
+    quadratic answer for small corpora / oracle checks."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if bruteforce:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sigged = with_lsh_signature(df, vec_col, num_planes, seed)
+        a = sigged.select(F.col("lsh_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = sigged.select(F.col("lsh_sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        pairs = a.join(b, "lsh_sig").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector L2 norm + dimension — cheap sanity stats for an embedding
+    corpus (detects zero/denormal vectors before indexing)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(norm(F.col(vec_col)), 4).alias("l2_norm"),
+    )

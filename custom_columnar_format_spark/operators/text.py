@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword-count heuristic), quality scoring, token counting,
+and document fingerprinting.
+
+All of these are expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — at 100 TB a per-row Python UDF here would be the
+bottleneck, so there are none. Each returns Column expressions or a
+DataFrame transform usable under any partitioning (no shuffles introduced)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+}
+
+WORD_RE = "[A-Za-z0-9]+"
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, computed by length differencing —
+    identical semantics in any SQL engine (used for oracle parity)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+    ).cast("int")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-insensitive word-token count (BPE-ish regex token proxy)."""
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), 0)).cast("bigint")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, token stats, punctuation/stopword
+    ratios. Classic pre-training corpus filters (C4/Gopher-style rules)."""
+    n_chars = F.length(text).cast("bigint")
+    toks = F.regexp_extract_all(text, F.lit(WORD_RE), 0)
+    n_tokens = F.size(toks).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("bigint")
+    punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("bigint")
+    stop_hits = occurrence_count(F.concat(F.lit(" "), text, F.lit(" ")), " the ").cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(alpha_chars / F.greatest(n_tokens, F.lit(1)), 4),
+        "alpha_ratio": F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4),
+        "punct_ratio": F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Single scalar quality score in [0,1] combining the signals."""
+    q = quality_columns(text)
+    length_ok = F.when((q["n_tokens"] >= 5) & (q["n_tokens"] <= 100000), 1.0).otherwise(0.0)
+    return F.round(
+        0.4 * length_ok + 0.4 * q["alpha_ratio"] + 0.2 * F.least(q["stopword_ratio"] * 10, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: count per-language stopword-marker occurrences
+    (space-padded, substring counting) and pick the argmax, 'und' on zero."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (occurrence_count(padded, f" {m} ") for m in markers),
+            start=F.lit(0),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Deterministic priority order on ties: en > fr > de > es (first match wins
+    # via reversed fold so earlier langs take precedence).
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lang] == best_score, lang).otherwise(expr)
+    return F.when(best_score > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    text. Stable across engines (oracle uses the same normalization)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def fingerprint_winnow(text: Column, k: int = 8, num_bands: int = 4) -> Column:
+    """Winnowing-style content fingerprint: min xxhash64 over character
+    k-grams, per hash band — robust to small edits (unlike md5). Spark-native
+    (sequence + transform + array_min), no Python in the loop."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(normalized)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: normalized.substr(i, F.lit(k)),
+    )
+    mins = [
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(F.concat(g, F.lit(f"#b{b}")))))
+        for b in range(num_bands)
+    ]
+    return F.concat_ws("-", *[F.conv(F.abs(m).cast("string"), 10, 16) for m in mins])
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns to a documents DataFrame."""
+    t = F.col(text_col)
+    q = quality_columns(t)
+    out = df
+    for name, col in q.items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("token_count", token_count(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint_md5(t))
+    )

@@ -1,0 +1,409 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text analysis,
+multimodal columns, as-of/range joins, sessionization.
+
+SQL-expressible operators carry DuckDB oracles (with engine-identical
+normalization/counting semantics spelled out in both dialects); genuinely
+non-SQL ops (MinHash-LSH, SimHash, LSH ANN, mapInPandas feature extraction)
+are registered without oracles → the driver records rows-only checks and the
+tests pin their semantics against brute-force baselines instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import asof, dedup, multimodal, similarity, text
+from .registry import query
+from .tables import load
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    doc="exact dedup: one representative (min id) per identical text.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "q_dedup_exact_normalized",
+    """
+    SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                              '[ \\t\\n]+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup on normalized content hash — shuffles 16-byte digests, not documents.",
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_normalized(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_dedup_minhash",
+    None,  # sub-quadratic LSH pipeline — not SQL-expressible; verified in tests vs exact Jaccard
+    doc="MinHash-LSH near-duplicate pairs (shingle→signature→band-bucket→join→verify).",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), jaccard_threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_simhash",
+    None,
+    doc="SimHash-64 near-duplicate pairs, Hamming ≤ 3 via 16-bit band pigeonhole.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(load(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_ngram_jaccard",
+    None,
+    doc="exact n-gram Jaccard pairs via shingle inverted index (posting-pruned).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM embeddings, q
+    )
+    SELECT vec_id, ROUND(c, 4) AS cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="brute-force cosine top-10 against vec_id=0's embedding (exact ANN baseline).",
+)
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.brute_force_topk(emb, qv, k=10)
+
+
+@query(
+    "q_sim_lsh_topk",
+    None,  # approximate — correctness = recall vs brute force, checked in tests
+    doc="LSH (random-hyperplane, multiprobe) approximate top-10 — the 100 TB scale path.",
+)
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_topk(emb, qv, k=10)
+
+
+@query(
+    "q_embedding_norms",
+    """
+    SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="per-vector L2 norms + dims (JVM-side aggregate over array<float>).",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_embedding_neardup",
+    """
+    WITH scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(c, 4) AS cos_sim FROM scored WHERE ROUND(c, 4) >= 0.25
+    """,
+    doc="embedding cosine near-dup pairs (brute-force tier; LSH-bucketed tier in tests).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.25, bruteforce=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_t,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 4) AS avg_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS alpha_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio
+    FROM documents
+    """,
+    doc="quality-scoring signals: token stats, alpha/punct ratios (C4/Gopher-style).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = text.quality_columns(t)
+    return d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_t"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+@query(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS token_count,
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n]+')) AS BIGINT) AS ws_token_count
+    FROM documents
+    """,
+    doc="token counting: regex word tokens + whitespace tokens.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("token_count"),
+        text.whitespace_token_count(F.col("text")).alias("ws_token_count"),
+    )
+
+
+@query(
+    "q_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+           + (length(p) - length(replace(p, ' and ', ''))) / 5
+           + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+        CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+           + (length(p) - length(replace(p, ' la ', ''))) / 4
+           + (length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr,
+        CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+           + (length(p) - length(replace(p, ' und ', ''))) / 5
+           + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+        CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+           + (length(p) - length(replace(p, ' los ', ''))) / 5
+           + (length(p) - length(replace(p, ' que ', ''))) / 5 AS INT) AS s_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+    doc="heuristic language ID by stopword-marker counting (argmax, 'und' on zero).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n]+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="document content fingerprint: md5 over normalized text.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "q_doc_fingerprint_winnow",
+    None,  # xxhash64-based; no DuckDB-identical hash — pinned by property tests
+    doc="winnowing fingerprint: banded min-hash over char 8-grams, edit-robust.",
+)
+def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_winnow(F.col("text")).alias("winnow_fp"))
+
+
+@query(
+    "q_text_stats_by_lang",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    doc="corpus composition: per-(lang, source) doc counts and token totals.",
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="binary media-column metadata (payload synthesized deterministically from text).",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(load(spark, sf_dir, "documents"))
+    return media.select("media_id", "kind", "n_bytes")
+
+
+@query(
+    "q_multimodal_features",
+    None,  # mapInPandas + sha256 stub decode — not SQL-expressible
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(load(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "sha256", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins & sessionization over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s, c.event_id AS prev_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="as-of join: each error event gets the latest prior click of the same "
+    "user — union-merge implementation (one shuffle, no inequality join).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("prev_click_id"), "user_id", "ts"
+    )
+    joined = asof.asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts", right_cols=["prev_click_id"]
+    )
+    return joined.select(
+        "event_id", F.unix_timestamp("ts").alias("ts_s"), "prev_click_id"
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND floor(epoch(e.ts)) - floor(epoch(c.ts)) BETWEEN 0 AND 300
+    """,
+    doc="range join: (error, click) pairs of the same user within 5 minutes — "
+    "bucketed equi-join plan, not a theta-join.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof.range_join_buckets(
+        errors, clicks, "err_ts", "click_ts", max_gap_seconds=300, extra_on=["user_id"]
+    )
+    return joined.select("err_id", "click_id")
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min inactivity) — batch analog of "
+    "streaming session windows, via lag + cumulative-sum windows.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(wo)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wc).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("session_start_s"),
+    )

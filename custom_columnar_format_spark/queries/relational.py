@@ -251,23 +251,27 @@ def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_project_expr",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS gross_price,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS gross_price,
            CAST(l_quantity AS INT) AS qty_int
     FROM lineitem
     WHERE l_linenumber = 1
     """,
-    doc="computed projections (arithmetic expressions + cast).",
+    doc="computed projections (arithmetic expressions + cast). Rounding is "
+    "expressed as floor(x*100+0.5)/100 — a deterministic IEEE-754 op sequence "
+    "that is bit-identical across engines, unlike ROUND(double, 2) whose "
+    "half-case behavior differs between Spark (HALF_UP on decimal rendering) "
+    "and DuckDB (float-domain rounding).",
 )
 def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    gross = net * (1 + F.col("l_tax"))
     return li.filter(F.col("l_linenumber") == 1).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias(
-            "gross_price"
-        ),
+        (F.floor(net * 100 + 0.5) / 100).alias("net_price"),
+        (F.floor(gross * 100 + 0.5) / 100).alias("gross_price"),
         F.col("l_quantity").cast("int").alias("qty_int"),
     )
 
@@ -291,7 +295,7 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -316,7 +320,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -626,7 +630,7 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s.distinct()).distinct()
+    return c.distinct().exceptAll(s.distinct())
 
 
 # ---------------------------------------------------------------------------
