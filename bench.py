@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two benchmark families, matching BASELINE.md:
+
+- ``scbf_*`` — the reference's own envelope (BASELINE.md probe: 200k×4
+  synthetic rows, seed 42): CSV-shaped write → SCBF, full read, selective
+  1-of-4 column read. The selective read must preserve the ~12× storage-level
+  pruning win that is the format's value proposition.
+- headline relational + LLM-pipeline queries at sf0.1, forced to full
+  materialization via the ``noop`` sink (JVM-side, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_window_topn_per_group",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact_normalized",
+    "q_dedup_minhash",
+    "q_sim_topk_cosine",
+    "q_text_quality",
+]
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame JVM-side (no rows to the driver)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_scbf(spark, tmpdir: str) -> dict[str, float]:
+    """Reference-envelope microbench: 200k×4 (int32, utf8, float64, utf8-60ch),
+    same shape/seed spirit as BASELINE.md's probe of the reference."""
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.concat(F.lit("user_"), (F.col("id") % 1000).cast("string")).alias("name"),
+            (F.rand(seed=42) * 100).alias("score"),
+            F.rpad(F.concat(F.lit("payload_"), (F.col("id") % 97).cast("string")), 60, "x").alias(
+                "payload"
+            ),
+        )
+        .repartition(int(CPUS))
+    )
+    df.cache().count()  # exclude synthesis from the write timing
+    out = os.path.join(tmpdir, "bench_scbf")
+    times: dict[str, float] = {}
+
+    # Warm the DSv2 Python worker pools (each worker pays a one-time
+    # pyarrow/numpy import on first use — a fixed cost that amortizes over a
+    # real workload but would dominate a 200k-row timing).
+    warm = os.path.join(tmpdir, "warm_scbf")
+    df.limit(1000).write.format("scbf").mode("overwrite").save(warm)
+    _force(spark.read.format("scbf").load(warm))
+
+    t0 = time.time()
+    df.write.format("scbf").mode("overwrite").save(out)
+    times["scbf_write_200k"] = round(time.time() - t0, 4)
+    df.unpersist()
+
+    t0 = time.time()
+    _force(spark.read.format("scbf").load(out))
+    times["scbf_read_full"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    _force(spark.read.format("scbf").option("columns", "score").load(out).select("score"))
+    times["scbf_read_selective"] = round(time.time() - t0, 4)
+    return times
+
+
+def main() -> None:
+    import tempfile
+
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .appName("scbf-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen so the first timed query isn't charged for startup.
+    spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().count()
+
+    qs = all_queries()
+    queries: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        queries.update(bench_scbf(spark, tmpdir))
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qs[name].fn(spark, SF_DIR))
+            queries[name] = round(time.time() - t0, 4)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(queries.values()), 4),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

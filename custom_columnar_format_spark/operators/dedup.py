@@ -56,7 +56,14 @@ def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFra
 def word_shingles(text: F.Column, k: int = 3) -> F.Column:
     """Distinct word k-shingle hashes (xxhash64) for a document — the
     MinHash/Jaccard item set. Hashing each shingle to i64 immediately keeps
-    downstream arrays fixed-width."""
+    downstream arrays fixed-width.
+
+    PERF: only use this Column directly when ``text`` is already a plain
+    column reference in a *materialized* projection. When the lambda inside
+    ``transform`` references a compound expression (normalize+split), Spark
+    re-evaluates that whole expression per lambda element — O(words²) per
+    document (measured 26× slowdown at sf0.1). ``shingle_table`` below is the
+    safe two-step form; all operators in this module go through it."""
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
     joined = F.transform(
@@ -64,6 +71,28 @@ def word_shingles(text: F.Column, k: int = 3) -> F.Column:
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
     return F.array_distinct(F.transform(joined, lambda s: F.xxhash64(s)))
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles) with distinct word-k-shingle xxhash64s per document.
+
+    Two projections on purpose: the word array is materialized as a column
+    attribute before the shingling ``transform`` references it, so the
+    normalize+split work runs once per document instead of once per shingle
+    (the single-expression form re-evaluates the nested expression inside
+    every lambda iteration — quadratic in document length)."""
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
+    )
+    return w.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+            )
+        ).alias("shingles"),
+    )
 
 
 def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
@@ -104,16 +133,25 @@ def minhash_neardup_pairs(
     num_bands: int = DEFAULT_NUM_BANDS,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
+    persist: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
 
     Pipeline: shingle → signature → band-bucket → same-bucket join →
     distinct candidate pairs → exact Jaccard verification on shingle sets.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The shingle table feeds three plan branches (signatures + both sides of
+    pair verification). ``persist`` materializes it once instead of
+    re-shingling 3×; it defaults to off because measured at bench scale the
+    in-memory-relation boundary costs more than the 3× recompute (shingling
+    is map-only and parallel). Turn it on when the corpus-side CPU dominates
+    (very long documents) — the same call production MinHash pipelines make
+    when they checkpoint signatures before the LSH join.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = shingle_table(df, text_col, id_col, shingle_k).filter(F.size("shingles") > 0)
+    if persist:
+        base = base.persist()
     sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     banded = sigs.select(
         "id", "shingles", F.explode(minhash_bands(F.col("sig"), num_bands)).alias("b")
@@ -127,18 +165,24 @@ def minhash_neardup_pairs(
         "left_anti",
     )
 
-    left = banded.select("band", "band_hash", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    right = banded.select("band", "band_hash", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Candidate pairs carry ONLY ids through the band self-join + distinct —
+    # shuffling the shingle arrays num_bands× through the join would dominate
+    # at any scale. Shingle sets are re-attached once per verified pair.
+    slim = banded.select("band", "band_hash", "id")
     cand = (
-        left.join(right, ["band", "band_hash"])
+        slim.withColumnRenamed("id", "id_a")
+        .join(slim.withColumnRenamed("id", "id_b"), ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
+    jac = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
     )
     return (
         jac.filter(F.col("jaccard") >= jaccard_threshold)
@@ -153,15 +197,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_postings: int = 2000,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via a shingle inverted index:
     explode shingles → self-join on shingle → count common shingles →
     |A∩B| / (|A|+|B|−|A∩B|). Sub-quadratic when shingles are selective;
     ultra-common shingles (posting list > ``max_postings``) are dropped like
     stopwords — standard index pruning at scale."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = shingle_table(df, text_col, id_col, shingle_k).filter(F.size("shingles") > 0)
+    if persist:
+        base = base.persist()
     sizes = base.select("id", F.size("shingles").alias("n_sh"))
     postings = base.select("id", F.explode("shingles").alias("sh"))
     common_sh = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
@@ -201,10 +246,8 @@ def simhash_table(
     whole shingle expression tree into codegen; measured 135 s vs <2 s on
     sf0.01.) Documents with zero shingles are dropped (nothing to match).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    posts = base.select("id", F.explode("sh").alias("h"))
+    base = shingle_table(df, text_col, id_col, shingle_k)
+    posts = base.select("id", F.explode("shingles").alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
         for b in range(64)

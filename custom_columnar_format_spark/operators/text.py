@@ -117,6 +117,34 @@ def fingerprint_winnow(text: Column, k: int = 8, num_bands: int = 4) -> Column:
     return F.concat_ws("-", *[F.conv(F.abs(m).cast("string"), 10, 16) for m in mins])
 
 
+def winnow_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, num_bands: int = 4
+) -> DataFrame:
+    """(id_col, winnow_fp) — same fingerprint as ``fingerprint_winnow`` but
+    staged through materialized projections: the normalized text and the
+    k-gram array each become real column attributes before a ``transform``
+    lambda references them. In the single-expression form Spark re-evaluates
+    the nested normalization inside every lambda element — O(chars²) per
+    document (same pathology as ``dedup.shingle_table``, measured 26× there)."""
+    nt = df.select(
+        F.col(id_col), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("nt")
+    )
+    grams = nt.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("nt") - (k - 1), F.lit(1))),
+            lambda i: F.col("nt").substr(i, F.lit(k)),
+        ).alias("grams"),
+    )
+    mins = [
+        F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(F.concat(g, F.lit(f"#b{b}")))))
+        for b in range(num_bands)
+    ]
+    return grams.select(
+        id_col, F.concat_ws("-", *[F.conv(F.abs(m).cast("string"), 10, 16) for m in mins]).alias("winnow_fp")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns to a documents DataFrame."""
     t = F.col(text_col)

@@ -17,6 +17,17 @@ from ..operators import asof, dedup, multimodal, similarity, text
 from .registry import query
 from .tables import load
 
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned across the cluster. The test corpus is one
+    small parquet file → one input split, which would serialize the CPU-heavy
+    shingling/hashing operators onto a single core. At production scale the
+    corpus is thousands of files and this repartition is unnecessary — it
+    exists so single-file inputs exercise the same parallel shape."""
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -52,7 +63,7 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_neardup_pairs(
-        load(spark, sf_dir, "documents"), jaccard_threshold=0.4
+        _docs_spread(spark, sf_dir), jaccard_threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
@@ -62,7 +73,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash-64 near-duplicate pairs, Hamming ≤ 3 via 16-bit band pigeonhole.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_neardup_pairs(load(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+    return dedup.simhash_neardup_pairs(_docs_spread(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
 @query(
@@ -72,7 +83,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.4
+        _docs_spread(spark, sf_dir), threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
@@ -259,8 +270,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="winnowing fingerprint: banded min-hash over char 8-grams, edit-robust.",
 )
 def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint_winnow(F.col("text")).alias("winnow_fp"))
+    return text.winnow_table(_docs_spread(spark, sf_dir))
 
 
 @query(

@@ -100,13 +100,11 @@ class ScbfReader(DataSourceReader):
         self.path = options.get("path")
         if self.path is None:
             raise ValueError("scbf read requires a path: .load('/path/to/data')")
-        cols_opt = options.get("columns")
-        # Explicit projection option, applied on top of whatever schema Spark
-        # hands down — guarantees storage-level pruning works even if Catalyst
-        # pruning doesn't reach the Python reader in some Spark version.
-        self.columns: List[str] = (
-            [c.strip() for c in cols_opt.split(",")] if cols_opt else [f.name for f in schema.fields]
-        )
+        # ``read()`` must yield exactly the schema negotiated by
+        # ``DataSource.schema()`` (Spark enforces arity) — the ``columns``
+        # projection option is therefore applied in ``schema()``, and here we
+        # simply read whatever columns that schema carries.
+        self.columns: List[str] = [f.name for f in schema.fields]
 
     def partitions(self) -> Sequence[InputPartition]:
         return [ScbfFilePartition(p) for p in _list_scbf_files(self.path)]
@@ -186,7 +184,19 @@ class ScbfDataSource(DataSource):
         path = self.options.get("path")
         if path is None:
             raise ValueError("scbf requires a path")
-        return _schema_of_file(_list_scbf_files(path)[0])
+        full = _schema_of_file(_list_scbf_files(path)[0])
+        cols_opt = self.options.get("columns")
+        if not cols_opt:
+            return full
+        # Explicit storage-level projection: pruning the *negotiated* schema is
+        # what keeps unrequested column blocks untouched on disk (the Python
+        # DSv2 API has no SupportsPushDownRequiredColumns hook yet, so Catalyst
+        # prunes above the scan; this option prunes *at* the scan).
+        by_name = {f.name: f for f in full.fields}
+        missing = [c.strip() for c in cols_opt.split(",") if c.strip() not in by_name]
+        if missing:
+            raise ValueError(f"columns option names unknown columns {missing}")
+        return StructType([by_name[c.strip()] for c in cols_opt.split(",")])
 
     def reader(self, schema: StructType) -> ScbfReader:
         return ScbfReader(schema, self.options)
