@@ -1,0 +1,86 @@
+"""Dedup-operator semantics pinned against brute-force baselines on a
+corpus with planted exact dups, near dups, and unrelated documents."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different content about databases and distributed query engines"),
+    (4, "spark catalyst optimizer rewrites logical plans into efficient physical plans"),
+    (5, "The Quick Brown Fox jumps over the lazy dog near the river bank today!"),  # case/punct dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def brute_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        import re
+
+        words = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", t.lower().strip())).split(" ")
+        return {" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [0, 2, 3, 4, 5]  # 1 collapses into 0
+
+
+def test_exact_dedup_normalized(docs):
+    out = dedup.exact_dedup_normalized(docs, "text", "doc_id")
+    row = out.filter(F.col("n_dups") == 3).first()
+    assert row is not None and row.keep_id == 0  # 0, 1, 5 share normalized content
+
+
+def test_minhash_finds_near_dups_and_matches_bruteforce(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_neardup_pairs(docs, jaccard_threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 5) in pairs and pairs[(0, 5)] == 1.0
+    assert (0, 2) in pairs  # one-word change → high Jaccard
+    for (a, b), j in pairs.items():
+        assert abs(j - round(brute_jaccard(DOCS[a][1], DOCS[b][1]), 4)) < 1e-9
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = brute_jaccard(ta, tb)
+        if j >= 0.3:
+            expect[(ia, ib)] = round(j, 4)
+    assert got == expect
+
+
+def test_simhash_exact_dups_hamming_zero(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0 and pairs.get((0, 5)) == 0 and pairs.get((1, 5)) == 0
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_table_deterministic(docs):
+    a = {r.id: r.sim for r in dedup.simhash_table(docs).collect()}
+    b = {r.id: r.sim for r in dedup.simhash_table(docs).collect()}
+    assert a == b and len(a) == len(DOCS)

@@ -1,0 +1,83 @@
+"""Similarity-search tests: brute-force cosine against numpy ground truth,
+LSH recall against brute force, k-NN join, norms."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from custom_columnar_format_spark.operators import similarity
+
+N, DIM = 200, 16
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((N, DIM))
+    base[1] = base[0] + 0.01 * rng.standard_normal(DIM)  # planted near-dup of vec 0
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vecs):
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, schema)
+
+
+def np_topk(vecs, q, k):
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(vecs)), key=lambda i: (-round(sims[i], 4), i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(emb, vecs):
+    # float32 storage truncates values, so ground truth uses the same cast
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = v32[0]
+    got = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    assert got == np_topk(v32, q, 10)
+    assert got[0] == 0 and got[1] == 1  # self first, planted near-dup second
+
+
+def test_lsh_topk_recall(emb, vecs):
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = v32[0]
+    exact = set(np_topk(v32, q, 10))
+    approx = {r.vec_id for r in similarity.lsh_topk(emb, q, k=10, num_planes=6).collect()}
+    assert 0 in approx and 1 in approx  # near neighbors collide in the same bucket
+    assert len(exact & approx) >= 5  # multiprobe recall on a random corpus
+
+
+def test_cosine_neardup_bruteforce_vs_lsh(emb):
+    bf = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.9, bruteforce=True).collect()
+    }
+    assert (0, 1) in bf
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.9, bruteforce=False).collect()
+    }
+    assert lsh <= bf  # LSH tier never invents pairs
+    assert (0, 1) in lsh  # ~identical vectors share every hyperplane side
+
+
+def test_knn_join(emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.knn_join_bruteforce(queries, emb, k=4)
+    counts = {r.q_id: r.n for r in out.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 4, 1: 4, 2: 4}
+    top = {r.q_id: r.vec_id for r in out.filter("cos_sim >= 0.9999").collect() if r.q_id == r.vec_id}
+    assert set(top) == {0, 1, 2}  # self-match is the 1.0 hit
+
+
+def test_embedding_norms(emb, vecs):
+    got = {r.vec_id: (r.dim, r.l2_norm) for r in similarity.embedding_norms(emb).collect()}
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    for i in (0, 5, 199):
+        assert got[i][0] == DIM
+        assert abs(got[i][1] - round(float(np.linalg.norm(v32[i])), 4)) < 1e-3

@@ -1,0 +1,73 @@
+"""Text-analysis operator tests: language ID on known-language samples,
+token counting, quality signals, fingerprint stability/robustness."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import text
+
+SAMPLES = [
+    (0, "en", "the cat sat on the mat and the dog ran out of the house"),
+    (1, "fr", "le chat est sur la table et le chien dort dans la maison"),
+    (2, "de", "der hund und die katze spielen und der vogel singt"),
+    (3, "es", "el perro corre y los gatos duermen porque el sol brilla"),
+    (4, "und", "zzz qqq xxx 12345"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, _, t in SAMPLES], ["doc_id", "text"])
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {i: lang for i, lang, _ in SAMPLES}
+
+
+def test_token_counts(docs):
+    got = {
+        r.doc_id: (r.tc, r.wc)
+        for r in docs.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("tc"),
+            text.whitespace_token_count(F.col("text")).alias("wc"),
+        ).collect()
+    }
+    for i, _, t in SAMPLES:
+        assert got[i][0] == len(re.findall(r"[A-Za-z0-9]+", t))
+        assert got[i][1] == len(t.split())
+
+
+def test_quality_columns(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This is fine.")], ["doc_id", "text"])
+    q = text.quality_columns(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in q.items()]).first()
+    assert row.n_chars == 27
+    assert row.n_tokens == 5
+    assert 0 < row.alpha_ratio < 1 and 0 < row.punct_ratio < 0.2
+
+
+def test_fingerprint_md5_matches_normalization(docs):
+    got = docs.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp")).collect()
+    for r in got:
+        raw = dict((i, t) for i, _, t in SAMPLES)[r.doc_id]
+        normalized = re.sub(r"\s+", " ", raw.lower().strip())
+        assert r.fp == hashlib.md5(normalized.encode()).hexdigest()
+
+
+def test_winnow_edit_robust_vs_md5(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)  # one local edit
+    df = spark.createDataFrame([(0, base), (1, edited)], ["doc_id", "text"])
+    wf = {r.doc_id: r.winnow_fp for r in text.winnow_table(df).collect()}
+    md = {r.doc_id: r.fp for r in df.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert md[0] != md[1]  # md5 flips entirely
+    # winnow: at least one of the banded min-hashes survives a local edit
+    assert set(wf[0].split("-")) & set(wf[1].split("-"))
+    # determinism
+    wf2 = {r.doc_id: r.winnow_fp for r in text.winnow_table(df).collect()}
+    assert wf == wf2
