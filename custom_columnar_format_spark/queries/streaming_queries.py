@@ -1,0 +1,109 @@
+"""Streaming queries for the driver registry: each drains the events backlog
+through a real Structured Streaming plan (file source → watermark → stateful
+op → memory sink, Trigger.AvailableNow) and returns the resulting table.
+
+Because the streams are deterministic over a finite backlog, the tumbling /
+session-window entries carry full DuckDB oracles — the driver hash-verifies
+that STREAMING execution produces the batch answer. The custom stateful
+sessionizer (applyInPandasWithState) is pinned against the batch
+lag+cumsum twin in tests and registered with an oracle too (session ids are
+assigned in time order per user, identical to the SQL formulation)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming import events as ev
+from .registry import query
+
+
+def _drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    name = f"stream_q_{uuid.uuid4().hex[:10]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return ev.run_available_now(stream_df, name, ck, output_mode=output_mode)
+
+
+@query(
+    "q_stream_tumbling",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    doc="STREAMING tumbling 1h window counts (file stream → watermark → memory "
+    "sink, Trigger.AvailableNow) — oracle-verified equal to the batch answer.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = _drain(ev.tumbling_counts(stream, width="1 hour", watermark="2 hours"))
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "q_stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="STREAMING session windows (30-min gap) via F.session_window — "
+    "oracle: batch gap-sessionization groups, matched on (user, start, count).",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = _drain(ev.session_windows(stream, gap="30 minutes", watermark="4 hours"))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+    )
+
+
+@query(
+    "q_stream_stateful_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="STREAMING custom stateful sessionizer (applyInPandasWithState, one "
+    "4-int state tuple per user) — oracle: batch lag+cumsum sessionization.",
+)
+def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = _drain(ev.stateful_sessionize(stream), output_mode="update")
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+    )

@@ -1,0 +1,207 @@
+"""Structured Streaming over the ``events`` table: watermarked tumbling /
+sliding / session windows, plus a custom stateful sessionizer via
+``applyInPandasWithState`` (the pattern for operators Spark's built-in
+windows can't express).
+
+The reference has no streaming at all (SURVEY.md §2.2) — this is the
+north-star extension surface. Batch twins of these queries live in the
+registry (``q_events_tumbling`` / ``q_events_sliding`` / ``q_sessionize``)
+and the tests assert stream-batch equivalence: running a stream with an
+``availableNow`` trigger over the same files must produce the batch answer.
+
+Scale notes: windowed aggregations shuffle once on (key, window); watermarks
+bound state so a 100 TB/day stream holds hours, not history, in the state
+store; ``session_window`` merges adjacent state entries instead of buffering
+raw events; the stateful UDF keeps one small tuple per user, not per event.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def events_schema_nanos() -> StructType:
+    """Physical parquet schema of events (ts is TIMESTAMP(NANOS), surfaced as
+    raw int64 nanos under spark.sql.legacy.parquet.nanosAsLong)."""
+    from pyspark.sql.types import DoubleType
+
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of events with a proper timestamp column. The same
+    directory the batch queries read — Structured Streaming treats it as a
+    one-batch backlog under ``Trigger.AvailableNow``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source requires a directory; select just the events
+    # file(s) with a glob (a production events feed is a directory anyway).
+    raw = (
+        spark.readStream.schema(events_schema_nanos())
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Per-(event_type, 1-min window) counts; watermark bounds state and
+    admits late data inside the horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "5 minutes", slide: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.approx_count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Built-in session windows: per-user activity sessions closed after
+    ``gap`` inactivity. State merges adjacent windows — O(open sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType(), False),
+        StructField("last_ts_us", LongType(), False),
+        StructField("start_ts_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionization with ``applyInPandasWithState`` — the
+    escape hatch for stateful semantics built-in windows can't express (here:
+    monotone per-user session *numbering*, which ``session_window`` doesn't
+    give you). State per user is one 4-int tuple; each micro-batch emits the
+    sessions it saw (update mode), so downstream consumers upsert by
+    (user_id, session_id).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[str], batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            session_id, last_us, start_us, n_events = state.get
+        else:
+            session_id, last_us, start_us, n_events = 0, None, None, 0
+
+        ts_us = []
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+
+        out = []
+        for t in ts_us:
+            if last_us is None or t - last_us > gap_us:
+                if last_us is not None:
+                    out.append((user_id, session_id, n_events, start_us))
+                session_id += 1
+                start_us, n_events = t, 0
+            n_events += 1
+            last_us = t
+        if last_us is not None:
+            out.append((user_id, session_id, n_events, start_us))  # open session snapshot
+            state.update((session_id, last_us, start_us, n_events))
+
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "session_id": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+                "session_start": [pd.Timestamp(o[3], unit="us") for o in out],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the backlog with Trigger.AvailableNow into an in-memory table and
+    return it as a batch DataFrame (test/driver harness helper).
+
+    ``complete`` for windowed aggregations (append would hold back windows the
+    final watermark never passes); ``update`` for the stateful sessionizer."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)

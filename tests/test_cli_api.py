@@ -1,0 +1,76 @@
+"""Reference-parity surface tests: the CLI command set (reference cli.py:33-43)
+and the SCBFReader class API (promised in reference README.md:67-89, never
+implemented there)."""
+
+import csv
+import os
+
+import pytest
+
+from custom_columnar_format_spark.cli import main as cli_main
+from custom_columnar_format_spark.scbf.reader_api import SCBFReader
+
+CSV_BODY = "id,score,name\n1,1.5,alpha\n2,2.5,beta\n3,3.5,gamma\n"
+
+
+@pytest.fixture()
+def sample_csv(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(CSV_BODY)
+    return str(p)
+
+
+def test_cli_local_roundtrip(sample_csv, tmp_path):
+    scbf = str(tmp_path / "out.scbf")
+    out_csv = str(tmp_path / "out.csv")
+    assert cli_main(["csv_to_custom", sample_csv, scbf, "--local"]) == 0
+    assert cli_main(["custom_to_csv", scbf, out_csv, "--local"]) == 0
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["id", "score", "name"]
+    assert rows[1] == ["1", "1.5", "alpha"] and len(rows) == 4
+
+
+def test_cli_selective_columns(sample_csv, tmp_path):
+    scbf = str(tmp_path / "out.scbf")
+    out_csv = str(tmp_path / "sel.csv")
+    cli_main(["csv_to_custom", sample_csv, scbf, "--local"])
+    cli_main(["custom_to_csv", scbf, out_csv, "--local", "--cols", "name", "id"])
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["name", "id"]  # request order preserved
+    assert rows[1] == ["alpha", "1"]
+
+
+def test_cli_compat_inference(tmp_path):
+    """Reference inference: first non-empty value decides the type
+    (reference writer.py:41-47) — '1' then '2.5' crashes there; our compat
+    mode reproduces the type choice but the full mode widens."""
+    p = tmp_path / "mix.csv"
+    p.write_text("x\n1\n2\n")
+    scbf = str(tmp_path / "mix.scbf")
+    cli_main(["csv_to_custom", str(p), scbf, "--local", "--compat-inference"])
+    assert SCBFReader(scbf).schema() == {"x": "int32"}
+
+
+def test_reader_class_api(sample_csv, tmp_path):
+    scbf = str(tmp_path / "r.scbf")
+    cli_main(["csv_to_custom", sample_csv, scbf, "--local"])
+    r = SCBFReader(scbf)
+    assert r.list_columns() == ["id", "score", "name"]
+    assert r.num_rows == 3
+    assert r.schema()["score"] == "float64"
+    names, rows = r.read_all()
+    assert names == ["id", "score", "name"] and rows[0] == [1, 1.5, "alpha"]
+    cols = r.read_columns(["score"])
+    assert cols == {"score": [1.5, 2.5, 3.5]}
+    pdf = r.to_pandas(["name"])
+    assert list(pdf["name"]) == ["alpha", "beta", "gamma"]
+
+
+def test_reader_to_spark(spark, sample_csv, tmp_path):
+    scbf = str(tmp_path / "s.scbf")
+    cli_main(["csv_to_custom", sample_csv, scbf, "--local"])
+    df = SCBFReader(scbf).to_spark(spark, columns=["id", "score"])
+    assert df.schema.fieldNames() == ["id", "score"]
+    assert df.count() == 3

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: stream-batch equivalence. Draining the events
+backlog through the streaming plans (Trigger.AvailableNow) must reproduce the
+batch answers for tumbling/sliding/session windows, and the custom stateful
+sessionizer must match the batch lag+cumsum sessionization exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from custom_columnar_format_spark.queries.tables import load
+from custom_columnar_format_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_small):
+    return load(spark, sf_small, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_small):
+    return ev.read_events_stream(spark, sf_small)
+
+
+def test_stream_tumbling_equals_batch(spark, batch_events, stream_events, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_tumble"))
+    got = ev.run_available_now(ev.tumbling_counts(stream_events), "t_tumble", ck)
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert sorted(got.collect()) == sorted(expect.collect())
+
+
+def test_stream_sliding_equals_batch(spark, batch_events, stream_events, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_slide"))
+    got = ev.run_available_now(ev.sliding_counts(stream_events), "t_slide", ck)
+    expect = (
+        batch_events.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.approx_count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+    assert sorted(got.collect()) == sorted(expect.collect())
+
+
+def test_stream_session_window_equals_batch(spark, batch_events, stream_events, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_sess"))
+    got = ev.run_available_now(ev.session_windows(stream_events), "t_sess", ck)
+    expect = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    assert sorted(got.collect()) == sorted(expect.collect())
+
+
+def test_stateful_sessionize_matches_batch(spark, batch_events, stream_events, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ck_state"))
+    got = ev.run_available_now(
+        ev.stateful_sessionize(stream_events), "t_state", ck, output_mode="update"
+    )
+    # Batch twin: gap-based sessionization via lag + cumulative sum.
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(wo)
+    new_sess = F.when(prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1).otherwise(0)
+    expect = (
+        batch_events.withColumn("session_id", F.sum(new_sess).over(wc).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    g = {(r.user_id, r.session_id): (r.n_events, r.session_start) for r in got.collect()}
+    e = {(r.user_id, r.session_id): (r.n_events, r.session_start) for r in expect.collect()}
+    assert g == e
