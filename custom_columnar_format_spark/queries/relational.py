@@ -849,3 +849,38 @@ def q_scbf_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_scbf_v2_pushdown_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey < 10000
+    GROUP BY o_orderpriority
+    """,
+    doc="writes orders through SCBF **v2** (nulls/stats/crc footer format), "
+    "reads back with a pushed filter whose min/max stats skip whole files, "
+    "aggregates — oracle runs the same query on the original parquet.",
+)
+def q_scbf_v2_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.scbf_datasource import register
+
+    register(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"scbf_v2_{abs(hash(sf_dir)) % 10**8}")
+    # range-partition on the filter key so each part file gets a tight
+    # min/max band — the layout that makes stats skipping effective
+    o.repartitionByRange(8, "o_orderkey").write.format("scbf").option(
+        "version", "2"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("scbf").load(out).filter(F.col("o_orderkey") < 10000)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -1,0 +1,333 @@
+"""SCBF **v2** codec — implements the reference spec's own declared future
+extensions (reference SPEC.md:118-123 lists them as unimplemented: null
+bitmaps, dictionary encoding, min/max statistics, checksums) as a clean
+second format version, plus the type-system fixes v1 forces workarounds for.
+
+v2 is OUR format (the reference defines only v1), so the layout is designed
+for object stores and distributed writers from the start:
+
+    magic "SCBFv2\\0\\0"
+    <data blocks ...>                (zlib, per column / per role)
+    <metadata JSON, zlib>            (footer, like Parquet's)
+    u64 meta_comp_len | magic tail
+
+- **Footer metadata**: written last, so the writer is one forward pass with
+  no seeks at all (v1 needs sizes precomputed; v2 streams). Readers seek to
+  EOF-16, which object stores serve as a ranged GET.
+- **Null support**: optional per-column validity bitmap, bit-packed LSB-first
+  — exactly Arrow's validity layout, so reads hand the decompressed buffer
+  to Arrow without per-value work.
+- **Types**: int32, float64, utf8 (v1 set) + int64 and bool (v1's biggest
+  wart: Spark bigint had to be range-checked down to int32).
+- **Dictionary encoding**: utf8 columns with repetition ratio ≤ 0.5 store a
+  sorted unique dictionary + u32 indices (auto; per-column flag in metadata).
+- **Stats**: per-column min/max (nulls excluded) + null_count in metadata —
+  used by the Spark DataSource for file-level skipping under pushed filters.
+- **Checksums**: crc32 of every compressed block, verified on read.
+
+Metadata is a zlib'd JSON document rather than v1's hand-packed binary
+records: footer size is irrelevant next to data blocks, and JSON keeps the
+format evolvable (same reasoning as Parquet's thrift footer).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Any, BinaryIO, Dict, List, Optional, Sequence
+
+import numpy as np
+
+MAGIC_V2 = b"SCBFv2\x00\x00"
+
+V2_TYPES = ("int32", "int64", "float64", "bool", "utf8")
+_NP_DTYPES = {"int32": "<i4", "int64": "<i8", "float64": "<f8", "bool": "u1"}
+
+DEFAULT_ZLIB_LEVEL = 6
+DICT_RATIO = 0.5
+MAX_STAT_STR = 64
+
+
+class ScbfV2Error(ValueError):
+    pass
+
+
+@dataclass
+class BlockRef:
+    offset: int
+    comp: int
+    uncomp: int
+    crc32: int
+
+    def to_json(self) -> dict:
+        return {"offset": self.offset, "comp": self.comp, "uncomp": self.uncomp, "crc32": self.crc32}
+
+    @staticmethod
+    def from_json(d: dict) -> "BlockRef":
+        return BlockRef(d["offset"], d["comp"], d["uncomp"], d["crc32"])
+
+
+class _BlockWriter:
+    """Appends compressed blocks, tracking offsets/crc — one forward pass."""
+
+    def __init__(self, f: BinaryIO, level: int):
+        self.f = f
+        self.level = level
+        self.pos = f.write(MAGIC_V2)
+
+    def put(self, raw: bytes) -> BlockRef:
+        comp = zlib.compress(raw, self.level)
+        ref = BlockRef(self.pos, len(comp), len(raw), zlib.crc32(comp) & 0xFFFFFFFF)
+        self.f.write(comp)
+        self.pos += len(comp)
+        return ref
+
+
+def _stats_of(values: np.ndarray, type_name: str, valid: Optional[np.ndarray]) -> Optional[dict]:
+    vals = values if valid is None else values[valid]
+    if vals.size == 0:
+        return None
+    if type_name == "utf8":
+        mn, mx = min(vals), max(vals)
+        return {"min": str(mn)[:MAX_STAT_STR], "max": str(mx)[:MAX_STAT_STR]}
+    if type_name == "bool":
+        return {"min": bool(vals.min()), "max": bool(vals.max())}
+    mn, mx = vals.min(), vals.max()
+    if type_name == "float64":
+        if np.isnan(mn) or np.isnan(mx):
+            finite = vals[~np.isnan(vals)]
+            if finite.size == 0:
+                return None
+            mn, mx = finite.min(), finite.max()
+        return {"min": float(mn), "max": float(mx)}
+    return {"min": int(mn), "max": int(mx)}
+
+
+def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None:
+    """Write a ``pyarrow.Table`` as one SCBF v2 file (nulls allowed)."""
+    import pyarrow as pa
+
+    with open(path, "wb") as f:
+        bw = _BlockWriter(f, level)
+        columns_meta: List[dict] = []
+        for fld in table.schema:
+            col = table.column(fld.name).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], type=fld.type)
+            t = fld.type
+            null_count = col.null_count
+            valid_np = None
+            if null_count:
+                valid_np = np.asarray(col.is_valid())
+            blocks: Dict[str, BlockRef] = {}
+
+            if pa.types.is_boolean(t):
+                type_name = "bool"
+                vals = np.asarray(col.fill_null(False)).astype("u1")
+                blocks["data"] = bw.put(vals.tobytes())
+                stats = _stats_of(np.asarray(col.drop_null()).astype("u1"), "bool", None) if len(col) else None
+            elif pa.types.is_integer(t) or pa.types.is_floating(t):
+                if pa.types.is_floating(t):
+                    type_name = "float64"
+                    fill = 0.0
+                elif t.bit_width <= 32:
+                    type_name = "int32"
+                    fill = 0
+                else:
+                    type_name = "int64"
+                    fill = 0
+                vals = np.asarray(col.fill_null(fill)).astype(_NP_DTYPES[type_name])
+                blocks["data"] = bw.put(vals.tobytes())
+                stats = _stats_of(vals, type_name, valid_np)
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                type_name = "utf8"
+                py = col.to_pylist()
+                strings = np.array(["" if v is None else v for v in py], dtype=object)
+                uniq, inv = np.unique(strings, return_inverse=True)
+                if len(strings) and len(uniq) / len(strings) <= DICT_RATIO:
+                    # dictionary encoding: u32 indices + dict offsets + dict blob
+                    d_enc = [u.encode("utf-8") for u in uniq]
+                    d_offs = np.zeros(len(d_enc) + 1, dtype="<u4")
+                    np.cumsum([len(b) for b in d_enc], out=d_offs[1:])
+                    blocks["indices"] = bw.put(inv.astype("<u4").tobytes())
+                    blocks["dict_offsets"] = bw.put(d_offs.tobytes())
+                    blocks["dict_blob"] = bw.put(b"".join(d_enc))
+                else:
+                    enc = [s.encode("utf-8") for s in strings]
+                    offs = np.zeros(len(enc) + 1, dtype="<u4")
+                    np.cumsum([len(b) for b in enc], out=offs[1:])
+                    blocks["offsets"] = bw.put(offs.tobytes())
+                    blocks["blob"] = bw.put(b"".join(enc))
+                nn = strings[valid_np] if valid_np is not None else strings
+                stats = _stats_of(nn, "utf8", None) if len(nn) else None
+            else:
+                raise ScbfV2Error(
+                    f"column {fld.name!r}: type {t} not representable in SCBF v2 "
+                    "(int32/int64/float64/bool/utf8)"
+                )
+
+            if null_count:
+                bitmap = np.packbits(valid_np, bitorder="little")  # Arrow validity layout
+                blocks["validity"] = bw.put(bitmap.tobytes())
+
+            columns_meta.append(
+                {
+                    "name": fld.name,
+                    "type": type_name,
+                    "nullable": bool(null_count),
+                    "null_count": int(null_count),
+                    "dict": "indices" in blocks,
+                    "blocks": {k: v.to_json() for k, v in blocks.items()},
+                    "stats": stats,
+                }
+            )
+
+        meta = {"version": 2, "rows": table.num_rows, "columns": columns_meta}
+        meta_comp = zlib.compress(json.dumps(meta).encode("utf-8"), level)
+        f.write(meta_comp)
+        f.write(struct.pack("<Q", len(meta_comp)))
+        f.write(MAGIC_V2)
+
+
+def read_meta(path: str) -> dict:
+    """Footer metadata of a v2 file (EOF-ranged read, no data blocks touched)."""
+    with open(path, "rb") as f:
+        f.seek(0)
+        if f.read(8) != MAGIC_V2:
+            raise ScbfV2Error("bad magic: not an SCBF v2 file")
+        f.seek(-16, 2)
+        meta_len, tail = struct.unpack("<Q8s", f.read(16))
+        if tail != MAGIC_V2:
+            raise ScbfV2Error("bad tail magic: truncated or corrupt SCBF v2 file")
+        f.seek(-16 - meta_len, 2)
+        return json.loads(zlib.decompress(f.read(meta_len)).decode("utf-8"))
+
+
+def _get_block(f: BinaryIO, ref: BlockRef, verify: bool = True) -> bytes:
+    f.seek(ref.offset)
+    comp = f.read(ref.comp)
+    if verify and (zlib.crc32(comp) & 0xFFFFFFFF) != ref.crc32:
+        raise ScbfV2Error(f"crc32 mismatch at offset {ref.offset}: corrupted block")
+    raw = zlib.decompress(comp)
+    if len(raw) != ref.uncomp:
+        raise ScbfV2Error("uncompressed size mismatch: corrupted block")
+    return raw
+
+
+_PA_TYPES = {"int32": "int32", "int64": "int64", "float64": "float64", "bool": "bool_", "utf8": "string"}
+
+
+def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_crc: bool = True):
+    """Pruned Arrow read of a v2 file. Validity bitmaps and string buffers go
+    to Arrow as raw buffers (the on-disk layout IS Arrow's layout)."""
+    import pyarrow as pa
+
+    meta = read_meta(path)
+    by_name = {c["name"]: c for c in meta["columns"]}
+    selected = list(columns) if columns is not None else [c["name"] for c in meta["columns"]]
+    rows = meta["rows"]
+
+    arrays, fields = [], []
+    with open(path, "rb") as f:
+        for name in selected:
+            if name not in by_name:
+                raise KeyError(f"Column {name} not found")
+            cm = by_name[name]
+            refs = {k: BlockRef.from_json(v) for k, v in cm["blocks"].items()}
+            validity_buf = None
+            if "validity" in refs:
+                validity_buf = pa.py_buffer(_get_block(f, refs["validity"], verify_crc))
+            pa_type = getattr(pa, _PA_TYPES[cm["type"]])()
+
+            if cm["type"] == "utf8":
+                if cm["dict"]:
+                    idx = np.frombuffer(_get_block(f, refs["indices"], verify_crc), dtype="<u4", count=rows)
+                    d_offs = _get_block(f, refs["dict_offsets"], verify_crc)
+                    d_blob = _get_block(f, refs["dict_blob"], verify_crc)
+                    n_dict = len(d_offs) // 4 - 1
+                    dict_arr = pa.StringArray.from_buffers(
+                        n_dict, pa.py_buffer(d_offs), pa.py_buffer(d_blob)
+                    )
+                    indices = pa.Array.from_buffers(
+                        pa.int32(), rows, [validity_buf, pa.py_buffer(idx.astype("<i4").tobytes())]
+                    )
+                    arr = pa.DictionaryArray.from_arrays(indices, dict_arr).cast(pa.string())
+                else:
+                    offs = _get_block(f, refs["offsets"], verify_crc)
+                    blob = _get_block(f, refs["blob"], verify_crc)
+                    np_offs = np.frombuffer(offs, dtype="<u4", count=rows + 1)
+                    arr = pa.StringArray.from_buffers(
+                        rows, pa.py_buffer(np_offs.astype("<i4").tobytes()), pa.py_buffer(blob), validity_buf
+                    )
+            else:
+                raw = _get_block(f, refs["data"], verify_crc)
+                if cm["type"] == "bool":
+                    # stored as u1 bytes; Arrow wants bit-packed values
+                    vals = np.frombuffer(raw, dtype="u1", count=rows)
+                    data_buf = pa.py_buffer(np.packbits(vals.astype(bool), bitorder="little").tobytes())
+                else:
+                    data_buf = pa.py_buffer(raw)
+                arr = pa.Array.from_buffers(pa_type, rows, [validity_buf, data_buf])
+
+            arrays.append(arr)
+            fields.append(pa.field(name, pa_type, nullable=bool(cm["nullable"])))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+# ---------------------------------------------------------------------------
+# Stats-based pruning (file skipping under pushed filters)
+# ---------------------------------------------------------------------------
+
+
+def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
+    """Conservative stats check: False only when some pushed filter PROVES the
+    file has no matching rows. ``filters`` are pyspark.sql.datasource Filter
+    dataclasses; unknown filter shapes are ignored (treated as may-match)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    stats_by_col: Dict[str, dict] = {}
+    nulls_by_col: Dict[str, int] = {}
+    rows = meta["rows"]
+    for c in meta["columns"]:
+        if c.get("stats"):
+            stats_by_col[c["name"]] = c["stats"]
+        nulls_by_col[c["name"]] = c.get("null_count", 0)
+
+    for flt in filters:
+        col = flt.attribute[0] if getattr(flt, "attribute", None) else None
+        if col is None:
+            continue
+        st = stats_by_col.get(col)
+        if isinstance(flt, IsNotNull):
+            if rows and nulls_by_col.get(col, 0) == rows:
+                return False
+            continue
+        if st is None:
+            continue
+        mn, mx = st["min"], st["max"]
+        try:
+            if isinstance(flt, EqualTo) and not (mn <= flt.value <= mx):
+                return False
+            if isinstance(flt, GreaterThan) and not (mx > flt.value):
+                return False
+            if isinstance(flt, GreaterThanOrEqual) and not (mx >= flt.value):
+                return False
+            if isinstance(flt, LessThan) and not (mn < flt.value):
+                return False
+            if isinstance(flt, LessThanOrEqual) and not (mn <= flt.value):
+                return False
+            if isinstance(flt, In) and not any(mn <= v <= mx for v in flt.value):
+                return False
+        except TypeError:
+            continue  # incomparable types (e.g. str filter on numeric stats)
+    return True

@@ -44,20 +44,40 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from ..scbf import codec
+from ..scbf import codec, codec_v2
 
 SPARK_TYPE_FOR_CODE = {
     codec.TYPE_INT32: IntegerType(),
     codec.TYPE_FLOAT64: DoubleType(),
     codec.TYPE_UTF8: StringType(),
 }
+
+SPARK_TYPE_FOR_V2 = {
+    "int32": IntegerType(),
+    "int64": LongType(),
+    "float64": DoubleType(),
+    "bool": BooleanType(),
+    "utf8": StringType(),
+}
+
+
+def _file_version(path: str) -> int:
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == codec_v2.MAGIC_V2:
+        return 2
+    if magic == codec.MAGIC:
+        return 1
+    raise codec.ScbfError(f"{path}: not an SCBF file")
 
 
 def _list_scbf_files(path: str) -> List[str]:
@@ -77,6 +97,14 @@ def _list_scbf_files(path: str) -> List[str]:
 
 
 def _schema_of_file(path: str) -> StructType:
+    if _file_version(path) == 2:
+        meta = codec_v2.read_meta(path)
+        return StructType(
+            [
+                StructField(c["name"], SPARK_TYPE_FOR_V2[c["type"]], nullable=bool(c["nullable"]))
+                for c in meta["columns"]
+            ]
+        )
     with open(path, "rb") as f:
         info = codec.read_file_info(f)
     return StructType(
@@ -93,7 +121,14 @@ class ScbfFilePartition(InputPartition):
 
 
 class ScbfReader(DataSourceReader):
-    """One input partition per SCBF file; pruned Arrow-batch reads."""
+    """One input partition per SCBF file; pruned Arrow-batch reads.
+
+    v2 files additionally support **filter-pushdown file skipping**:
+    ``pushFilters`` records Spark's pushed predicates, and ``partitions()``
+    drops every file whose footer min/max stats prove it cannot match — the
+    DataSource-level analog of Parquet row-group pruning. All filters are
+    returned to Spark (we skip whole files, Spark still filters rows), so
+    semantics never depend on the stats."""
 
     def __init__(self, schema: StructType, options):
         self.schema = schema
@@ -105,12 +140,35 @@ class ScbfReader(DataSourceReader):
         # projection option is therefore applied in ``schema()``, and here we
         # simply read whatever columns that schema carries.
         self.columns: List[str] = [f.name for f in schema.fields]
+        self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+        self._filters: List = []
+
+    def pushFilters(self, filters):
+        self._filters = list(filters)
+        return filters  # Spark re-applies everything; stats only skip files
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [ScbfFilePartition(p) for p in _list_scbf_files(self.path)]
+        parts = []
+        skipped = 0
+        for p in _list_scbf_files(self.path):
+            if self._filters and _file_version(p) == 2:
+                if not codec_v2.file_may_match(codec_v2.read_meta(p), self._filters):
+                    skipped += 1
+                    continue
+            parts.append(ScbfFilePartition(p))
+        # An all-files-skipped scan still needs one (empty) partition so the
+        # negotiated schema flows through.
+        return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
-        table = codec.read_arrow_table(partition.file_path, self.columns)
+        if not partition.file_path:
+            return
+        if _file_version(partition.file_path) == 2:
+            table = codec_v2.read_arrow_table(
+                partition.file_path, self.columns, verify_crc=self.verify_crc
+            )
+        else:
+            table = codec.read_arrow_table(partition.file_path, self.columns)
         for batch in table.to_batches(max_chunksize=1 << 16):
             yield batch
 
@@ -133,13 +191,26 @@ class ScbfWriter(DataSourceArrowWriter):
         if self.path is None:
             raise ValueError("scbf write requires a path: .save('/path/to/dir')")
         self.level = int(options.get("compression_level", codec.DEFAULT_ZLIB_LEVEL))
+        self.version = int(options.get("version", "1"))
         self.overwrite = overwrite
-        for f in schema.fields:
-            if not isinstance(f.dataType, (IntegerType, DoubleType, StringType)):
-                raise ValueError(
-                    f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
-                    "in SCBF v1 (int32/float64/utf8 only) — cast first"
-                )
+        if self.version == 2:
+            ok = (IntegerType, LongType, DoubleType, BooleanType, StringType)
+            for f in schema.fields:
+                if not isinstance(f.dataType, ok):
+                    raise ValueError(
+                        f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
+                        "in SCBF v2 (int32/int64/float64/bool/utf8) — cast first"
+                    )
+        elif self.version == 1:
+            for f in schema.fields:
+                if not isinstance(f.dataType, (IntegerType, DoubleType, StringType)):
+                    raise ValueError(
+                        f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
+                        "in SCBF v1 (int32/float64/utf8 only) — cast, or write with "
+                        ".option('version', '2')"
+                    )
+        else:
+            raise ValueError(f"unknown scbf version {self.version} (1 or 2)")
 
     def write(self, iterator: Iterator) -> ScbfCommitMessage:
         import pyarrow as pa
@@ -152,7 +223,10 @@ class ScbfWriter(DataSourceArrowWriter):
         if not batches:
             return ScbfCommitMessage(tmp_path="", final_path="", rows=0)
         table = pa.Table.from_batches(batches)
-        codec.write_arrow_table(tmp, table, self.level)
+        if self.version == 2:
+            codec_v2.write_arrow_table(tmp, table, self.level)
+        else:
+            codec.write_arrow_table(tmp, table, self.level)
         return ScbfCommitMessage(tmp_path=tmp, final_path=final, rows=table.num_rows)
 
     def commit(self, messages):
@@ -234,4 +308,9 @@ def register(spark) -> None:
         _ship_package(spark)
     except Exception:
         pass  # already-shipped or restricted env; worker import may still work via PYTHONPATH
+    try:
+        # Required for pushFilters() to reach the reader (v2 stats skipping).
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf in some deployments; reader then sees no filters
     spark.dataSource.register(ScbfDataSource)
