@@ -67,7 +67,10 @@ def bench_scbf(spark, tmpdir: str) -> dict[str, float]:
                 "payload"
             ),
         )
-        .repartition(int(CPUS))
+        # ~25k rows per output file: enough parallelism to win, without paying
+        # 32 tasks' worth of fixed overhead on a 200k-row microbench (the same
+        # rows-per-file sizing a real pipeline would pick via maxRecordsPerFile)
+        .repartition(max(4, n // 25_000))
     )
     df.cache().count()  # exclude synthesis from the write timing
     out = os.path.join(tmpdir, "bench_scbf")

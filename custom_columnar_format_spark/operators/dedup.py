@@ -80,7 +80,16 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     attribute before the shingling ``transform`` references it, so the
     normalize+split work runs once per document instead of once per shingle
     (the single-expression form re-evaluates the nested expression inside
-    every lambda iteration — quadratic in document length)."""
+    every lambda iteration — quadratic in document length).
+
+    Empty/whitespace-only documents are dropped HERE, with a cheap scan-level
+    predicate on the raw text. Do NOT filter on ``size(shingles)`` downstream:
+    Catalyst pushes such a predicate through both projections, substituting
+    the whole nested shingle expression into the filter — which both doubles
+    the work and resurrects the quadratic form (measured 30× at sf0.1). (It
+    would also be vacuous: ``split("")`` yields ``[""]``, so the shingle
+    array is never empty.)"""
+    df = df.filter(F.trim(F.col(text_col)) != "")
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
@@ -149,7 +158,7 @@ def minhash_neardup_pairs(
     (very long documents) — the same call production MinHash pipelines make
     when they checkpoint signatures before the LSH join.
     """
-    base = shingle_table(df, text_col, id_col, shingle_k).filter(F.size("shingles") > 0)
+    base = shingle_table(df, text_col, id_col, shingle_k)
     if persist:
         base = base.persist()
     sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
@@ -204,7 +213,7 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|). Sub-quadratic when shingles are selective;
     ultra-common shingles (posting list > ``max_postings``) are dropped like
     stopwords — standard index pruning at scale."""
-    base = shingle_table(df, text_col, id_col, shingle_k).filter(F.size("shingles") > 0)
+    base = shingle_table(df, text_col, id_col, shingle_k)
     if persist:
         base = base.persist()
     sizes = base.select("id", F.size("shingles").alias("n_sh"))
