@@ -884,3 +884,90 @@ def q_scbf_v2_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact continuous percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont, both linear-interpolating). The approximate tier "
+    "(percentile_approx / t-digest) is the 100 TB path but is engine-specific "
+    "and therefore pinned in tests rather than the cross-engine oracle.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q_array_map_funcs",
+    """
+    WITH t AS (
+      SELECT l_orderkey,
+             list(l_linenumber ORDER BY l_linenumber) AS lines,
+             list(ROUND(l_extendedprice, 2) ORDER BY l_linenumber) AS prices
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(lines) AS INT) AS n_lines,
+           lines[1] AS first_line,
+           CAST(list_contains(lines, 3) AS BOOLEAN) AS has_line3,
+           ROUND(list_sum(prices), 2) AS total_price,
+           ROUND(list_max(prices), 2) AS max_price,
+           array_to_string(list_sort(list_distinct(lines)), ',') AS distinct_lines_csv
+    FROM t
+    """,
+    doc="array functions over collected groups: collect_list, size, element "
+    "access, contains, aggregate-sum, max, distinct+sort — the array algebra "
+    "an embeddings/token pipeline leans on.",
+)
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber"))).getField("l_linenumber").alias("lines"),
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", F.round("l_extendedprice", 2).alias("p")))
+        ).getField("p").alias("prices"),
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_contains("lines", 3).alias("has_line3"),
+        F.round(F.aggregate("prices", F.lit(0.0), lambda a, x: a + x), 2).alias("total_price"),
+        F.round(F.array_max("prices"), 2).alias("max_price"),
+        # CSV-joined rather than a raw array column: the driver's value-hash
+        # stringifies arrays differently per engine (numpy vs list repr)
+        F.array_join(F.array_sort(F.array_distinct("lines")), ",").alias("distinct_lines_csv"),
+    )
+
+
+@query(
+    "q_skew_salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+    doc="two-stage SALTED aggregation over a low-cardinality (hence skewed) "
+    "key: partials on (key, salt) spread each hot key over 16 reducers, then "
+    "combine on key — bit-identical to the direct groupBy, which is exactly "
+    "what the oracle verifies.",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], {"n": ("count", "*"), "total_raw": ("sum", "value")}, n_salts=16
+    )
+    return out.select("event_type", "n", F.round("total_raw", 2).alias("total"))
