@@ -95,7 +95,48 @@ def bench_scbf(spark, tmpdir: str) -> dict[str, float]:
     t0 = time.time()
     _force(spark.read.format("scbf").option("columns", "score").load(out).select("score"))
     times["scbf_read_selective"] = round(time.time() - t0, 4)
+
+    # v2 format: write + stats-pruned filtered read
+    out2 = os.path.join(tmpdir, "bench_scbf2")
+    t0 = time.time()
+    df.repartitionByRange(8, "id").write.format("scbf").option("version", "2").mode(
+        "overwrite"
+    ).save(out2)
+    times["scbf2_write_200k"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    _force(spark.read.format("scbf").load(out2).filter(F.col("id") < 25_000))
+    times["scbf2_read_stats_pruned"] = round(time.time() - t0, 4)
+
+    # Codec-level microbench (no Spark in the loop) — the apples-to-apples
+    # comparison against BASELINE.md, whose reference numbers are also
+    # single-threaded measurements of the same 200k×4 workload. The Spark-path
+    # numbers above carry ~0.5 s of fixed job-scheduling overhead that
+    # amortizes at real scale but dominates a 200k-row probe.
+    from custom_columnar_format_spark.scbf import codec as _codec
+
+    pat = table_of(df)
+    local = os.path.join(tmpdir, "codec.scbf")
+    t0 = time.time()
+    _codec.write_arrow_table(local, pat)
+    times["codec_write_200k"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    _codec.read_arrow_table(local)
+    times["codec_read_full"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    _codec.read_arrow_table(local, ["score"])
+    times["codec_read_selective"] = round(time.time() - t0, 4)
     return times
+
+
+def table_of(df):
+    """Materialize the bench DataFrame as one Arrow table (driver-side)."""
+    return df.toArrow() if hasattr(df, "toArrow") else df.toPandas().pipe(_to_arrow)
+
+
+def _to_arrow(pdf):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 def main() -> None:

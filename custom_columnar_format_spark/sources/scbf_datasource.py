@@ -98,10 +98,15 @@ def _list_scbf_files(path: str) -> List[str]:
 
 def _schema_of_file(path: str) -> StructType:
     if _file_version(path) == 2:
+        # Dataset-level nullability must be True even when the sampled file
+        # happens to contain no nulls: a sibling partition file may carry
+        # nulls in the same column, and a nullable=False schema would make
+        # Spark's Arrow accessors crash on them. This mirrors Spark's own
+        # Parquet behavior (dataset schemas are always nullable).
         meta = codec_v2.read_meta(path)
         return StructType(
             [
-                StructField(c["name"], SPARK_TYPE_FOR_V2[c["type"]], nullable=bool(c["nullable"]))
+                StructField(c["name"], SPARK_TYPE_FOR_V2[c["type"]], nullable=True)
                 for c in meta["columns"]
             ]
         )
