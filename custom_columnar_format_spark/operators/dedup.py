@@ -88,8 +88,19 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     the whole nested shingle expression into the filter — which both doubles
     the work and resurrects the quadratic form (measured 30× at sf0.1). (It
     would also be vacuous: ``split("")`` yields ``[""]``, so the shingle
-    array is never empty.)"""
+    array is never empty.)
+
+    The scan is widened to at least the cluster's default parallelism before
+    shingling: the downstream CPU (shingle + signature hashing) is orders of
+    magnitude heavier per byte than the text read, and a small corpus (or a
+    few large files at 128 MB/partition) would otherwise pin the whole
+    pipeline to a handful of cores (measured 2.0 s → 0.1 s for the sf0.1
+    signature pass). At real scale the input already has more partitions
+    than cores and the branch is a no-op — no shuffle added."""
     df = df.filter(F.trim(F.col(text_col)) != "")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
@@ -123,13 +134,38 @@ def minhash_bands(sig: F.Column, num_bands: int = DEFAULT_NUM_BANDS) -> F.Column
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                # multi-arg xxhash64 over the band's longs — no string
+                # rendering/concat in the hot path
+                F.xxhash64(*[
+                    F.element_at(sig, b * rows_per_band + r + 1)
                     for r in range(rows_per_band)
-                ])).alias("band_hash"),
+                ]).alias("band_hash"),
             )
             for b in range(num_bands)
         ]
+    )
+
+
+def _pairs_within(sorted_arr: F.Column) -> F.Column:
+    """All (i < j) element pairs of a sorted array, as ``array<struct<a,b>>``
+    — the in-bucket candidate expansion shared by the LSH operators below.
+
+    This replaces the textbook bucket *self-join*: collecting ids per bucket
+    and expanding pairs from the array needs ONE shuffle (the groupBy) and
+    evaluates the upstream pipeline once, where a self-join recomputes the
+    entire signature pipeline per join side (measured 10.4 s → 2.9 s on the
+    sf0.1 MinHash bench). Memory per bucket row is O(n²) structs, so callers
+    MUST cap bucket size first — and must pass a *plain column attribute*
+    (select the sorted array into its own projection), never a compound
+    expression, which Spark would re-inline into every lambda iteration."""
+    return F.flatten(
+        F.transform(
+            sorted_arr,
+            lambda x, i: F.transform(
+                F.slice(sorted_arr, i + 2, F.size(sorted_arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
 
 
@@ -142,47 +178,48 @@ def minhash_neardup_pairs(
     num_bands: int = DEFAULT_NUM_BANDS,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
 
-    Pipeline: shingle → signature → band-bucket → same-bucket join →
+    Pipeline: shingle → signature → band-bucket → in-bucket pair expansion →
     distinct candidate pairs → exact Jaccard verification on shingle sets.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     The shingle table feeds three plan branches (signatures + both sides of
-    pair verification). ``persist`` materializes it once instead of
-    re-shingling 3×; it defaults to off because measured at bench scale the
-    in-memory-relation boundary costs more than the 3× recompute (shingling
-    is map-only and parallel). Turn it on when the corpus-side CPU dominates
-    (very long documents) — the same call production MinHash pipelines make
-    when they checkpoint signatures before the LSH join.
+    pair verification). ``persist`` caches it so shingling runs once instead
+    of 3× (measured 6.2 s → 2.5 s at sf0.1) — the same move production
+    MinHash pipelines make when they checkpoint signatures before the LSH
+    join. At 100 TB, replace the cache with a checkpoint to a parquet temp
+    table (same plan-cut, disk-backed); callers who cannot afford executor
+    memory for the shingle table pass ``persist=False`` and pay the
+    recompute.
     """
     base = shingle_table(df, text_col, id_col, shingle_k)
     if persist:
         base = base.persist()
     sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     banded = sigs.select(
-        "id", "shingles", F.explode(minhash_bands(F.col("sig"), num_bands)).alias("b")
-    ).select("id", "shingles", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+        "id", F.explode(minhash_bands(F.col("sig"), num_bands)).alias("b")
+    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
 
-    # Cap degenerate buckets to bound the quadratic join (scale safety valve).
-    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bn"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("bn") > max_bucket)),
-        ["band", "band_hash"],
-        "left_anti",
+    # Candidate pairs via ONE aggregation: collect ids per (band, band_hash)
+    # bucket, drop degenerate buckets with a free size() predicate (the
+    # quadratic-blowup safety valve — at scale, route oversized buckets to a
+    # finer second pass), and expand pairs from the sorted id array. The
+    # signature pipeline runs exactly once; the bucket self-join formulation
+    # recomputed it per join side plus once more for the cap's broadcast.
+    # Only ids travel through the shuffle — shingle sets are re-attached
+    # once per verified pair below.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select("ids")  # plain attribute — see _pairs_within
     )
-
-    # Candidate pairs carry ONLY ids through the band self-join + distinct —
-    # shuffling the shingle arrays num_bands× through the join would dominate
-    # at any scale. Shingle sets are re-attached once per verified pair.
-    slim = banded.select("band", "band_hash", "id")
     cand = (
-        slim.withColumnRenamed("id", "id_a")
-        .join(slim.withColumnRenamed("id", "id_b"), ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     jac = (
@@ -206,27 +243,33 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_postings: int = 2000,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via a shingle inverted index:
-    explode shingles → self-join on shingle → count common shingles →
-    |A∩B| / (|A|+|B|−|A∩B|). Sub-quadratic when shingles are selective;
-    ultra-common shingles (posting list > ``max_postings``) are dropped like
-    stopwords — standard index pruning at scale."""
+    explode shingles → in-bucket pair expansion per shingle → count common
+    shingles → |A∩B| / (|A|+|B|−|A∩B|). Sub-quadratic when shingles are
+    selective; ultra-common shingles (posting list > ``max_postings``) are
+    dropped like stopwords — standard index pruning at scale. ``persist``
+    caches the shingle table feeding the postings + two size lookups (see
+    ``minhash_neardup_pairs`` for the scale trade-off)."""
     base = shingle_table(df, text_col, id_col, shingle_k)
     if persist:
         base = base.persist()
     sizes = base.select("id", F.size("shingles").alias("n_sh"))
     postings = base.select("id", F.explode("shingles").alias("sh"))
-    common_sh = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
-    postings = postings.join(
-        F.broadcast(common_sh.filter(F.col("df_sh") > max_postings)), "sh", "left_anti"
-    )
+    # Inverted-index pair counting as one aggregation per shingle: collect
+    # the (distinct-per-doc) posting list, drop ultra-common shingles with a
+    # size() predicate — stopword pruning, previously a broadcast anti-join
+    # that recomputed the postings — and count each pair's co-occurrences
+    # across shingle buckets (= |A∩B|, since a doc contributes a shingle at
+    # most once).
     pairs = (
-        postings.alias("a")
-        .join(postings.alias("b"), "sh")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_postings))
+        .select("ids")
+        .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -279,10 +322,14 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dups: bucket by 4× 16-bit bands (any pair within Hamming
     distance ≤3 of a 64-bit hash shares at least one exact 16-bit band —
-    pigeonhole), join within buckets, verify true Hamming distance."""
+    pigeonhole), expand candidate pairs within buckets, verify true Hamming
+    distance. ``max_bucket`` caps per-bucket pair expansion (buckets above it
+    are skipped — degenerate near-identical content; route to an exact-dedup
+    pass instead at scale)."""
     sims = simhash_table(df, text_col, id_col)
     bands = sims.select(
         "id",
@@ -299,12 +346,23 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("id", "sim", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = bands.select("band", "bh", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    bb = bands.select("band", "bh", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    # Same one-aggregation candidate expansion as MinHash: a bucket
+    # self-join would recompute the full SimHash aggregation per join side.
+    # array_sort on structs orders by the first field (id), so a < b holds.
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sim"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select("ms")  # plain attribute — see _pairs_within
+    )
     cand = (
-        a.join(bb, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        buckets.select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.sim").alias("sim_a"),
+            F.col("p.b.sim").alias("sim_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
