@@ -22,6 +22,7 @@ import math
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vector import cosine, dot, lit_vector, norm
@@ -116,6 +117,111 @@ def lsh_topk(
 
     sigged = df.withColumn("lsh_sig", signature_col(F.col(vec_col), planes))
     bucketed = sigged.filter(F.col("lsh_sig").isin(probe_sigs))
+    q = lit_vector(qv)
+    return (
+        bucketed.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Lloyd's k-means on the unit sphere (cosine geometry): assign by max
+    dot product, recenter by normalized mean. Returns unit-norm centroids.
+    Pure numpy on a driver-side sample — the coarse quantizer is tiny
+    (k × dim floats); the corpus itself is never collected."""
+    x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[j] = m / n
+            else:  # dead list: reseed from a random point
+                cent[j] = x[rng.randint(len(x))]
+    return cent
+
+
+def ivf_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    sample_cap: int = 50_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer from a deterministic hash sample.
+
+    ``sample_mod`` keeps rows with ``xxhash64(id) % sample_mod == 0`` — a
+    reproducible sample independent of partitioning (no RNG in the plan), the
+    same trick used for sampled stats at 100 TB: set it so roughly
+    ``sample_cap`` rows survive; the scan is column-pruned to (id, vec)."""
+    sampled = df
+    if sample_mod > 1:
+        sampled = sampled.filter(F.xxhash64(F.col(id_col)) % sample_mod == 0)
+    rows = sampled.select(vec_col).limit(sample_cap).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(x, nlist, seed=seed)
+
+
+def ivf_assign(centroids: np.ndarray, vec_col: str = "embedding") -> F.Column:
+    """Column assigning each vector to its nearest (max-cosine) centroid —
+    an Arrow-batched Pandas UDF doing one BLAS matmul per batch. Centroids
+    ride along in the UDF closure (they're nlist × dim — effectively a
+    broadcast variable)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        mat = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)).values)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype("int32"))
+
+    return assign(F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the classic inverted-file ANN scale path:
+
+    1. a driver-trained spherical-k-means quantizer partitions the corpus
+       into ``nlist`` inverted lists (``ivf_assign``);
+    2. the query probes only its ``nprobe`` nearest lists;
+    3. candidates in probed lists are scored with the exact cosine.
+
+    Scans ~ ``nprobe/nlist`` of the corpus. At 100 TB, train the quantizer
+    once (``ivf_centroids`` on a hash sample), write the corpus
+    ``partitionBy("ivf_list")``, and the probe filter becomes partition
+    pruning — each query touches ``nprobe`` directories, not the dataset.
+    Pass the trained ``centroids`` in for that flow; when omitted they are
+    trained ad hoc from ``df`` (fine for one-shot queries)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, nlist, id_col, vec_col, seed=seed)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+    assigned = df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+    bucketed = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
     q = lit_vector(qv)
     return (
         bucketed.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))

@@ -127,6 +127,17 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_ivf_topk",
+    None,  # approximate — correctness = recall vs brute force, checked in tests
+    doc="IVF (spherical-k-means inverted lists, nprobe probing) approximate top-10.",
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4)
+
+
+@query(
     "q_embedding_norms",
     """
     SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

@@ -81,3 +81,32 @@ def test_embedding_norms(emb, vecs):
     for i in (0, 5, 199):
         assert got[i][0] == DIM
         assert abs(got[i][1] - round(float(np.linalg.norm(v32[i])), 4)) < 1e-3
+
+
+def test_ivf_topk_recall(emb, vecs):
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    q = v32[0]
+    exact = set(np_topk(v32, q, 10))
+    approx = {r.vec_id for r in similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=3).collect()}
+    # probing 3 of 8 lists on a random corpus must still find the hot
+    # neighborhood: the query's own list always contains vec 0 and its
+    # planted near-dup
+    assert 0 in approx and 1 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_ivf_assignment_covers_all_vectors(emb):
+    cent = similarity.ivf_centroids(emb, nlist=8)
+    assert cent.shape == (8, DIM)
+    assigned = emb.withColumn("ivf_list", similarity.ivf_assign(cent))
+    lists = assigned.groupBy("ivf_list").count().collect()
+    assert sum(r["count"] for r in lists) == N
+    assert all(0 <= r.ivf_list < 8 for r in lists)
+
+
+def test_ivf_probe_subsets_bruteforce(emb, vecs):
+    # probing ALL lists must equal the exact brute-force answer
+    q = vecs.astype(np.float32).astype(np.float64)[3]
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    full_probe = [r.vec_id for r in similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=8).collect()]
+    assert full_probe == exact
