@@ -77,6 +77,29 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sliding",
+    """
+    WITH w AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start FROM events
+      UNION ALL
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS window_start FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM w GROUP BY 1
+    """,
+    doc="STREAMING sliding window (2h width / 1h slide) counts — every event "
+    "lands in exactly two hour-aligned windows; oracle: union of two shifted "
+    "tumblings.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    out = _drain(ev.sliding_counts(stream, width="2 hours", slide="1 hour", watermark="2 hours"))
+    # n_users is approx_count_distinct (exact DISTINCT is unsupported in
+    # streaming aggs) — excluded from the hash-compared projection.
+    return out.select(F.unix_timestamp("window_start").alias("window_start"), "n_events")
+
+
+@query(
     "q_stream_stateful_sessionize",
     """
     WITH g AS (

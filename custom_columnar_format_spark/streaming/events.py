@@ -4,10 +4,11 @@ sliding / session windows, plus a custom stateful sessionizer via
 windows can't express).
 
 The reference has no streaming at all (SURVEY.md §2.2) — this is the
-north-star extension surface. Batch twins of these queries live in the
-registry (``q_events_tumbling`` / ``q_events_sliding`` / ``q_sessionize``)
-and the tests assert stream-batch equivalence: running a stream with an
-``availableNow`` trigger over the same files must produce the batch answer.
+north-star extension surface. The registry entries (``q_stream_tumbling`` /
+``q_stream_sliding`` / ``q_stream_session_window`` /
+``q_stream_stateful_sessionize``) each drain a real stream with an
+``availableNow`` trigger, and their DuckDB oracles + tests assert
+stream-batch equivalence: streaming execution must produce the batch answer.
 
 Scale notes: windowed aggregations shuffle once on (key, window); watermarks
 bound state so a 100 TB/day stream holds hours, not history, in the state
