@@ -100,20 +100,52 @@ def _meta_record_size(name_bytes: bytes, type_code: int) -> int:
     return base + (6 * 8 if type_code == TYPE_UTF8 else 3 * 8)
 
 
-def encode_int32_block(values: Sequence[int], level: int = DEFAULT_ZLIB_LEVEL) -> Tuple[bytes, int]:
-    """Pack a no-null int32 column to (compressed block, uncompressed size)."""
-    arr = np.asarray(values, dtype=np.int64)
+def _check_int32_range(arr: np.ndarray) -> None:
     if arr.size and (arr.min() < INT32_MIN or arr.max() > INT32_MAX):
         raise ScbfError(
             f"int32 overflow: values outside [{INT32_MIN}, {INT32_MAX}] "
             "(SCBF v1 has no wider integer type; cast to float64 or use parquet)"
         )
-    raw = arr.astype("<i4").tobytes()
+
+
+def _pack_int32(values: Sequence[int]) -> bytes:
+    arr = np.asarray(values, dtype=np.int64)
+    _check_int32_range(arr)
+    return arr.astype("<i4").tobytes()
+
+
+def _pack_float64(values: Sequence[float]) -> bytes:
+    return np.asarray(values, dtype="<f8").tobytes()
+
+
+def _check_utf8_blob(blob_len: int) -> None:
+    if blob_len > MAX_UTF8_BLOB:
+        raise ScbfError(
+            f"utf8 column blob is {blob_len} bytes; u32 offsets cap it at 4 GiB "
+            "— split the data into more files/partitions"
+        )
+
+
+def _pack_utf8(values: Sequence[str]) -> Tuple[bytes, bytes]:
+    """(offsets raw, blob raw): (count+1) little-endian u32 prefix sums over
+    the concatenated UTF-8 blob — the same layout as Arrow StringArray
+    buffers."""
+    encoded = [v.encode("utf-8") for v in values]
+    lengths = np.fromiter((len(b) for b in encoded), dtype=np.uint64, count=len(encoded))
+    offsets = np.zeros(len(encoded) + 1, dtype=np.uint64)
+    np.cumsum(lengths, out=offsets[1:])
+    _check_utf8_blob(int(offsets[-1]))
+    return offsets.astype("<u4").tobytes(), b"".join(encoded)
+
+
+def encode_int32_block(values: Sequence[int], level: int = DEFAULT_ZLIB_LEVEL) -> Tuple[bytes, int]:
+    """Pack a no-null int32 column to (compressed block, uncompressed size)."""
+    raw = _pack_int32(values)
     return zlib.compress(raw, level), len(raw)
 
 
 def encode_float64_block(values: Sequence[float], level: int = DEFAULT_ZLIB_LEVEL) -> Tuple[bytes, int]:
-    raw = np.asarray(values, dtype="<f8").tobytes()
+    raw = _pack_float64(values)
     return zlib.compress(raw, level), len(raw)
 
 
@@ -123,22 +155,25 @@ def encode_utf8_blocks(
     """Pack a no-null string column.
 
     Returns (comp_offsets, uncomp_offsets_len, comp_blob, uncomp_blob_len).
-    Offsets are (count+1) little-endian u32 prefix sums over the UTF-8 blob,
-    the same layout as Arrow StringArray buffers.
     """
-    encoded = [v.encode("utf-8") for v in values]
-    lengths = np.fromiter((len(b) for b in encoded), dtype=np.uint64, count=len(encoded))
-    offsets = np.zeros(len(encoded) + 1, dtype=np.uint64)
-    np.cumsum(lengths, out=offsets[1:])
-    blob_len = int(offsets[-1])
-    if blob_len > MAX_UTF8_BLOB:
-        raise ScbfError(
-            f"utf8 column blob is {blob_len} bytes; u32 offsets cap it at 4 GiB "
-            "— split the data into more files/partitions"
-        )
-    off_raw = offsets.astype("<u4").tobytes()
-    blob = b"".join(encoded)
-    return zlib.compress(off_raw, level), len(off_raw), zlib.compress(blob, level), blob_len
+    off_raw, blob = _pack_utf8(values)
+    return zlib.compress(off_raw, level), len(off_raw), zlib.compress(blob, level), len(blob)
+
+
+def _compress_blocks(raws: Sequence[bytes], level: int, workers: int) -> List[bytes]:
+    """zlib-compress raw blocks, optionally on a thread pool — zlib releases
+    the GIL, so per-column compression parallelizes within one process.
+    ``workers=1`` stays serial (the right choice inside a Spark executor,
+    which already runs one writer task per core); ``workers=0`` sizes the
+    pool to min(blocks, cpus) for single-process/driver-side writes."""
+    if workers == 1 or len(raws) <= 1:
+        return [zlib.compress(r, level) for r in raws]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = workers if workers > 0 else min(len(raws), os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        return list(ex.map(lambda r: zlib.compress(r, level), raws))
 
 
 def write_table(
@@ -147,6 +182,7 @@ def write_table(
     type_codes: Sequence[int],
     columns: Sequence[Sequence[Any]],
     level: int = DEFAULT_ZLIB_LEVEL,
+    workers: int = 1,
 ) -> None:
     """Write one SCBF v1 file in a single forward pass.
 
@@ -161,29 +197,47 @@ def write_table(
         if len(c) != n_rows:
             raise ScbfError("ragged columns: all columns must have the same row count")
 
+    raw_blocks: List[Tuple[bytes, ...]] = []  # per column: (raw,) or (off_raw, blob)
+    for tc, col in zip(type_codes, columns):
+        if tc == TYPE_INT32:
+            raw_blocks.append((_pack_int32(col),))
+        elif tc == TYPE_FLOAT64:
+            raw_blocks.append((_pack_float64(col),))
+        elif tc == TYPE_UTF8:
+            raw_blocks.append(_pack_utf8(col))
+        else:
+            raise ScbfError(f"unknown type code {tc}")
+    write_table_raw(out, names, type_codes, raw_blocks, n_rows, level, workers)
+
+
+def write_table_raw(
+    out: BinaryIO,
+    names: Sequence[str],
+    type_codes: Sequence[int],
+    raw_blocks: Sequence[Tuple[bytes, ...]],
+    n_rows: int,
+    level: int = DEFAULT_ZLIB_LEVEL,
+    workers: int = 1,
+) -> None:
+    """Write pre-packed raw blocks — (raw,) per numeric column, (offsets raw,
+    blob) per utf8 column — as one SCBF v1 file. Compression optionally fans
+    out across threads (see ``_compress_blocks``)."""
     schema_json = json.dumps(
         {"columns": [{"name": n, "type": TYPE_NAMES[t]} for n, t in zip(names, type_codes)]}
     ).encode("utf-8")
-
-    # 1) Encode all blocks.
-    blocks: List[Tuple[bytes, ...]] = []  # per column: (comp,) or (off_comp, str_comp)
-    uncomp_sizes: List[Tuple[int, ...]] = []
     name_bytes = [n.encode("utf-8") for n in names]
-    for tc, col in zip(type_codes, columns):
-        if tc == TYPE_INT32:
-            comp, usz = encode_int32_block(col, level)
-            blocks.append((comp,))
-            uncomp_sizes.append((usz,))
-        elif tc == TYPE_FLOAT64:
-            comp, usz = encode_float64_block(col, level)
-            blocks.append((comp,))
-            uncomp_sizes.append((usz,))
-        elif tc == TYPE_UTF8:
-            off_comp, off_usz, str_comp, str_usz = encode_utf8_blocks(col, level)
-            blocks.append((off_comp, str_comp))
-            uncomp_sizes.append((off_usz, str_usz))
-        else:
-            raise ScbfError(f"unknown type code {tc}")
+
+    # 1) Compress all raw blocks (flattened so utf8's two blocks parallelize
+    #    independently), then regroup per column.
+    flat: List[bytes] = [b for blk in raw_blocks for b in blk]
+    comp_flat = _compress_blocks(flat, level, workers)
+    blocks: List[Tuple[bytes, ...]] = []
+    uncomp_sizes: List[Tuple[int, ...]] = []
+    i = 0
+    for blk in raw_blocks:
+        blocks.append(tuple(comp_flat[i : i + len(blk)]))
+        uncomp_sizes.append(tuple(len(b) for b in blk))
+        i += len(blk)
 
     # 2) Compute layout: header | meta table | data blocks.
     header_len = len(MAGIC) + 4 + len(schema_json) + 4 + 8 + 8
@@ -380,18 +434,50 @@ def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None):
         return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
-def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None:
+def _utf8_raw_from_arrow(col) -> Tuple[bytes, bytes]:
+    """(offsets raw, blob raw) straight from Arrow string buffers — SCBF's
+    utf8 layout IS Arrow's variable-length layout, so no per-value Python
+    string materialization is needed; just rebase the offsets to 0 and
+    narrow them to u32."""
+    import pyarrow as pa
+
+    combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(combined, pa.ChunkedArray):
+        arr = combined.chunk(0) if combined.num_chunks else pa.array([], type=combined.type)
+    else:
+        arr = combined
+    if len(arr) == 0:
+        return np.zeros(1, dtype="<u4").tobytes(), b""
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    lo, hi = int(offs[0]), int(offs[-1])
+    _check_utf8_blob(hi - lo)
+    rebased = (offs.astype(np.int64) - lo).astype("<u4")
+    # zero-copy slice of the Arrow data buffer; zlib consumes any buffer object
+    blob = memoryview(bufs[2])[lo:hi]
+    return rebased.tobytes(), blob
+
+
+def write_arrow_table(
+    path: str, table, level: int = DEFAULT_ZLIB_LEVEL, workers: int = 1
+) -> None:
     """Write a ``pyarrow.Table`` as one SCBF v1 file.
 
     Maps Arrow types onto the three SCBF physical types; anything else (or any
     null) raises ``ScbfError`` — SCBF v1 has no null encoding (SPEC.md:118-123
     lists null bitmaps as an unimplemented extension).
-    """
+
+    Raw blocks are built from Arrow buffers directly (numeric: vectorized
+    cast; utf8: offset rebase + blob slice — no ``to_pylist`` round-trip).
+    ``workers=0`` parallelizes per-block zlib across threads for
+    single-process writes; keep the default 1 inside Spark executors, which
+    already run one writer task per core."""
     import pyarrow as pa
 
     names: List[str] = []
     codes: List[int] = []
-    cols: List[Sequence[Any]] = []
+    raw_blocks: List[Tuple[bytes, ...]] = []
     for fld in table.schema:
         col = table.column(fld.name)
         if col.null_count:
@@ -402,17 +488,20 @@ def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None
         t = fld.type
         if pa.types.is_integer(t):
             codes.append(TYPE_INT32)
-            cols.append(col.to_pylist())
+            arr = col.to_numpy(zero_copy_only=False)
+            _check_int32_range(arr)
+            raw_blocks.append((arr.astype("<i4").tobytes(),))
         elif pa.types.is_floating(t):
             codes.append(TYPE_FLOAT64)
-            cols.append(col.to_pylist())
+            raw_blocks.append((col.to_numpy(zero_copy_only=False).astype("<f8").tobytes(),))
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             codes.append(TYPE_UTF8)
-            cols.append(col.to_pylist())
+            raw_blocks.append(_utf8_raw_from_arrow(col))
         else:
             raise ScbfError(
                 f"column {fld.name!r} has type {t}, not representable in SCBF v1 "
                 "(int32/float64/utf8 only)"
             )
         names.append(fld.name)
-    write_table_path(path, names, codes, cols, level)
+    with open(path, "wb") as f:
+        write_table_raw(f, names, codes, raw_blocks, table.num_rows, level, workers)
