@@ -82,11 +82,12 @@ def _file_version(path: str) -> int:
 
 def _list_scbf_files(path: str) -> List[str]:
     """Resolve a load path to concrete SCBF files: a single file, a directory
-    of ``*.scbf``, or a glob pattern."""
+    of ``*.scbf`` (searched recursively, so hive-partitioned ``k=v`` subdirs
+    are included), or a glob pattern."""
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.scbf")))
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.scbf"), recursive=True))
         if not files:
             raise FileNotFoundError(f"no *.scbf files under directory {path}")
         return files
@@ -94,6 +95,100 @@ def _list_scbf_files(path: str) -> List[str]:
     if not files:
         raise FileNotFoundError(f"no SCBF files match {path}")
     return files
+
+
+def _partition_spec(root: str, file_path: str) -> "OrderedDict[str, str]":
+    """Hive-style partition values encoded in the directory path between the
+    dataset root and the file: ``root/region=EU/year=2024/part-x.scbf`` →
+    ``{region: EU, year: 2024}`` (values URL-unquoted)."""
+    from collections import OrderedDict
+    from urllib.parse import unquote
+
+    spec: "OrderedDict[str, str]" = OrderedDict()
+    if not os.path.isdir(root):
+        return spec
+    rel = os.path.relpath(os.path.dirname(os.path.abspath(file_path)), os.path.abspath(root))
+    if rel == ".":
+        return spec
+    for comp in rel.split(os.sep):
+        if "=" not in comp:
+            raise codec.ScbfError(
+                f"{file_path}: directory component {comp!r} under dataset root is not "
+                "hive-style 'key=value' — mixed layouts are not supported"
+            )
+        k, _, v = comp.partition("=")
+        spec[k] = unquote(v)
+    return spec
+
+
+def _dataset_layout(path: str):
+    """(files, partition keys, per-key python type, per-file typed values).
+
+    Partition keys must be identical (same names, same order) for every file.
+    A key is typed int when every file's value parses as an int, else str —
+    the same inference Spark applies to parquet partition directories."""
+    files = _list_scbf_files(path)
+    raw_specs = [_partition_spec(path, f) for f in files]
+    keys = list(raw_specs[0].keys())
+    for f, s in zip(files, raw_specs):
+        if list(s.keys()) != keys:
+            raise codec.ScbfError(
+                f"inconsistent partition directories: {f} has keys {list(s.keys())}, "
+                f"expected {keys}"
+            )
+    key_types = {}
+    for k in keys:
+        try:
+            for s in raw_specs:
+                int(s[k])
+            key_types[k] = int
+        except ValueError:
+            key_types[k] = str
+    typed = [
+        {k: key_types[k](s[k]) for k in keys}
+        for s in raw_specs
+    ]
+    return files, keys, key_types, dict(zip(files, typed))
+
+
+def _partition_may_match(values: dict, filters) -> bool:
+    """Partition pruning: False only when a pushed filter on a partition
+    column PROVES this file's directory can't match. Unknown filter shapes
+    are ignored (may-match); Spark re-applies every filter above the scan
+    anyway, so this is purely an I/O optimization."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    for flt in filters:
+        col = flt.attribute[0] if getattr(flt, "attribute", None) else None
+        if col is None or col not in values:
+            continue
+        v = values[col]
+        try:
+            if isinstance(flt, IsNull):
+                return False  # directory-encoded partition values are never null
+            if isinstance(flt, EqualTo) and v != flt.value:
+                return False
+            if isinstance(flt, GreaterThan) and not (v > flt.value):
+                return False
+            if isinstance(flt, GreaterThanOrEqual) and not (v >= flt.value):
+                return False
+            if isinstance(flt, LessThan) and not (v < flt.value):
+                return False
+            if isinstance(flt, LessThanOrEqual) and not (v <= flt.value):
+                return False
+            if isinstance(flt, In) and v not in flt.value:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _schema_of_file(path: str) -> StructType:
@@ -121,8 +216,9 @@ def _schema_of_file(path: str) -> StructType:
 
 
 class ScbfFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, part_values: dict | None = None):
         self.file_path = file_path
+        self.part_values = part_values or {}
 
 
 class ScbfReader(DataSourceReader):
@@ -146,6 +242,7 @@ class ScbfReader(DataSourceReader):
         # simply read whatever columns that schema carries.
         self.columns: List[str] = [f.name for f in schema.fields]
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+        self.file_skipping = options.get("file_skipping", "true").lower() != "false"
         self._filters: List = []
 
     def pushFilters(self, filters):
@@ -153,35 +250,79 @@ class ScbfReader(DataSourceReader):
         return filters  # Spark re-applies everything; stats only skip files
 
     def partitions(self) -> Sequence[InputPartition]:
+        # Lifecycle note: every planning cycle runs in a fresh Python worker
+        # with a fresh reader (pushFilters → partitions in one shot), so
+        # self._filters is always this plan's filters. HOWEVER, the JVM's
+        # PythonDataSourceV2 caches the resulting readInfo per relation: a
+        # later FILTERLESS query on the same DataFrame object reuses the
+        # previous query's pruned partition list (upstream limitation of
+        # Python-data-source pushdown, pinned in
+        # tests/test_datasource.py::test_stale_scan_reuse_upstream_behavior).
+        # Use a fresh spark.read per differently-filtered query, or disable
+        # skipping with .option("file_skipping", "false").
+        filters = self._filters if self.file_skipping else []
+        files, _keys, _types, specs = _dataset_layout(self.path)
         parts = []
-        skipped = 0
-        for p in _list_scbf_files(self.path):
-            if self._filters and _file_version(p) == 2:
-                if not codec_v2.file_may_match(codec_v2.read_meta(p), self._filters):
-                    skipped += 1
+        for p in files:
+            spec = specs[p]
+            # Partition pruning first (cheapest: no file I/O at all), then
+            # v2 footer-stats pruning (one ranged footer read per file).
+            if filters and spec and not _partition_may_match(spec, filters):
+                continue
+            if filters and _file_version(p) == 2:
+                if not codec_v2.file_may_match(codec_v2.read_meta(p), filters):
                     continue
-            parts.append(ScbfFilePartition(p))
+            parts.append(ScbfFilePartition(p, spec))
         # An all-files-skipped scan still needs one (empty) partition so the
         # negotiated schema flows through.
         return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
+        import pyarrow as pa
+
         if not partition.file_path:
             return
-        if _file_version(partition.file_path) == 2:
-            table = codec_v2.read_arrow_table(
-                partition.file_path, self.columns, verify_crc=self.verify_crc
-            )
+        part_values = partition.part_values
+        file_cols = [c for c in self.columns if c not in part_values]
+        is_v2 = _file_version(partition.file_path) == 2
+        if file_cols or not part_values:
+            if is_v2:
+                table = codec_v2.read_arrow_table(
+                    partition.file_path, file_cols, verify_crc=self.verify_crc
+                )
+            else:
+                table = codec.read_arrow_table(partition.file_path, file_cols)
+            n = table.num_rows
         else:
-            table = codec.read_arrow_table(partition.file_path, self.columns)
+            # Partition-columns-only projection: no data blocks needed, just
+            # the row count from the header/footer.
+            table = None
+            if is_v2:
+                n = codec_v2.read_meta(partition.file_path)["rows"]
+            else:
+                with open(partition.file_path, "rb") as f:
+                    n = codec.read_file_info(f).total_rows
+        if part_values:
+            # Attach directory-encoded partition columns as constants, in the
+            # negotiated column order.
+            arrays = []
+            for c in self.columns:
+                if c in part_values:
+                    v = part_values[c]
+                    typ = pa.int64() if isinstance(v, int) else pa.string()
+                    arrays.append(pa.array([v] * n, type=typ))
+                else:
+                    arrays.append(table.column(c))
+            table = pa.table(dict(zip(self.columns, arrays)))
         for batch in table.to_batches(max_chunksize=1 << 16):
             yield batch
 
 
 @dataclass
 class ScbfCommitMessage(WriterCommitMessage):
-    tmp_path: str = ""
-    final_path: str = ""
+    # (tmp, final) per file this task wrote — one pair normally, one pair per
+    # partition value combo under partition_by.
+    files: tuple = ()
     rows: int = 0
 
 
@@ -198,16 +339,30 @@ class ScbfWriter(DataSourceArrowWriter):
         self.level = int(options.get("compression_level", codec.DEFAULT_ZLIB_LEVEL))
         self.version = int(options.get("version", "1"))
         self.overwrite = overwrite
+        part_opt = options.get("partition_by", "")
+        self.partition_by: List[str] = [c.strip() for c in part_opt.split(",") if c.strip()]
+        by_name = {f.name: f for f in schema.fields}
+        for c in self.partition_by:
+            if c not in by_name:
+                raise ValueError(f"partition_by column {c!r} not in schema")
+            if not isinstance(by_name[c].dataType, (IntegerType, LongType, StringType)):
+                raise ValueError(
+                    f"partition_by column {c!r} must be int/long/string "
+                    f"(got {by_name[c].dataType.simpleString()})"
+                )
+        data_fields = [f for f in schema.fields if f.name not in self.partition_by]
+        if not data_fields:
+            raise ValueError("partition_by cannot cover every column")
         if self.version == 2:
             ok = (IntegerType, LongType, DoubleType, BooleanType, StringType)
-            for f in schema.fields:
+            for f in data_fields:
                 if not isinstance(f.dataType, ok):
                     raise ValueError(
                         f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
                         "in SCBF v2 (int32/int64/float64/bool/utf8) — cast first"
                     )
         elif self.version == 1:
-            for f in schema.fields:
+            for f in data_fields:
                 if not isinstance(f.dataType, (IntegerType, DoubleType, StringType)):
                     raise ValueError(
                         f"column {f.name!r}: {f.dataType.simpleString()} is not representable "
@@ -217,42 +372,83 @@ class ScbfWriter(DataSourceArrowWriter):
         else:
             raise ValueError(f"unknown scbf version {self.version} (1 or 2)")
 
-    def write(self, iterator: Iterator) -> ScbfCommitMessage:
-        import pyarrow as pa
-
-        batches = list(iterator)
-        os.makedirs(self.path, exist_ok=True)
+    def _write_one(self, directory: str, table) -> tuple:
+        os.makedirs(directory, exist_ok=True)
         file_id = uuid.uuid4().hex[:12]
-        tmp = os.path.join(self.path, f".tmp-{file_id}.scbf")
-        final = os.path.join(self.path, f"part-{file_id}.scbf")
-        if not batches:
-            return ScbfCommitMessage(tmp_path="", final_path="", rows=0)
-        table = pa.Table.from_batches(batches)
+        tmp = os.path.join(directory, f".tmp-{file_id}.scbf")
+        final = os.path.join(directory, f"part-{file_id}.scbf")
         if self.version == 2:
             codec_v2.write_arrow_table(tmp, table, self.level)
         else:
             codec.write_arrow_table(tmp, table, self.level)
-        return ScbfCommitMessage(tmp_path=tmp, final_path=final, rows=table.num_rows)
+        return (tmp, final)
+
+    def write(self, iterator: Iterator) -> ScbfCommitMessage:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = list(iterator)
+        if not batches:
+            return ScbfCommitMessage(files=(), rows=0)
+        table = pa.Table.from_batches(batches)
+        if not self.partition_by:
+            return ScbfCommitMessage(
+                files=(self._write_one(self.path, table),), rows=table.num_rows
+            )
+
+        # Hive-layout write: one file per distinct partition-value combo seen
+        # by this task, under k=v directories; partition columns live in the
+        # path, not the file (so a reader reconstructs them for free and
+        # prunes directories without any I/O). Same layout contract as
+        # df.write.partitionBy for parquet — at scale, repartition() by the
+        # same keys first so each combo lands in few tasks.
+        from urllib.parse import quote
+
+        combos = table.select(self.partition_by).group_by(self.partition_by).aggregate([])
+        files = []
+        data_cols = [c for c in table.column_names if c not in self.partition_by]
+        for i in range(combos.num_rows):
+            vals = {k: combos.column(k)[i].as_py() for k in self.partition_by}
+            if any(v is None for v in vals.values()):
+                raise codec.ScbfError(
+                    "null partition value: hive directory layout cannot encode "
+                    f"nulls (combo {vals})"
+                )
+            mask = None
+            for k, v in vals.items():
+                eq = pc.equal(table.column(k), pa.scalar(v, type=table.column(k).type))
+                mask = eq if mask is None else pc.and_(mask, eq)
+            sub = table.filter(mask).select(data_cols)
+            directory = os.path.join(
+                self.path, *[f"{k}={quote(str(v), safe='')}" for k, v in vals.items()]
+            )
+            files.append(self._write_one(directory, sub))
+        return ScbfCommitMessage(files=tuple(files), rows=table.num_rows)
 
     def commit(self, messages):
         if self.overwrite:
-            for old in _glob.glob(os.path.join(self.path, "part-*.scbf")):
+            for old in _glob.glob(os.path.join(self.path, "**", "part-*.scbf"), recursive=True):
                 os.unlink(old)
         for m in messages:
-            if m and m.tmp_path:
-                os.replace(m.tmp_path, m.final_path)
+            for tmp, final in (m.files if m else ()):
+                os.replace(tmp, final)
 
     def abort(self, messages):
         for m in messages:
-            if m and m.tmp_path and os.path.exists(m.tmp_path):
-                os.unlink(m.tmp_path)
+            for tmp, _final in (m.files if m else ()):
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
 
 
 class ScbfDataSource(DataSource):
     """Python DataSource V2 for format ``"scbf"``.
 
-    Read options: ``columns`` (comma-separated explicit projection).
-    Write options: ``compression_level`` (zlib 0-9, default 6).
+    Read options: ``columns`` (comma-separated explicit projection),
+    ``verify_crc`` (v2, default true).
+    Write options: ``compression_level`` (zlib 0-9, default 6), ``version``
+    (1 or 2), ``partition_by`` (comma-separated columns → hive ``k=v``
+    directory layout; readers reconstruct the columns from the path and
+    prune whole directories on pushed filters without touching a file).
     """
 
     @classmethod
@@ -263,7 +459,18 @@ class ScbfDataSource(DataSource):
         path = self.options.get("path")
         if path is None:
             raise ValueError("scbf requires a path")
-        full = _schema_of_file(_list_scbf_files(path)[0])
+        files, keys, key_types, _specs = _dataset_layout(path)
+        full = _schema_of_file(files[0])
+        if keys:
+            # Hive-partitioned dataset: directory-encoded columns come after
+            # the file columns, like Spark's parquet source.
+            full = StructType(
+                list(full.fields)
+                + [
+                    StructField(k, LongType() if key_types[k] is int else StringType(), True)
+                    for k in keys
+                ]
+            )
         cols_opt = self.options.get("columns")
         if not cols_opt:
             return full
