@@ -887,6 +887,41 @@ def q_scbf_v2_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scbf_partitioned_agg",
+    """
+    SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    doc="writes lineitem hive-partitioned by l_returnflag through the SCBF "
+    "DataSource (partition column in the directory path, not the files), "
+    "reads back with a partition filter that prunes whole directories with "
+    "zero file I/O, aggregates — oracle runs on the original parquet.",
+)
+def q_scbf_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.scbf_datasource import register
+
+    register(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"scbf_pt_{abs(hash(sf_dir)) % 10**8}")
+    # repartition by the partition key first so each distinct value lands in
+    # one task → one file per directory instead of tasks × values files
+    li.repartition("l_returnflag").write.format("scbf").option(
+        "partition_by", "l_returnflag"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("scbf").load(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "q_percentiles",
     """
     SELECT l_returnflag,
