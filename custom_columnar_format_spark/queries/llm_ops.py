@@ -19,14 +19,16 @@ from .tables import load
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned across the cluster. The test corpus is one
-    small parquet file → one input split, which would serialize the CPU-heavy
-    shingling/hashing operators onto a single core. At production scale the
-    corpus is thousands of files and this repartition is unnecessary — it
-    exists so single-file inputs exercise the same parallel shape."""
-    return load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents, widened to at least the cluster's default parallelism. The
+    test corpus is one small parquet file → one input split, which would
+    serialize the CPU-heavy text/hash operators onto a single core. At
+    production scale the corpus has more splits than cores and this is a
+    no-op (no shuffle added)."""
+    df = load(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -39,7 +41,7 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact dedup: one representative (min id) per identical text.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return dedup.exact_dedup(_docs_spread(spark, sf_dir), ["text"], "doc_id")
 
 
 @query(
@@ -53,7 +55,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact dedup on normalized content hash — shuffles 16-byte digests, not documents.",
 )
 def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup_normalized(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.exact_dedup_normalized(_docs_spread(spark, sf_dir), "text", "doc_id")
 
 
 @query(
@@ -193,7 +195,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="quality-scoring signals: token stats, alpha/punct ratios (C4/Gopher-style).",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     q = text.quality_columns(t)
     return d.select(
@@ -217,7 +219,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="token counting: regex word tokens + whitespace tokens.",
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).alias("token_count"),
@@ -257,7 +259,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="heuristic language ID by stopword-marker counting (argmax, 'und' on zero).",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -271,7 +273,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="document content fingerprint: md5 over normalized text.",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
 
@@ -295,7 +297,7 @@ def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus composition: per-(lang, source) doc counts and token totals.",
 )
 def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -320,7 +322,7 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="binary media-column metadata (payload synthesized deterministically from text).",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synthesize_media(load(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(_docs_spread(spark, sf_dir))
     return media.select("media_id", "kind", "n_bytes")
 
 
@@ -330,7 +332,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed).",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synthesize_media(load(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(_docs_spread(spark, sf_dir))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "sha256", "width", "height")
 
