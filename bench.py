@@ -107,6 +107,17 @@ def bench_scbf(spark, tmpdir: str) -> dict[str, float]:
     _force(spark.read.format("scbf").load(out2).filter(F.col("id") < 25_000))
     times["scbf2_read_stats_pruned"] = round(time.time() - t0, 4)
 
+    # hive-partitioned dataset: write split by a derived key, then a
+    # partition-filtered read that prunes 7 of 8 directories with no file I/O
+    out3 = os.path.join(tmpdir, "bench_scbf_pt")
+    pt = df.withColumn("pk", (F.col("id") % 8).cast("int")).repartition("pk")
+    t0 = time.time()
+    pt.write.format("scbf").option("partition_by", "pk").mode("overwrite").save(out3)
+    times["scbf_pt_write_200k"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    _force(spark.read.format("scbf").load(out3).filter(F.col("pk") == 3))
+    times["scbf_pt_read_pruned"] = round(time.time() - t0, 4)
+
     # Codec-level microbench (no Spark in the loop) — the apples-to-apples
     # comparison against BASELINE.md, whose reference numbers are also
     # single-threaded measurements of the same 200k×4 workload. The Spark-path
