@@ -155,3 +155,20 @@ def test_stale_scan_reuse_upstream_behavior(spark, tmp_path):
     safe = spark.read.format("scbf").option("file_skipping", "false").load(out)
     assert safe.filter(F.col("k") == 1).count() == 20
     assert safe.count() == 60
+
+
+def test_append_mode_adds_files(spark, tmp_path):
+    out = str(tmp_path / "app")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("id"), (F.col("id") * 1.5).alias("v")
+    )
+    # Python data sources support only Append/Overwrite (Spark rejects the
+    # default ErrorIfExists with UNSUPPORTED_DATA_SOURCE_SAVE_MODE)
+    mk(0, 50).coalesce(1).write.format("scbf").mode("append").save(out)
+    mk(50, 80).coalesce(1).write.format("scbf").mode("append").save(out)
+    back = spark.read.format("scbf").load(out)
+    assert back.count() == 80
+    assert len(glob.glob(os.path.join(out, "part-*.scbf"))) == 2
+    # overwrite replaces everything, including earlier appends
+    mk(0, 10).coalesce(1).write.format("scbf").mode("overwrite").save(out)
+    assert spark.read.format("scbf").load(out).count() == 10
