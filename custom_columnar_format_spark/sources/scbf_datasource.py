@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -440,6 +441,48 @@ class ScbfWriter(DataSourceArrowWriter):
                     os.unlink(tmp)
 
 
+class ScbfStreamWriter(DataSourceStreamArrowWriter):
+    """Structured Streaming sink for SCBF: each microbatch's tasks write
+    hidden tmp files (delegating to the batch writer, so compression/version/
+    partition_by options all apply), and ``commit(batchId)`` renames them to
+    ``part-b<batchId>-*`` names. Re-commits of the same batch after a failure
+    or restart first delete that batch's previously-visible files, making the
+    commit idempotent — the same replayed-epoch contract as Spark's file
+    sinks, without needing their _spark_metadata log because batch ownership
+    is encoded in the file name."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        # Reuse the batch writer wholesale: same validation, same tmp-name
+        # write path, same partition_by splitting. Streaming file sinks are
+        # append-only (``overwrite`` here signals complete-mode truncation,
+        # which a file sink doesn't support).
+        self._inner = ScbfWriter(schema, options, overwrite=False)
+        self.path = self._inner.path
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def _batch_final(self, final: str, batch_id: int) -> str:
+        d, base = os.path.split(final)
+        return os.path.join(d, f"part-b{batch_id:06d}-{base[len('part-'):]}")
+
+    def commit(self, messages, batchId: int) -> None:
+        stale = _glob.glob(
+            os.path.join(self.path, "**", f"part-b{batchId:06d}-*.scbf"), recursive=True
+        )
+        for s in stale:
+            os.unlink(s)
+        for m in messages:
+            for tmp, final in (m.files if m else ()):
+                os.replace(tmp, self._batch_final(final, batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            for tmp, _final in (m.files if m else ()):
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
+
 class ScbfDataSource(DataSource):
     """Python DataSource V2 for format ``"scbf"``.
 
@@ -489,6 +532,9 @@ class ScbfDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ScbfWriter:
         return ScbfWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ScbfStreamWriter:
+        return ScbfStreamWriter(schema, self.options, overwrite)
 
 
 def _ship_package(spark) -> None:
