@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -279,44 +280,51 @@ class ScbfReader(DataSourceReader):
         return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
-        import pyarrow as pa
+        yield from _read_file_partition(partition, self.columns, self.verify_crc)
 
-        if not partition.file_path:
-            return
-        part_values = partition.part_values
-        file_cols = [c for c in self.columns if c not in part_values]
-        is_v2 = _file_version(partition.file_path) == 2
-        if file_cols or not part_values:
-            if is_v2:
-                table = codec_v2.read_arrow_table(
-                    partition.file_path, file_cols, verify_crc=self.verify_crc
-                )
-            else:
-                table = codec.read_arrow_table(partition.file_path, file_cols)
-            n = table.num_rows
+
+def _read_file_partition(partition: ScbfFilePartition, columns: List[str], verify_crc: bool):
+    """Decode one SCBF file partition to Arrow batches, attaching directory-
+    encoded partition columns as constants. Shared by the batch and streaming
+    readers."""
+    import pyarrow as pa
+
+    if not partition.file_path:
+        return
+    part_values = partition.part_values
+    file_cols = [c for c in columns if c not in part_values]
+    is_v2 = _file_version(partition.file_path) == 2
+    if file_cols or not part_values:
+        if is_v2:
+            table = codec_v2.read_arrow_table(
+                partition.file_path, file_cols, verify_crc=verify_crc
+            )
         else:
-            # Partition-columns-only projection: no data blocks needed, just
-            # the row count from the header/footer.
-            table = None
-            if is_v2:
-                n = codec_v2.read_meta(partition.file_path)["rows"]
+            table = codec.read_arrow_table(partition.file_path, file_cols)
+        n = table.num_rows
+    else:
+        # Partition-columns-only projection: no data blocks needed, just
+        # the row count from the header/footer.
+        table = None
+        if is_v2:
+            n = codec_v2.read_meta(partition.file_path)["rows"]
+        else:
+            with open(partition.file_path, "rb") as f:
+                n = codec.read_file_info(f).total_rows
+    if part_values:
+        # Attach directory-encoded partition columns as constants, in the
+        # negotiated column order.
+        arrays = []
+        for c in columns:
+            if c in part_values:
+                v = part_values[c]
+                typ = pa.int64() if isinstance(v, int) else pa.string()
+                arrays.append(pa.array([v] * n, type=typ))
             else:
-                with open(partition.file_path, "rb") as f:
-                    n = codec.read_file_info(f).total_rows
-        if part_values:
-            # Attach directory-encoded partition columns as constants, in the
-            # negotiated column order.
-            arrays = []
-            for c in self.columns:
-                if c in part_values:
-                    v = part_values[c]
-                    typ = pa.int64() if isinstance(v, int) else pa.string()
-                    arrays.append(pa.array([v] * n, type=typ))
-                else:
-                    arrays.append(table.column(c))
-            table = pa.table(dict(zip(self.columns, arrays)))
-        for batch in table.to_batches(max_chunksize=1 << 16):
-            yield batch
+                arrays.append(table.column(c))
+        table = pa.table(dict(zip(columns, arrays)))
+    for batch in table.to_batches(max_chunksize=1 << 16):
+        yield batch
 
 
 @dataclass
@@ -441,6 +449,60 @@ class ScbfWriter(DataSourceArrowWriter):
                     os.unlink(tmp)
 
 
+class ScbfStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over an append-only SCBF directory.
+
+    Offsets are positions in the lexicographically-sorted file list:
+    ``{"count": N, "last": <name>}`` means the first N sorted files are
+    processed. New files must therefore sort AFTER every processed file —
+    true for the SCBF streaming sink's ``part-b<batchId>-*`` names and any
+    monotonic naming scheme; a violation is detected via ``last`` and fails
+    loudly rather than misreading. One input partition per new file, so a
+    microbatch's files decode fully in parallel. The dataset must contain at
+    least one file when the stream starts (schema comes from it); hive
+    partition directories work the same as in batch reads."""
+
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("scbf readStream requires a path: .load('/path/to/data')")
+        self.columns: List[str] = [f.name for f in schema.fields]
+        self.verify_crc = options.get("verify_crc", "true").lower() != "false"
+
+    def _files(self) -> List[str]:
+        try:
+            return _list_scbf_files(self.path)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"count": 0, "last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"count": len(files), "last": os.path.basename(files[-1]) if files else ""}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = self._files()
+        lo, hi = start["count"], min(end["count"], len(files))
+        if lo and (lo > len(files) or os.path.basename(files[lo - 1]) != start["last"]):
+            raise codec.ScbfError(
+                f"streaming offset desync at {self.path}: processed file "
+                f"{start['last']!r} is no longer at sorted position {lo} — files "
+                "were removed or a new file sorted into the processed prefix "
+                "(streaming reads require append-only, monotonically-named files)"
+            )
+        _f, _keys, _types, specs = _dataset_layout(self.path) if files else ([], [], {}, {})
+        parts = [ScbfFilePartition(p, specs.get(p)) for p in files[lo:hi]]
+        return parts or [ScbfFilePartition("")]
+
+    def read(self, partition: ScbfFilePartition):
+        yield from _read_file_partition(partition, self.columns, self.verify_crc)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positional; nothing to clean up
+
+
 class ScbfStreamWriter(DataSourceStreamArrowWriter):
     """Structured Streaming sink for SCBF: each microbatch's tasks write
     hidden tmp files (delegating to the batch writer, so compression/version/
@@ -535,6 +597,9 @@ class ScbfDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> ScbfStreamWriter:
         return ScbfStreamWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> ScbfStreamReader:
+        return ScbfStreamReader(schema, self.options)
 
 
 def _ship_package(spark) -> None:
