@@ -85,13 +85,38 @@ class _BlockWriter:
         return ref
 
 
+def _trunc_min(s: str) -> str:
+    """Truncating a min to a prefix is always safe (prefix <= full string)."""
+    return s[:MAX_STAT_STR]
+
+
+def _trunc_max(s: str) -> Optional[str]:
+    """Upper-bound-preserving truncation for a max stat: a plain prefix would
+    UNDERSTATE the max and make stats skipping drop files that contain
+    matching rows. Like Parquet, increment the last retainable character of
+    the kept prefix; if every kept character is already U+10FFFF (absurd),
+    give up and store no max (treated as unbounded)."""
+    if len(s) <= MAX_STAT_STR:
+        return s
+    prefix = s[:MAX_STAT_STR]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 def _stats_of(values: np.ndarray, type_name: str, valid: Optional[np.ndarray]) -> Optional[dict]:
     vals = values if valid is None else values[valid]
     if vals.size == 0:
         return None
     if type_name == "utf8":
         mn, mx = min(vals), max(vals)
-        return {"min": str(mn)[:MAX_STAT_STR], "max": str(mx)[:MAX_STAT_STR]}
+        mx_t = _trunc_max(str(mx))
+        st = {"min": _trunc_min(str(mn))}
+        if mx_t is not None:
+            st["max"] = mx_t
+        return st
     if type_name == "bool":
         return {"min": bool(vals.min()), "max": bool(vals.max())}
     mn, mx = vals.min(), vals.max()
@@ -171,10 +196,10 @@ def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None
                 nn = col.drop_null()
                 if len(nn):
                     mm = pc.min_max(nn)
-                    stats = {
-                        "min": str(mm["min"].as_py())[:MAX_STAT_STR],
-                        "max": str(mm["max"].as_py())[:MAX_STAT_STR],
-                    }
+                    stats = {"min": _trunc_min(str(mm["min"].as_py()))}
+                    mx_t = _trunc_max(str(mm["max"].as_py()))
+                    if mx_t is not None:
+                        stats["max"] = mx_t
                 else:
                     stats = None
             else:
@@ -329,19 +354,22 @@ def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
             continue
         if st is None:
             continue
-        mn, mx = st["min"], st["max"]
+        # "max" may be absent (upper-bound truncation gave up) → unbounded
+        mn, mx = st["min"], st.get("max")
         try:
-            if isinstance(flt, EqualTo) and not (mn <= flt.value <= mx):
+            if isinstance(flt, EqualTo) and not (mn <= flt.value and (mx is None or flt.value <= mx)):
                 return False
-            if isinstance(flt, GreaterThan) and not (mx > flt.value):
+            if isinstance(flt, GreaterThan) and not (mx is None or mx > flt.value):
                 return False
-            if isinstance(flt, GreaterThanOrEqual) and not (mx >= flt.value):
+            if isinstance(flt, GreaterThanOrEqual) and not (mx is None or mx >= flt.value):
                 return False
             if isinstance(flt, LessThan) and not (mn < flt.value):
                 return False
             if isinstance(flt, LessThanOrEqual) and not (mn <= flt.value):
                 return False
-            if isinstance(flt, In) and not any(mn <= v <= mx for v in flt.value):
+            if isinstance(flt, In) and not any(
+                mn <= v and (mx is None or v <= mx) for v in flt.value
+            ):
                 return False
         except TypeError:
             continue  # incomparable types (e.g. str filter on numeric stats)

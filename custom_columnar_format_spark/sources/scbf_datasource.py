@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, List, Sequence
@@ -138,13 +139,16 @@ def _dataset_layout(path: str):
                 f"inconsistent partition directories: {f} has keys {list(s.keys())}, "
                 f"expected {keys}"
             )
+    # Strict digit check: bare int() also accepts '1_0', ' 7', '+5' and
+    # non-ASCII digits, which would corrupt string partition values on read
+    # (int('1_0') == 10). Mirror Spark's parquet inference: optional sign +
+    # ASCII digits only.
+    _int_re = re.compile(r"^-?[0-9]+$")
     key_types = {}
     for k in keys:
-        try:
-            for s in raw_specs:
-                int(s[k])
+        if all(_int_re.match(s[k]) for s in raw_specs):
             key_types[k] = int
-        except ValueError:
+        else:
             key_types[k] = str
     typed = [
         {k: key_types[k](s[k]) for k in keys}
@@ -319,7 +323,8 @@ def _read_file_partition(partition: ScbfFilePartition, columns: List[str], verif
             if c in part_values:
                 v = part_values[c]
                 typ = pa.int64() if isinstance(v, int) else pa.string()
-                arrays.append(pa.array([v] * n, type=typ))
+                # constant column without an n-element Python list round-trip
+                arrays.append(pa.repeat(pa.scalar(v, type=typ), n))
             else:
                 arrays.append(table.column(c))
         table = pa.table(dict(zip(columns, arrays)))
@@ -452,15 +457,17 @@ class ScbfWriter(DataSourceArrowWriter):
 class ScbfStreamReader(DataSourceStreamReader):
     """Structured Streaming source over an append-only SCBF directory.
 
-    Offsets are positions in the lexicographically-sorted file list:
-    ``{"count": N, "last": <name>}`` means the first N sorted files are
-    processed. New files must therefore sort AFTER every processed file —
-    true for the SCBF streaming sink's ``part-b<batchId>-*`` names and any
-    monotonic naming scheme; a violation is detected via ``last`` and fails
-    loudly rather than misreading. One input partition per new file, so a
-    microbatch's files decode fully in parallel. The dataset must contain at
-    least one file when the stream starts (schema comes from it); hive
-    partition directories work the same as in batch reads."""
+    Offsets are positions in the file list sorted by **basename** (path as
+    tiebreak): ``{"count": N, "last": <basename>}`` means the first N files
+    in that order are processed. Basename order makes hive-partitioned
+    output safe — the sink's ``part-b<batchId>-*`` names are monotonic
+    across batches no matter which ``k=v`` directory a file lands in,
+    whereas full-path order would interleave later batches into
+    earlier-sorting directories. New files must sort after every processed
+    file; a violation is detected via ``last`` and fails loudly rather than
+    misreading. One input partition per new file, so a microbatch's files
+    decode fully in parallel. The dataset must contain at least one file
+    when the stream starts (schema comes from it)."""
 
     def __init__(self, schema: StructType, options):
         self.path = options.get("path")
@@ -471,9 +478,10 @@ class ScbfStreamReader(DataSourceStreamReader):
 
     def _files(self) -> List[str]:
         try:
-            return _list_scbf_files(self.path)
+            files = _list_scbf_files(self.path)
         except FileNotFoundError:
             return []
+        return sorted(files, key=lambda p: (os.path.basename(p), p))
 
     def initialOffset(self) -> dict:
         return {"count": 0, "last": ""}
@@ -507,36 +515,53 @@ class ScbfStreamWriter(DataSourceStreamArrowWriter):
     """Structured Streaming sink for SCBF: each microbatch's tasks write
     hidden tmp files (delegating to the batch writer, so compression/version/
     partition_by options all apply), and ``commit(batchId)`` renames them to
-    ``part-b<batchId>-*`` names. Re-commits of the same batch after a failure
-    or restart first delete that batch's previously-visible files, making the
-    commit idempotent — the same replayed-epoch contract as Spark's file
-    sinks, without needing their _spark_metadata log because batch ownership
-    is encoded in the file name."""
+    ``part-b<batchId>-r<runId>-*`` names, in ascending final-name order so a
+    concurrent tailing ``readStream`` only ever observes a sorted prefix of
+    the batch. Spark-level re-commits of the same batch within one query run
+    first delete that (batch, run)'s previously-visible files, making the
+    commit idempotent. The run id scopes the delete: a NEW query writing
+    into the same directory must never clobber a previous run's committed
+    batch 0 (that would be silent data loss). The narrow trade-off: a driver
+    crash *mid-commit* followed by a checkpoint-recovered replay is a new
+    run and can leave the crashed attempt's partial files as duplicates —
+    eliminating that too requires a Parquet-sink-style `_spark_metadata`
+    commit log (future work, noted in README)."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "scbf streaming sink supports outputMode('append') only — "
+                "complete/truncate semantics cannot be expressed by an "
+                "append-only file sink"
+            )
         # Reuse the batch writer wholesale: same validation, same tmp-name
-        # write path, same partition_by splitting. Streaming file sinks are
-        # append-only (``overwrite`` here signals complete-mode truncation,
-        # which a file sink doesn't support).
+        # write path, same partition_by splitting.
         self._inner = ScbfWriter(schema, options, overwrite=False)
         self.path = self._inner.path
+        self.run_id = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         return self._inner.write(iterator)
 
     def _batch_final(self, final: str, batch_id: int) -> str:
         d, base = os.path.split(final)
-        return os.path.join(d, f"part-b{batch_id:06d}-{base[len('part-'):]}")
+        return os.path.join(d, f"part-b{batch_id:06d}-r{self.run_id}-{base[len('part-'):]}")
 
     def commit(self, messages, batchId: int) -> None:
         stale = _glob.glob(
-            os.path.join(self.path, "**", f"part-b{batchId:06d}-*.scbf"), recursive=True
+            os.path.join(self.path, "**", f"part-b{batchId:06d}-r{self.run_id}-*.scbf"),
+            recursive=True,
         )
         for s in stale:
             os.unlink(s)
-        for m in messages:
-            for tmp, final in (m.files if m else ()):
-                os.replace(tmp, self._batch_final(final, batchId))
+        renames = sorted(
+            ((self._batch_final(final, batchId), tmp)
+             for m in messages
+             for tmp, final in (m.files if m else ())),
+            key=lambda t: (os.path.basename(t[0]), t[0]),  # reader's sort order
+        )
+        for final, tmp in renames:
+            os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -141,3 +141,26 @@ def test_spark_v2_empty_result_when_all_skipped(spark, tmp_path):
     ).option("version", "2").mode("overwrite").save(out)
     got = spark.read.format("scbf").load(out).filter(F.col("id") > 999)
     assert got.count() == 0 and got.schema.fieldNames() == ["id"]
+
+
+def test_utf8_stat_truncation_preserves_bounds(tmp_path):
+    """A >64-char string max must not be understated by truncation — a plain
+    prefix would let stats skipping drop files containing matching rows."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "trunc.scbf")
+    long_max = "b" * 100
+    codec_v2.write_arrow_table(p, pa.table({"s": pa.array(["a", long_max])}))
+    meta = codec_v2.read_meta(p)
+    st = [c for c in meta["columns"] if c["name"] == "s"][0]["stats"]
+    assert st["min"] == "a"
+    assert st["max"] >= long_max  # upper bound holds despite truncation
+    assert len(st["max"]) <= 64
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    # the file CONTAINS long_max — stats must not prove it absent
+    assert codec_v2.file_may_match(meta, [EqualTo(("s",), long_max)])
+    assert codec_v2.file_may_match(meta, [GreaterThan(("s",), "b" * 64)])
+    # and still prunes what it can
+    assert not codec_v2.file_may_match(meta, [GreaterThan(("s",), "z")])

@@ -172,3 +172,16 @@ def test_append_mode_adds_files(spark, tmp_path):
     # overwrite replaces everything, including earlier appends
     mk(0, 10).coalesce(1).write.format("scbf").mode("overwrite").save(out)
     assert spark.read.format("scbf").load(out).count() == 10
+
+
+def test_partition_value_strict_int_inference(spark, tmp_path):
+    """'1_0' is a valid Python int literal but must stay a STRING partition
+    value (bare int() would read it back as 10)."""
+    out = str(tmp_path / "strict")
+    df = spark.createDataFrame(
+        [(1, "1_0"), (2, "2_5")], ["id", "k"]
+    ).withColumn("id", F.col("id").cast("int"))
+    df.write.format("scbf").option("partition_by", "k").mode("overwrite").save(out)
+    back = spark.read.format("scbf").load(out)
+    assert dict(back.dtypes)["k"] == "string"
+    assert {r.k for r in back.select("k").collect()} == {"1_0", "2_5"}
