@@ -30,6 +30,16 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.repartition(sc.defaultParallelism)
     return df
 
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, widened like _docs_spread — the per-row cosine/signature
+    arithmetic is CPU-bound and the test corpus is a single parquet split."""
+    df = load(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -112,7 +122,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="brute-force cosine top-10 against vec_id=0's embedding (exact ANN baseline).",
 )
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.brute_force_topk(emb, qv, k=10)
 
@@ -123,7 +133,7 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LSH (random-hyperplane, multiprobe) approximate top-10 — the 100 TB scale path.",
 )
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.lsh_topk(emb, qv, k=10)
 
@@ -134,7 +144,7 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF (spherical-k-means inverted lists, nprobe probing) approximate top-10.",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4)
 
@@ -149,7 +159,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="per-vector L2 norms + dims (JVM-side aggregate over array<float>).",
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_norms(load(spark, sf_dir, "embeddings"))
+    return similarity.embedding_norms(_emb_spread(spark, sf_dir))
 
 
 @query(
@@ -169,7 +179,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.25, bruteforce=True
+        _emb_spread(spark, sf_dir), threshold=0.25, bruteforce=True
     )
 
 
