@@ -1,0 +1,295 @@
+"""Relational primitives beyond the TPC-H shapes: pivot/unpivot, explode
+(lateral view / UNNEST), UNION DISTINCT, INTERSECT ALL / EXCEPT ALL, cross
+join, deterministic hash sampling, regexp functions, approximate distinct
+counts, and ranking-window variants.
+
+All absent from the reference (SURVEY.md §2.2 — storage-only); each oracle is
+plain ANSI SQL DuckDB runs on the same parquet, with every computed column
+aliased identically on both sides (driver hash-compare contract).
+
+Scale notes:
+- pivot uses an explicit value list (no extra distinct-values job, and the
+  plan is a single hash aggregate with conditional sums);
+- explode fans out tokens *after* projecting only (doc_id, text) — column
+  pruning keeps the scan narrow;
+- the deterministic sample filters on md5(key) — pushes to the scan, needs
+  no sort, and picks the same rows on any cluster size (unlike TABLESAMPLE);
+- approx_count_distinct is the 100 TB path for distinct cardinalities (HLL,
+  no expand+exact-distinct shuffle); it is oracle-exempt (estimator differs
+  from DuckDB's) and pinned to <2% relative error in tests/test_extras.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .tables import load
+
+
+@query(
+    "q_pivot_returnflag_status",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="pivot with explicit value list → one hash aggregate of conditional sums "
+    "(no distinct-values pre-job, no shuffle beyond the group-by).",
+)
+def q_pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+            F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+        )
+    )
+
+
+@query(
+    "q_unpivot_nation_counts",
+    """
+    WITH per_nation AS (
+      SELECT n_nationkey,
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+             (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp
+      FROM nation)
+    SELECT n_nationkey, 'n_cust' AS kind, n_cust AS cnt FROM per_nation
+    UNION ALL
+    SELECT n_nationkey, 'n_supp' AS kind, n_supp AS cnt FROM per_nation
+    """,
+    doc="unpivot (wide→long melt) of per-nation customer/supplier counts.",
+)
+def q_unpivot_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    wide = (
+        n.join(F.broadcast(c), n.n_nationkey == F.col("ck"), "left")
+        .join(F.broadcast(s), n.n_nationkey == F.col("sk"), "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+    return wide.unpivot("n_nationkey", ["n_cust", "n_supp"], "kind", "cnt")
+
+
+@query(
+    "q_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+    doc="explode / lateral view (UNNEST): whitespace token fan-out over "
+    "documents, top-50 tokens; scan projects only the text column.",
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="UNION (distinct) — dedup across both inputs, vs the existing UNION ALL query.",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q_intersect_all",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    doc="INTERSECT ALL (multiset semantics — duplicate rows kept up to the min multiplicity).",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    return r.intersectAll(a)
+
+
+@query(
+    "q_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL (multiset difference — multiplicities subtract, not vanish).",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    done = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return open_.exceptAll(done)
+
+
+@query(
+    "q_cross_join_segments",
+    """
+    SELECT r_name, seg
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    """,
+    doc="cross join of two tiny inputs (5 regions × 5 segments = 25 rows; "
+    "broadcast NL join — never do this with two large sides).",
+)
+def q_cross_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    seg = load(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("seg")).distinct()
+    return r.crossJoin(F.broadcast(seg))
+
+
+@query(
+    "q_sample_deterministic",
+    """
+    SELECT COUNT(*) AS n_sampled, ROUND(SUM(o_totalprice), 2) AS sampled_total
+    FROM orders
+    WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    doc="deterministic ~12.5% hash sample (md5 of the key): same rows on any "
+    "engine/cluster size, filter pushes to the scan — unlike TABLESAMPLE, "
+    "which is nondeterministic and per-partition.",
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+    )
+
+
+@query(
+    "q_regexp_funcs",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
+           regexp_replace(c_name, '0+', '-', 'g') AS squeezed
+    FROM customer
+    WHERE regexp_matches(c_name, '[13579]$')
+    """,
+    doc="regexp surface: extract (with capture group), replace, and match-filter.",
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").rlike("[13579]$"))
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("cust_num"),
+            F.regexp_replace("c_name", "0+", "-").alias("squeezed"),
+        )
+    )
+
+
+@query(
+    "q_approx_count_distinct",
+    None,  # HLL estimators differ across engines — pinned to <2% relative error in tests/test_extras.py
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
+    "cardinalities — mergeable sketches, no expand+exact-distinct shuffle.",
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@query(
+    "q_window_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS totalprice,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           FLOOR(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) * 1e6 + 0.5) / 1e6 AS prank
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+    doc="ranking-window variants (dense_rank / ntile / percent_rank) with a "
+    "deterministic compound ordering.",
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        # floor(x*1e6+0.5)/1e6, not ROUND: Spark and DuckDB disagree on
+        # round-half double cases; this is bit-identical in both engines
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("prank"),
+    )
+
+
+@query(
+    "q_null_handling",
+    """
+    SELECT seg, COUNT(*) AS n, ROUND(AVG(bal), 4) AS avg_pos_bal
+    FROM (
+      SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+             CASE WHEN c_acctbal > 0 THEN c_acctbal END AS bal
+      FROM customer
+    ) t
+    GROUP BY seg
+    """,
+    doc="null-handling surface: NULLIF/COALESCE rewrite plus NULL-skipping AVG "
+    "(CASE with no ELSE yields NULLs the aggregate must ignore).",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("bal"),
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("bal"), 4).alias("avg_pos_bal"))
+    )

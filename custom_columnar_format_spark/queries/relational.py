@@ -424,13 +424,16 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
-    doc="left anti join (NOT EXISTS): customers with no orders.",
+    doc="left anti join (NOT EXISTS): customers with no urgent orders "
+    "(every customer in the corpus has *some* order, so the plain variant "
+    "would be vacuously empty).",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -469,7 +472,7 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
     """,
     doc="scalar subquery in predicate (decorrelated by Catalyst).",
 )
@@ -479,7 +482,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
         FROM orders_sq
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_sq)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders_sq)
         """
     )
 
@@ -621,15 +624,25 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -500
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < -500
     """,
-    doc="EXCEPT (distinct): nations with customers but no suppliers.",
+    doc="EXCEPT (distinct): nations with deep-debt customers but no deep-debt "
+    "suppliers (the unfiltered variant is vacuously empty — suppliers cover "
+    "every nation).",
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.distinct().exceptAll(s.distinct())
 
 

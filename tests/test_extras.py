@@ -1,0 +1,38 @@
+"""Pins for the oracle-exempt extras: approx_count_distinct accuracy, and a
+plan shape check that the deterministic hash sample pushes its filter down."""
+
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.queries.registry import all_queries
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_small):
+    qd = all_queries()["q_approx_count_distinct"]
+    approx = {r["l_returnflag"]: r for r in qd.fn(spark, sf_small).collect()}
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.count_distinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, row in exact.items():
+        for est, true in (
+            (approx[flag]["approx_parts"], row["parts"]),
+            (approx[flag]["approx_supps"], row["supps"]),
+        ):
+            assert abs(est - true) / true < 0.05, f"{flag}: {est} vs {true}"
+
+
+def test_sample_filter_reaches_scan(spark, sf_small):
+    qd = all_queries()["q_sample_deterministic"]
+    plan = qd.fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    # the md5-hash predicate must sit in a Filter directly over the scan (no
+    # shuffle/sort before it), so at 100 TB only sampled rows leave the scan stage
+    assert "Filter" in plan and "Scan parquet" in plan
+    before_exchange = plan.split("Exchange")[-1]  # deepest (scan-side) fragment
+    assert "md5" in before_exchange.lower()
