@@ -239,6 +239,43 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bucketed_colocated_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="fact-fact join over tables bucketed on the join key: the shuffle is "
+    "paid once at write time, the join itself plans with no Exchange "
+    "(asserted in tests/test_bucketing.py) — the 100 TB pattern for a join "
+    "that runs repeatedly on the same key.",
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import bucketing
+
+    # one bucketed copy per (sf_dir) — write once, reuse across calls
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    loc = os.path.join(tempfile.gettempdir(), f"scbf_bucket_db_{tag}")
+    db = bucketing.ensure_bucket_db(spark, loc, db=f"scbf_buckets_{tag}")
+    if not spark.catalog.tableExists(f"{db}.orders_b"):
+        bucketing.write_bucketed(load(spark, sf_dir, "orders"), "orders_b", "o_orderkey", 8, db)
+        bucketing.write_bucketed(
+            load(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey", 8, db
+        )
+    joined = bucketing.colocated_join(spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey", db)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@query(
     "q_window_ranks",
     """
     SELECT o_orderkey, o_orderpriority,

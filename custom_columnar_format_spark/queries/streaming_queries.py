@@ -100,6 +100,44 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_static_join",
+    """
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    doc="STREAMING stream-static join: event stream enriched with the "
+    "broadcast customer dim, aggregated per (segment, event_type) — "
+    "oracle-verified equal to the batch join.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    out = _drain(ev.stream_static_enrich(stream, customer))
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.round("raw_value", 2).alias("total_value"),
+    )
+
+
+@query(
+    "q_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="STREAMING dedup: first event per (user_id, event_type) via "
+    "dropDuplicates with watermark-bounded state; key-set output is "
+    "deterministic and oracle-verified.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    return _drain(ev.stream_dedup_keys(stream), output_mode="append")
+
+
+@query(
     "q_stream_stateful_sessionize",
     """
     WITH g AS (

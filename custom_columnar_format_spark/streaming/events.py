@@ -188,6 +188,36 @@ def stateful_sessionize(
     )
 
 
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (customer, keyed by user_id = c_custkey) and aggregate per (segment,
+    event_type). The static side broadcasts — each micro-batch joins without
+    shuffling the stream, the pattern for dimension enrichment at 100 TB/day
+    (the dim is re-read per batch, so slowly-changing dims stay fresh)."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("raw_value"),
+        )
+    )
+
+
+def stream_dedup_keys(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming deduplication: first event per (user_id, event_type) key.
+    ``dropDuplicates`` keeps one state row per distinct key; the watermark
+    bounds how long a key is remembered. Projecting only the key columns
+    makes the result deterministic (which *row* wins is arrival-order
+    dependent; the key set is not)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> DataFrame:

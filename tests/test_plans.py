@@ -69,6 +69,42 @@ def test_range_join_is_equi_join(spark, sf_small, qs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_star_joins_broadcast_dims(spark, sf_small, qs):
+    """q08/q09: every dimension of the star broadcasts — the lineitem fact
+    side must not shuffle for any dim lookup (no SortMergeJoin)."""
+    for name in ("q08_market_share", "q09_product_profit"):
+        plan = plan_of(qs[name].fn(spark, sf_small))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name} shuffles the fact table:\n{plan}"
+
+
+def test_tpch_correlated_subqueries_decorrelate(spark, sf_small, qs):
+    """q04 (EXISTS w/ inequality), q17 (correlated AVG), q21 (EXISTS+NOT
+    EXISTS): none may fall back to a nested-loop/cartesian plan."""
+    for name in (
+        "q04_order_priority",
+        "q17_small_quantity_revenue",
+        "q21_sole_returned_supplier",
+    ):
+        plan = plan_of(qs[name].fn(spark, sf_small))
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is acceptable only for the 1-row scalar
+        # broadcast (q17 has none; the semi/anti conditions are equi-anchored)
+        if name != "q17_small_quantity_revenue":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_topk_take_ordered(spark, sf_small, qs):
+    for name in ("q10_returned_items", "q21_sole_returned_supplier"):
+        plan = plan_of(qs[name].fn(spark, sf_small))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_tpch_date_filters_push_to_scan(spark, sf_small, qs):
+    plan = plan_of(qs["q04_order_priority"].fn(spark, sf_small))
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
 def test_pandas_topk_matches_jvm_topk(spark, sf_small):
     from custom_columnar_format_spark.operators import similarity
     from custom_columnar_format_spark.queries.tables import load
