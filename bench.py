@@ -34,6 +34,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q09_product_profit",
+    "q13_count_distribution",
     "q_window_topn_per_group",
     "q_sessionize",
     "q_asof_join",

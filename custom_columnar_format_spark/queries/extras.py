@@ -307,6 +307,71 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udtf_token_positions",
+    """
+    SELECT doc_id, u.token AS token, u.pos AS pos FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(string_split(text, ' '),
+                                   (s, i) -> {'token': s, 'pos': i - 1})) AS u
+      FROM documents) t
+    WHERE u.token <> ''
+    """,
+    doc="Python UDTF (table function): one (token, position) row per word via "
+    "LATERAL join — the API surface for fan-out transforms a scalar UDF "
+    "can't express. Arrow-optimized; positions index the original split.",
+)
+def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int", useArrow=True)
+    class TokenPos:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield tok, i
+
+    spark.udtf.register("token_pos", TokenPos)
+    load(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.token, t.pos FROM docs_udtf, LATERAL token_pos(text) t"
+    )
+
+
+@query(
+    "q_pandas_udaf_harmonic",
+    """
+    SELECT o_orderpriority,
+           FLOOR(COUNT(*) / SUM(1.0 / o_totalprice) * 10000 + 0.5) / 10000 AS harmonic_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pandas grouped-aggregate UDF (UDAF): harmonic mean per group — "
+    "Arrow-batched, one scalar out per group; the pattern for custom "
+    "aggregations pyspark.sql.functions lacks.",
+)
+def q_pandas_udaf_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module has `from __future__ import
+    # annotations`, which stringifies signatures and defeats inference
+    def _hm(v):
+        return float(len(v) / (1.0 / v).sum())
+
+    harmonic_mean = pandas_udf(_hm, "double", functionType=PandasUDFType.GROUPED_AGG)
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        (F.floor(harmonic_mean("o_totalprice") * 10000 + 0.5) / 10000).alias(
+            "harmonic_price"
+        )
+    )
+
+
+@query(
     "q_null_handling",
     """
     SELECT seg, COUNT(*) AS n, ROUND(AVG(bal), 4) AS avg_pos_bal
