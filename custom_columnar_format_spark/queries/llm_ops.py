@@ -80,6 +80,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters",
+    None,  # iterative connected components — not SQL-expressible; pinned vs union-find in tests
+    doc="duplicate clusters: MinHash pairs → iterative min-label connected "
+    "components (large-star/small-star shape, O(diameter) rounds, one "
+    "(node,label) row of state per node) → (component, n_members, keep_id).",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering
+
+    pairs = dedup.minhash_neardup_pairs(_docs_spread(spark, sf_dir), jaccard_threshold=0.4)
+    return clustering.duplicate_clusters(pairs).orderBy("component")
+
+
+@query(
     "q_dedup_simhash",
     None,
     doc="SimHash-64 near-duplicate pairs, Hamming ≤ 3 via 16-bit band pigeonhole.",
