@@ -259,8 +259,11 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from custom_columnar_format_spark.operators import bucketing
 
-    # one bucketed copy per (sf_dir) — write once, reuse across calls
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # one bucketed copy per (sf_dir, Spark application): the app id keeps a
+    # fresh session from colliding with a previous session's managed-table
+    # directory (the dir outlives the in-memory catalog entry)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}".encode()).hexdigest()[:8]
     loc = os.path.join(tempfile.gettempdir(), f"scbf_bucket_db_{tag}")
     db = bucketing.ensure_bucket_db(spark, loc, db=f"scbf_buckets_{tag}")
     if not spark.catalog.tableExists(f"{db}.orders_b"):
@@ -368,6 +371,33 @@ def q_pandas_udaf_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(harmonic_mean("o_totalprice") * 10000 + 0.5) / 10000).alias(
             "harmonic_price"
         )
+    )
+
+
+@query(
+    "q_window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    doc="RANGE window frame: per-customer trailing-30-day spend — value-based "
+    "frame bounds (ties are peers), vs the ROWS frames elsewhere.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
 
 

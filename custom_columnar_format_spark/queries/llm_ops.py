@@ -329,6 +329,57 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pipeline_data_prep",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE n_tokens >= 30 AND alpha_ratio >= 0.8
+    ), dedup AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                                  '[ \\t\\n]+', ' ', 'g'))
+    )
+    SELECT k.lang, COUNT(*) AS n_docs,
+           CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(length(k.text) AS DOUBLE)), 4) AS avg_chars
+    FROM dedup d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY k.lang
+    """,
+    doc="end-to-end training-data prep DAG in one plan: quality-score filter → "
+    "normalized-hash exact dedup (keep min id) → per-language corpus stats. "
+    "The shape a real pipeline runs nightly; every stage stays JVM-side and "
+    "the dedup shuffle carries 16-byte digests, not documents.",
+)
+def q_pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_spread(spark, sf_dir)
+    t = F.col("text")
+    q = text.quality_columns(t)
+    scored = d.select("doc_id", "lang", t.alias("text"), q["n_tokens"].alias("n_tokens"), q["alpha_ratio"].alias("alpha_ratio"))
+    kept = scored.filter((F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.8))
+    keep_ids = (
+        kept.select("doc_id", F.md5(dedup.normalize_text(F.col("text")).cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(keep_ids, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

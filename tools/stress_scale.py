@@ -1,0 +1,125 @@
+"""Scale stress for the heavy operators: synthesizes a corpus 40-200x the
+sf0.1 test tables (1M+ docs, 500k embeddings — all generated distributed,
+never collected) and measures end-to-end throughput of the dedup /
+similarity / text pipelines. This is the evidence the tiny test parquet
+cannot give: that the operator *plans* (bucketed LSH joins, digest-only
+shuffles, partial aggregation) hold when the data no longer fits a single
+task.
+
+Near-duplicates are planted deterministically (every 100th doc repeats the
+previous doc's text with a one-word suffix), so MinHash recall is checkable
+at any scale without an O(n^2) oracle: every planted pair must be found.
+
+Usage:
+    python tools/stress_scale.py [n_docs] [n_vecs]   # defaults 1_000_000 / 500_000
+
+Prints one JSON line per stage: {"stage": ..., "rows": N, "seconds": s,
+"rows_per_sec": r}, then a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.plans.session import get_spark
+
+VOCAB_SIZE = 500
+WORDS_PER_DOC = 60
+DIM = 64
+
+
+def synth_docs(spark, n: int):
+    """n docs of WORDS_PER_DOC vocab words, derived from the row id (no data
+    shipped from the driver). Every 100th doc duplicates the previous doc's
+    text plus a suffix word — a planted near-dup pair."""
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(VOCAB_SIZE)])
+    base = F.when(F.col("id") % 100 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(base * 1000 + i.cast("long")), F.lit(VOCAB_SIZE)) + 1).cast("int")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(F.col("id") % 100 == 0, F.concat(text, F.lit(" planted"))).otherwise(text)
+    return (
+        spark.range(1, n + 1, 1, 64)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+    )
+
+
+def synth_embeddings(spark, n: int):
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id") * DIM + i.cast("long")), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
+    )
+    return spark.range(1, n + 1, 1, 64).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def timed(label, df, rows=None):
+    t0 = time.time()
+    n = df.count() if rows is None else (df.write.mode("overwrite").format("noop").save() or rows)
+    dt = time.time() - t0
+    n = n if isinstance(n, int) else rows
+    print(json.dumps({"stage": label, "rows": n, "seconds": round(dt, 2),
+                      "rows_per_sec": round(n / dt) if n else 0}), flush=True)
+    return n, dt
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    spark = get_spark("scbf-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    from custom_columnar_format_spark.operators import clustering, dedup, similarity, text
+
+    total0 = time.time()
+    docs = synth_docs(spark, n_docs)
+    docs.write.mode("overwrite").format("noop").save()  # warm codegen, price synthesis
+
+    timed("text_quality", docs.select(
+        "doc_id", *[v.alias(k) for k, v in text.quality_columns(F.col("text")).items()]))
+    timed("lang_id", docs.select("doc_id", text.lang_id(F.col("text")).alias("lang")))
+    timed("dedup_exact_normalized", dedup.exact_dedup_normalized(docs, "text", "doc_id"))
+
+    t0 = time.time()
+    pairs = dedup.minhash_neardup_pairs(docs, jaccard_threshold=0.5).cache()
+    found = pairs.count()
+    dt = time.time() - t0
+    planted = n_docs // 100
+    planted_found = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 100 == 0)
+    ).count()
+    print(json.dumps({"stage": "minhash_pairs", "rows": found, "seconds": round(dt, 2),
+                      "docs_per_sec": round(n_docs / dt),
+                      "planted_recall": round(planted_found / planted, 4)}), flush=True)
+
+    t0 = time.time()
+    n_clusters = clustering.duplicate_clusters(pairs).count()
+    print(json.dumps({"stage": "connected_components", "rows": n_clusters,
+                      "seconds": round(time.time() - t0, 2)}), flush=True)
+    pairs.unpersist()
+
+    emb = synth_embeddings(spark, n_vecs)
+    emb.write.mode("overwrite").format("noop").save()
+    qv = [((hash(("q", i)) % 2000) / 1000.0 - 1.0) for i in range(DIM)]
+    t0 = time.time()
+    k = similarity.brute_force_topk(emb, qv, k=10).count()
+    print(json.dumps({"stage": "brute_force_topk", "rows": k,
+                      "seconds": round(time.time() - t0, 2),
+                      "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
+
+    print(json.dumps({"stage": "TOTAL", "n_docs": n_docs, "n_vecs": n_vecs,
+                      "seconds": round(time.time() - total0, 2)}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
