@@ -310,6 +310,62 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_csv_roundtrip_agg",
+    """
+    SELECT n_name, COUNT(*) AS n_nations_region
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    doc="CSV source/sink round-trip: dims written to headered CSV, read back "
+    "with explicit schemas (no inference job), joined and aggregated — "
+    "values must equal the parquet-direct oracle.",
+)
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "scbf_csv_rt")
+    n_src, r_src = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    n_src.write.mode("overwrite").option("header", True).csv(os.path.join(base, "nation"))
+    r_src.write.mode("overwrite").option("header", True).csv(os.path.join(base, "region"))
+    n = spark.read.schema(n_src.schema).option("header", True).csv(os.path.join(base, "nation"))
+    r = spark.read.schema(r_src.schema).option("header", True).csv(os.path.join(base, "region"))
+    return (
+        n.join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+               n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_nations_region"))
+    )
+
+
+@query(
+    "q_json_roundtrip_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="JSON lines source/sink round-trip: filtered orders written as JSONL, "
+    "read back with an explicit schema, aggregated — timestamps survive via "
+    "ISO-8601; values must equal the parquet-direct oracle.",
+)
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "scbf_json_rt", "orders")
+    o_src = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    o_src.write.mode("overwrite").json(path)
+    o = spark.read.schema(o_src.schema).json(path)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "q_udtf_token_positions",
     """
     SELECT doc_id, u.token AS token, u.pos AS pos FROM (

@@ -55,6 +55,42 @@ def test_salted_join_matches_direct(spark, skewed_df):
     )
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling: with skew thresholds scaled to test
+    data, the executed plan must mark the hot partition split (skew=true) —
+    the knob a 100 TB deployment relies on when salting isn't in the query."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200_000).select(
+            (F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id"))).alias("k"),
+            F.rand(7).alias("v"),
+        )
+        right = spark.range(100_000).select(
+            (F.when(F.col("id") % 20 < 1, 1).otherwise(F.col("id"))).alias("k"),
+            F.rand(11).alias("w"),
+        )
+        joined = hot.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()
+        assert row.n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_left_join_keeps_unmatched(spark, skewed_df):
     dim = spark.createDataFrame([("hot", "HOT")], ["k", "label"])
     got = skew.salted_join(skewed_df, dim, ["k"], n_salts=4, how="left")
