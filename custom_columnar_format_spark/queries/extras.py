@@ -279,6 +279,50 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scbf_zordered_agg",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 200 AND 900 AND l_partkey BETWEEN 20 AND 120
+    GROUP BY l_returnflag
+    """,
+    doc="SCBF v2 dataset z-ordered on (l_orderkey, l_partkey): the 2-D box "
+    "predicate skips most files via footer min/max stats (Morton clustering "
+    "gives every file a tight envelope on BOTH columns; see operators/"
+    "zorder.py and tests/test_zorder.py for the skip-count proof).",
+)
+def q_scbf_zordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import zorder
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|z".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_zorder_{tag}")
+    if not os.path.isdir(path):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+        )
+        zorder.write_zordered(li, path, ["l_orderkey", "l_partkey"], n_files=16, version="2")
+    return (
+        spark.read.format("scbf")
+        .load(path)
+        .filter(
+            F.col("l_orderkey").between(200, 900) & F.col("l_partkey").between(20, 120)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
     "q_window_ranks",
     """
     SELECT o_orderkey, o_orderpriority,
