@@ -1,0 +1,122 @@
+"""MERGE (upsert) into an SCBF dataset with file-level copy-on-write.
+
+Semantics: SQL ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+THEN INSERT *`` — target rows whose key appears in the source are replaced by
+the source row, source rows with new keys are appended.
+
+Scale design (what Delta/Iceberg/Hudi do, expressed over SCBF v2):
+- The source's key bounds are checked against every target file's footer
+  min/max stats (``codec_v2.file_may_match`` — the same check the
+  DataSource's filter pushdown uses). Files that PROVABLY contain no
+  matching key are **carried over without being read or rewritten** — at
+  100 TB with a narrow update set, that's almost all of them.
+- Only the possibly-touched files are read, anti-joined against the source
+  keys (digest-small broadcast when the update set is small), unioned with
+  the full source, and rewritten.
+- The output is written to a fresh directory and the swap is last, so a
+  failed merge leaves the target untouched (the caller can also merge to a
+  new path and swap atomically at the catalog level).
+
+The reference format has no notion of update at all (SURVEY.md: write-once
+CSV converter); this is Spark-native table-maintenance on top of the v2
+stats the format already carries.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..scbf import codec_v2
+
+
+def _target_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.scbf")))
+
+
+def split_touched_files(
+    files: Sequence[str], key: str, key_min, key_max
+) -> tuple[list[str], list[str]]:
+    """Partition target files into (maybe_touched, untouched) using footer
+    min/max stats on the merge key — no data blocks are read."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    probe = [GreaterThanOrEqual((key,), key_min), LessThanOrEqual((key,), key_max)]
+    touched, untouched = [], []
+    for p in files:
+        try:
+            meta = codec_v2.read_meta(p)
+        except Exception:
+            touched.append(p)  # unknown/v1 file: rewrite conservatively
+            continue
+        (touched if codec_v2.file_may_match(meta, probe) else untouched).append(p)
+    return touched, untouched
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    out_path: str | None = None,
+    n_files: int = 8,
+) -> dict:
+    """Merge ``source`` into the SCBF dataset at ``target_path`` on ``key``.
+
+    Returns stats: files carried over untouched vs rewritten. When
+    ``out_path`` is None the merge replaces ``target_path`` (write to a
+    sibling tmp dir, then swap)."""
+    files = _target_files(target_path)
+    if not files:
+        raise ValueError(f"no SCBF files at {target_path}")
+
+    b = source.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).collect()[0]
+    touched, untouched = split_touched_files(files, key, b.mn, b.mx)
+
+    final_dest = out_path or target_path
+    staging = final_dest + ".merge-tmp" if out_path is None else out_path
+    os.makedirs(staging, exist_ok=True)
+
+    # The DataSource reads directories — stage the touched files as symlinks
+    # in a scratch dir so ONLY they are scanned (no data I/O for the link).
+    schema = spark.read.format("scbf").load(target_path).schema
+    if touched:
+        link_dir = staging + ".touched"
+        os.makedirs(link_dir, exist_ok=True)
+        for p in touched:
+            dst = os.path.join(link_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.symlink(os.path.abspath(p), dst)
+        touched_df = spark.read.format("scbf").load(link_dir)
+    else:
+        touched_df = spark.createDataFrame([], schema)
+    keys_df = source.select(key).distinct()
+    kept = touched_df.join(F.broadcast(keys_df), key, "left_anti")
+    rewritten = kept.unionByName(source.select(*[f.name for f in schema.fields]))
+    (
+        rewritten.repartition(max(1, min(n_files, len(touched) or 1)))
+        .write.format("scbf")
+        .option("version", "2")
+        .mode("overwrite")
+        .save(staging)
+    )
+    if touched:
+        shutil.rmtree(staging + ".touched", ignore_errors=True)
+    for p in untouched:
+        shutil.copy2(p, os.path.join(staging, os.path.basename(p)))
+
+    if out_path is None:
+        backup = target_path + ".merge-old"
+        os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        shutil.rmtree(backup)
+
+    return {
+        "files_total": len(files),
+        "files_rewritten": len(touched),
+        "files_carried_over": len(untouched),
+    }

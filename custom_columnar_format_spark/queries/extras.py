@@ -279,6 +279,75 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scbf_merge_upsert",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             ROUND(o_totalprice, 2), o_orderpriority
+      FROM orders WHERE o_orderkey % 631 = 0
+    ), merged AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE upsert into an SCBF v2 dataset (operators/merge.py): updates "
+    "bump matched keys' price, inserts add new keys; file-level copy-on-write "
+    "carries over files whose footer key range provably misses the source. "
+    "Oracle expresses the same merge as anti-join + union.",
+)
+def q_scbf_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import merge as merge_op
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|m".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"scbf_merge_{tag}")
+    target, out = os.path.join(base, "target"), os.path.join(base, "merged")
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority",
+    )
+    if not os.path.isdir(out):
+        (
+            o.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.format("scbf").option("version", "2").mode("overwrite").save(target)
+        )
+        updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        inserts = o.filter(F.col("o_orderkey") % 631 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+        merge_op.merge_into(
+            spark, target, updates.unionByName(inserts), "o_orderkey", out_path=out
+        )
+    return (
+        spark.read.format("scbf")
+        .load(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "q_scbf_zordered_agg",
     """
     SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total_price

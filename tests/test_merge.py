@@ -1,0 +1,107 @@
+"""MERGE upsert into SCBF datasets: result equals anti-join+union semantics,
+and file-level copy-on-write really skips rewriting files whose key range
+provably misses the source (carried over byte-identical)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import merge
+
+
+@pytest.fixture(autouse=True)
+def _register_scbf(spark):
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+
+
+def _write_target(spark, sf_small, path):
+    """orders range-partitioned by key into 8 v2 files → tight key envelopes."""
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )  # no timestamp: SCBF v2 types are int/float/bool/utf8
+    (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.format("scbf")
+        .option("version", "2")
+        .mode("overwrite")
+        .save(path)
+    )
+    return o
+
+
+def test_merge_updates_and_inserts(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_ds")
+    o = _write_target(spark, sf_small, target)
+
+    # updates: keys 100-120 with bumped price; inserts: 3 brand-new keys
+    updates = o.filter(F.col("o_orderkey").between(100, 120)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = o.limit(3).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    )
+    source = updates.unionByName(inserts)
+
+    out = str(tmp_path / "merged")
+    stats = merge.merge_into(spark, target, source, "o_orderkey", out_path=out)
+
+    got = spark.read.format("scbf").load(out)
+    expected = o.join(source.select("o_orderkey"), "o_orderkey", "left_anti").unionByName(
+        source
+    )
+    assert got.count() == expected.count() == o.count() + 3
+    g = got.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    e = expected.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    assert abs(g - e) < 0.05
+    # updated rows carry the new price
+    bumped = got.filter(F.col("o_orderkey").between(100, 120))
+    orig = o.filter(F.col("o_orderkey").between(100, 120))
+    assert (
+        bumped.agg(F.sum("o_totalprice")).collect()[0][0]
+        == pytest.approx(orig.agg(F.sum("o_totalprice") * 1.1).collect()[0][0], rel=1e-9)
+    )
+    assert stats["files_rewritten"] >= 1
+
+
+def test_merge_cow_carries_over_untouched_files(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_cow")
+    o = _write_target(spark, sf_small, target)
+
+    # narrow update range → only 1-2 of the 8 range-partitioned files touch it
+    source = o.filter(F.col("o_orderkey").between(10, 40)).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    out = str(tmp_path / "merged_cow")
+    before = {os.path.basename(p): os.path.getsize(p) for p in glob.glob(f"{target}/*.scbf")}
+    stats = merge.merge_into(spark, target, source, "o_orderkey", out_path=out)
+
+    assert stats["files_carried_over"] >= 6, stats
+    assert stats["files_rewritten"] + stats["files_carried_over"] == stats["files_total"] == 8
+    # carried-over files are byte-identical copies of the originals
+    carried = [
+        p for p in glob.glob(f"{out}/*.scbf") if os.path.basename(p) in before
+    ]
+    assert len(carried) == stats["files_carried_over"]
+    for p in carried:
+        src = os.path.join(target, os.path.basename(p))
+        assert open(p, "rb").read() == open(src, "rb").read()
+
+
+def test_merge_in_place_swap(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_inplace")
+    o = _write_target(spark, sf_small, target)
+    n0 = o.count()
+    source = o.limit(2).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    )
+    merge.merge_into(spark, target, source, "o_orderkey")  # in place
+    assert spark.read.format("scbf").load(target).count() == n0 + 2
+    assert not os.path.exists(target + ".merge-tmp")
+    assert not os.path.exists(target + ".merge-old")
