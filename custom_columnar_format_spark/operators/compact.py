@@ -1,0 +1,80 @@
+"""Dataset compaction: rewrite an SCBF dataset's many small files into few
+right-sized ones — the maintenance job every streaming sink needs (each
+micro-batch commits its own files; after a day a 100 TB/day stream has
+hundreds of thousands of them, and open/footer costs start to dominate
+scans). Also re-sorts optionally, restoring stats-pruning quality that
+append-order writes lose.
+
+Staged write + swap-last like operators/merge.py: a failed compaction leaves
+the dataset untouched. Hive-partitioned datasets compact partition
+directories independently (each directory is its own small-files problem).
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.scbf_datasource import _file_version
+
+
+def _leaf_dirs(path: str) -> list[str]:
+    """Directories that directly contain .scbf files (the dataset root, or
+    each hive partition directory)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".scbf") for f in files):
+            out.append(root)
+    return sorted(out)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    rows_per_file: int | None = None,
+    sort_by: Sequence[str] | None = None,
+) -> dict:
+    """Compact every leaf directory of an SCBF dataset.
+
+    Size either by ``target_files`` per directory or ``rows_per_file``
+    (exactly one). ``sort_by`` re-sorts within the directory before writing,
+    restoring tight min/max envelopes for stats pruning."""
+    if (target_files is None) == (rows_per_file is None):
+        raise ValueError("pass exactly one of target_files / rows_per_file")
+
+    stats = {"dirs": 0, "files_before": 0, "files_after": 0}
+    for d in _leaf_dirs(path):
+        files = sorted(glob.glob(os.path.join(d, "*.scbf")))
+        if not files:
+            continue
+        version = str(max(_file_version(p) for p in files))
+        df: DataFrame = spark.read.format("scbf").load(d)
+        if rows_per_file is not None:
+            n = df.count()
+            n_out = max(1, math.ceil(n / rows_per_file))
+        else:
+            n_out = max(1, target_files)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
+
+        staging = d + ".compact-tmp"
+        df.write.format("scbf").option("version", version).mode("overwrite").save(staging)
+
+        backup = d + ".compact-old"
+        os.rename(d, backup)
+        os.rename(staging, d)
+        # hive partition dirs keep only data files; carry nothing else over
+        shutil.rmtree(backup)
+
+        stats["dirs"] += 1
+        stats["files_before"] += len(files)
+        stats["files_after"] += len(glob.glob(os.path.join(d, "*.scbf")))
+    return stats

@@ -284,40 +284,92 @@ class ScbfReader(DataSourceReader):
         return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
-        yield from _read_file_partition(partition, self.columns, self.verify_crc)
+        yield from _read_file_partition(partition, self.schema, self.verify_crc)
 
 
-def _read_file_partition(partition: ScbfFilePartition, columns: List[str], verify_crc: bool):
+def _merged_schema(files: Sequence[str]) -> StructType:
+    """Union of all files' schemas in first-seen column order, every field
+    nullable (files that predate a column back-fill nulls on read). Same-name
+    fields must agree on type — widening casts are the caller's job."""
+    fields: dict[str, StructField] = {}
+    for p in files:
+        for f in _schema_of_file(p).fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = StructField(f.name, f.dataType, nullable=True)
+            elif prev.dataType != f.dataType:
+                raise codec.ScbfError(
+                    f"merge_schemas type conflict on column {f.name!r}: "
+                    f"{prev.dataType} vs {f.dataType} in {p}"
+                )
+    return StructType(list(fields.values()))
+
+
+def _file_column_info(path: str) -> tuple[set, int]:
+    """(column names, row count) from a file's footer/header — no data I/O."""
+    if _file_version(path) == 2:
+        meta = codec_v2.read_meta(path)
+        return {c["name"] for c in meta["columns"]}, meta["rows"]
+    with open(path, "rb") as f:
+        info = codec.read_file_info(f)
+    return {m.name for m in info.columns}, info.total_rows
+
+
+def _pa_type_for_spark(dt):
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    for spark_t, pa_t in (
+        (IntegerType, pa.int32()),
+        (LongType, pa.int64()),
+        (DoubleType, pa.float64()),
+        (BooleanType, pa.bool_()),
+        (StringType, pa.string()),
+    ):
+        if isinstance(dt, spark_t):
+            return pa_t
+    raise ValueError(f"no arrow type for spark type {dt}")
+
+
+def _read_file_partition(partition: ScbfFilePartition, schema: StructType, verify_crc: bool):
     """Decode one SCBF file partition to Arrow batches, attaching directory-
-    encoded partition columns as constants. Shared by the batch and streaming
-    readers."""
+    encoded partition columns as constants and back-filling typed nulls for
+    columns the file predates (schema evolution under merge_schemas). Shared
+    by the batch and streaming readers."""
     import pyarrow as pa
 
     if not partition.file_path:
         return
+    columns = [f.name for f in schema.fields]
+    spark_types = {f.name: f.dataType for f in schema.fields}
     part_values = partition.part_values
     file_cols = [c for c in columns if c not in part_values]
+    avail, n = _file_column_info(partition.file_path)
+    present = [c for c in file_cols if c in avail]
+    missing = [c for c in file_cols if c not in avail]
     is_v2 = _file_version(partition.file_path) == 2
-    if file_cols or not part_values:
+    if present:
         if is_v2:
             table = codec_v2.read_arrow_table(
-                partition.file_path, file_cols, verify_crc=verify_crc
+                partition.file_path, present, verify_crc=verify_crc
             )
         else:
-            table = codec.read_arrow_table(partition.file_path, file_cols)
+            table = codec.read_arrow_table(partition.file_path, present)
         n = table.num_rows
     else:
-        # Partition-columns-only projection: no data blocks needed, just
-        # the row count from the header/footer.
+        # No data blocks needed (partition-only / all-evolved projection):
+        # just the row count from the footer, already in hand.
         table = None
-        if is_v2:
-            n = codec_v2.read_meta(partition.file_path)["rows"]
-        else:
-            with open(partition.file_path, "rb") as f:
-                n = codec.read_file_info(f).total_rows
-    if part_values:
-        # Attach directory-encoded partition columns as constants, in the
-        # negotiated column order.
+    if part_values or missing:
+        # Assemble in negotiated column order: file data, constant partition
+        # values, and typed nulls for evolved columns this file predates.
         arrays = []
         for c in columns:
             if c in part_values:
@@ -325,6 +377,8 @@ def _read_file_partition(partition: ScbfFilePartition, columns: List[str], verif
                 typ = pa.int64() if isinstance(v, int) else pa.string()
                 # constant column without an n-element Python list round-trip
                 arrays.append(pa.repeat(pa.scalar(v, type=typ), n))
+            elif c in missing:
+                arrays.append(pa.nulls(n, _pa_type_for_spark(spark_types[c])))
             else:
                 arrays.append(table.column(c))
         table = pa.table(dict(zip(columns, arrays)))
@@ -473,6 +527,7 @@ class ScbfStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if self.path is None:
             raise ValueError("scbf readStream requires a path: .load('/path/to/data')")
+        self.schema = schema
         self.columns: List[str] = [f.name for f in schema.fields]
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
 
@@ -505,7 +560,7 @@ class ScbfStreamReader(DataSourceStreamReader):
         return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
-        yield from _read_file_partition(partition, self.columns, self.verify_crc)
+        yield from _read_file_partition(partition, self.schema, self.verify_crc)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are positional; nothing to clean up
@@ -590,7 +645,14 @@ class ScbfDataSource(DataSource):
         if path is None:
             raise ValueError("scbf requires a path")
         files, keys, key_types, _specs = _dataset_layout(path)
-        full = _schema_of_file(files[0])
+        if self.options.get("merge_schemas", "false").lower() == "true":
+            # Schema evolution: union of every file's schema, first-seen
+            # column order, all nullable (older files back-fill nulls at
+            # read). Same contract as parquet's mergeSchema; off by default
+            # because it reads every footer at planning time.
+            full = _merged_schema(files)
+        else:
+            full = _schema_of_file(files[0])
         if keys:
             # Hive-partitioned dataset: directory-encoded columns come after
             # the file columns, like Spark's parquet source.

@@ -1,0 +1,84 @@
+"""Compaction: many small files → few, rows and values identical, version
+preserved, hive partitions compacted independently, sort_by restores
+stats-pruning envelopes."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+from custom_columnar_format_spark.operators import compact as compact_op
+from custom_columnar_format_spark.scbf import codec_v2
+
+
+@pytest.fixture(autouse=True)
+def _register_scbf(spark):
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+
+
+def _orders(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_compact_flat_dataset(spark, sf_small, tmp_path):
+    path = str(tmp_path / "many")
+    o = _orders(spark, sf_small)
+    o.repartition(24).write.format("scbf").option("version", "2").mode("overwrite").save(path)
+    assert len(glob.glob(f"{path}/*.scbf")) == 24
+    before = o.agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]
+
+    stats = compact_op.compact(spark, path, target_files=4)
+    files = glob.glob(f"{path}/*.scbf")
+    assert stats == {"dirs": 1, "files_before": 24, "files_after": len(files)}
+    assert len(files) <= 4
+    # version preserved (footer parses as v2)
+    assert all(codec_v2.read_meta(p)["rows"] >= 0 for p in files)
+    after = (
+        spark.read.format("scbf").load(path)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]
+    )
+    assert (after.n, after.s) == (before.n, before.s)
+
+
+def test_compact_partitioned_dataset(spark, sf_small, tmp_path):
+    path = str(tmp_path / "pt")
+    o = _orders(spark, sf_small).withColumn("pk", (F.col("o_orderkey") % 3).cast("int"))
+    (
+        o.repartition(12)
+        .write.format("scbf")
+        .option("version", "2")
+        .option("partition_by", "pk")
+        .mode("overwrite")
+        .save(path)
+    )
+    n_before = spark.read.format("scbf").load(path).count()
+    stats = compact_op.compact(spark, path, target_files=2)
+    assert stats["dirs"] == 3  # one per pk=… directory
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.format("scbf").load(path).count() == n_before
+
+
+def test_compact_sort_by_restores_pruning(spark, sf_small, tmp_path):
+    path = str(tmp_path / "sorted")
+    o = _orders(spark, sf_small)
+    # append-order write: every file spans the whole key range
+    o.repartition(16).write.format("scbf").option("version", "2").mode("overwrite").save(path)
+    probe = [GreaterThanOrEqual(("o_orderkey",), 100), LessThanOrEqual(("o_orderkey",), 200)]
+    alive_before = sum(
+        1 for p in glob.glob(f"{path}/*.scbf")
+        if codec_v2.file_may_match(codec_v2.read_meta(p), probe)
+    )
+    assert alive_before == 16  # no pruning possible
+
+    compact_op.compact(spark, path, target_files=8, sort_by=["o_orderkey"])
+    files = glob.glob(f"{path}/*.scbf")
+    alive_after = sum(
+        1 for p in files if codec_v2.file_may_match(codec_v2.read_meta(p), probe)
+    )
+    assert alive_after < len(files), "sorted compaction must restore file skipping"
