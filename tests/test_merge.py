@@ -105,3 +105,56 @@ def test_merge_in_place_swap(spark, sf_small, tmp_path):
     assert spark.read.format("scbf").load(target).count() == n0 + 2
     assert not os.path.exists(target + ".merge-tmp")
     assert not os.path.exists(target + ".merge-old")
+
+def test_streaming_cdc_upsert_foreachbatch(spark, sf_small, tmp_path):
+    """CDC pattern: a stream of update batches applied to an SCBF dataset via
+    foreachBatch + merge_into — each micro-batch is one transactional merge,
+    later batches win on key collision."""
+    import os
+    import time
+
+    target = str(tmp_path / "cdc_target")
+    o = _write_target(spark, sf_small, target)
+
+    # two update files, forced into separate micro-batches (mtime order)
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+    base = o.limit(0)
+    upd1 = o.filter(F.col("o_orderkey").between(0, 30)).withColumn(
+        "o_totalprice", F.lit(111.0)
+    )
+    upd2 = o.filter(F.col("o_orderkey").between(20, 50)).withColumn(
+        "o_totalprice", F.lit(222.0)
+    )
+    upd1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    time.sleep(1.1)
+    upd2.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
+
+    from custom_columnar_format_spark.operators import merge as merge_op
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: merge_op.merge_into(
+                bdf.sparkSession, target, bdf, "o_orderkey"
+            )
+            if bdf.count()
+            else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.format("scbf").load(target)
+    assert final.count() == o.count()
+    # keys 20-30 were updated by both batches; the later batch must win
+    overlap = final.filter(F.col("o_orderkey").between(20, 30)).select("o_totalprice").distinct().collect()
+    assert [r.o_totalprice for r in overlap] == [222.0]
+    only1 = final.filter(F.col("o_orderkey").between(0, 19)).select("o_totalprice").distinct().collect()
+    assert [r.o_totalprice for r in only1] == [111.0]
