@@ -330,6 +330,63 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel_3step",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+            AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+            AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS stage_view,
+           (SELECT COUNT(*) FROM c) AS stage_click,
+           (SELECT COUNT(*) FROM p) AS stage_purchase
+    """,
+    doc="sequential funnel (view → click → purchase, each step within 24h of "
+    "the previous): per-stage earliest-qualifying-event aggregation chained "
+    "through conditional joins — product-analytics staple; each stage is one "
+    "shuffle on user_id and stages reuse the same partitioning.",
+)
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.timestamp_micros(F.unix_micros("t1") + day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.timestamp_micros(F.unix_micros("t2") + day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("stage_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+    )
+
+
+@query(
     "q_pipeline_data_prep",
     """
     WITH scored AS (
