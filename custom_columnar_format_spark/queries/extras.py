@@ -423,6 +423,48 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_data_quality_checks",
+    """
+    SELECT 'not_null_l_orderkey' AS rule,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range_l_quantity',
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45
+                    THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values_l_returnflag',
+           SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')
+                    THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique_key_l_orderkey_l_linenumber',
+           (SELECT COALESCE(SUM(c - 1), 0) FROM (
+              SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g)
+    FROM (SELECT 1)
+    """,
+    doc="declarative data-quality checks (operators/quality.py): N row-level "
+    "rules fold into ONE conditional-sum scan; the uniqueness rule adds one "
+    "keyed aggregate — the pre-publish expectations gate (range rule is "
+    "deliberately violated by the data so counts are non-zero).",
+)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_columnar_format_spark.operators import quality as Q
+
+    li = load(spark, sf_dir, "lineitem")
+    return Q.check(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.in_range("l_quantity", 1, 45),
+            Q.accepted_values("l_returnflag", ["A", "N"]),
+            Q.unique_key("l_orderkey", "l_linenumber"),
+        ],
+    )
+
+
+@query(
     "q_csv_roundtrip_agg",
     """
     SELECT n_name, COUNT(*) AS n_nations_region
