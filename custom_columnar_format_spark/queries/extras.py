@@ -636,3 +636,94 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("bal"), 4).alias("avg_pos_bal"))
     )
+
+
+@query(
+    "q_minmax_by",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)*10000000 + o_orderkey)
+             AS top_order,
+           arg_min(o_orderkey,
+                   CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)*10000000 + o_orderkey)
+             AS bottom_order,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="max_by / min_by (argmax aggregates): priciest and cheapest order key "
+    "per priority in ONE hash aggregate — no window sort, no self-join; the "
+    "100 TB shape for 'row achieving the extreme'. Both engines' argmax is "
+    "tie-nondeterministic, so the ordering value is made unique: price cents "
+    "(floor(x*100+0.5), exact in both engines) composed with the orderkey.",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.min_by("o_orderkey", key).alias("bottom_order"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_corr_regr",
+    """
+    SELECT l_returnflag,
+           FLOOR(corr(l_extendedprice, l_quantity)*1e4+0.5)/1e4 AS corr_price_qty,
+           FLOOR(covar_samp(l_extendedprice, l_quantity)*1e2+0.5)/1e2 AS covar_price_qty,
+           FLOOR(regr_slope(l_extendedprice, l_quantity)*1e4+0.5)/1e4 AS slope,
+           FLOOR(regr_intercept(l_extendedprice, l_quantity)*1e2+0.5)/1e2 AS intercept,
+           FLOOR(regr_r2(l_extendedprice, l_quantity)*1e4+0.5)/1e4 AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="bivariate statistical aggregates (corr / covar_samp / regr_slope / "
+    "regr_intercept / regr_r2): single-pass co-moment accumulators in both "
+    "engines — one partial+final hash aggregate, no second scan; "
+    "floor-rounding absorbs the ~1e-12 accumulation-order difference.",
+)
+def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        (F.floor(F.corr(p, q) * 1e4 + 0.5) / 1e4).alias("corr_price_qty"),
+        (F.floor(F.covar_samp(p, q) * 1e2 + 0.5) / 1e2).alias("covar_price_qty"),
+        (F.floor(F.regr_slope(p, q) * 1e4 + 0.5) / 1e4).alias("slope"),
+        (F.floor(F.regr_intercept(p, q) * 1e2 + 0.5) / 1e2).alias("intercept"),
+        (F.floor(F.regr_r2(p, q) * 1e4 + 0.5) / 1e4).alias("r2"),
+    )
+
+
+@query(
+    "q_histogram_bins",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bin
+    """,
+    doc="fixed-width numeric histogram (the profiling primitive behind "
+    "width_bucket): bin id is a scan-side expression, so the whole histogram "
+    "is one partial+final aggregate over ~a dozen groups — at 100 TB the "
+    "map-side combine reduces each partition to its bin counts before any "
+    "shuffle.",
+)
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -588,3 +588,69 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_timestamp("ts")).alias("session_start_s"),
     )
+
+
+@query(
+    "q_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok2 GROUP BY lang, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+    scored AS (
+      SELECT lang, tf.term AS term, tf.tf AS tf, df.df AS df,
+             tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT lang, term, tf, df, rnk, FLOOR(score*1e4+0.5)/1e4 AS score
+    FROM (
+      SELECT lang, term, tf, df, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(FLOOR(score*1e4+0.5) AS BIGINT) DESC, term
+             ) AS rnk
+      FROM scored
+    ) t
+    WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per language (keyword extraction for a training "
+    "corpus). Scale shape: two token-level aggregates — tf by (lang, term) "
+    "and document frequency by term (two-phase partial distinct) — then a "
+    "broadcast scalar doc count and a window over TERM-level rows only "
+    "(|langs|x|terms| << corpus, so the per-lang sort never sees raw "
+    "tokens). Ranking compares floor-rounded scores (integer-exact in both "
+    "engines) with term as tiebreak, so cross-engine float noise in LN "
+    "cannot reorder the top-k boundary.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ", -1)).alias("term")
+    ).filter(F.col("term") != "")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.floor(F.col("score") * 1e4 + 0.5).cast("long").desc(), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            "rnk",
+            (F.floor(F.col("score") * 1e4 + 0.5) / 1e4).alias("score"),
+        )
+    )
