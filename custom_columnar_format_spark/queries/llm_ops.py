@@ -654,3 +654,49 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("score") * 1e4 + 0.5) / 1e4).alias("score"),
         )
     )
+
+
+@query(
+    "q_pack_sequences",
+    """
+    WITH d AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM d
+    )
+    SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+    FROM c GROUP BY lang, bin
+    """,
+    doc="sequence packing (training-batch assembly): docs fill 2048-token "
+    "context bins per language in doc_id order — bin id = exclusive running "
+    "token count / budget. The running sum uses operators/prefix_sum.py's "
+    "two-pass range-partitioned scheme, NOT a single-partition window: "
+    "within-slice window cumsum in parallel + broadcast of the tiny "
+    "per-slice totals. The oracle states the same semantics as a plain "
+    "window cumsum (fine at sf0.01; the operator exists because that plan "
+    "dies at 100 TB).",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from custom_columnar_format_spark.operators import prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.filter(F.split("text", " ", -1), lambda x: x != F.lit(""))).alias("tok"),
+    )
+    c = prefix_sum.cumulative_sum(
+        d, ["doc_id"], "tok", partition_cols=["lang"], out_col="cum"
+    )
+    return (
+        c.withColumn("bin", F.floor((F.col("cum") - F.col("tok")) / 2048).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tokens"))
+    )
