@@ -700,3 +700,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tokens"))
     )
+
+
+@query(
+    "q_entropy_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE t <> ''),
+    tc AS (SELECT doc_id, lang, t, COUNT(*) AS c FROM tok2 GROUP BY doc_id, lang, t),
+    dn AS (SELECT doc_id, lang, SUM(c) AS n FROM tc GROUP BY doc_id, lang),
+    de AS (
+      SELECT tc.doc_id, tc.lang,
+             -SUM((tc.c * 1.0 / dn.n) * LN(tc.c * 1.0 / dn.n)) AS entropy
+      FROM tc JOIN dn ON tc.doc_id = dn.doc_id
+      GROUP BY tc.doc_id, tc.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           FLOOR(AVG(entropy)*1e4+0.5)/1e4 AS avg_entropy,
+           FLOOR(MIN(entropy)*1e4+0.5)/1e4 AS min_entropy
+    FROM de GROUP BY lang
+    """,
+    doc="token-entropy quality signal (low Shannon entropy = repetitive / "
+    "template junk a training pipeline should drop). Scale shape: per-(doc, "
+    "token) counts → per-doc totals derived from the SAME aggregate (no "
+    "second corpus scan), entropy join co-partitioned on doc_id, then a "
+    "tiny per-lang rollup; every stage is a partial+final hash aggregate.",
+)
+def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ", -1)).alias("t")
+    ).filter(F.col("t") != "")
+    tc = tok.groupBy("doc_id", "lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    dn = tc.groupBy("doc_id", "lang").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    de = (
+        tc.join(dn.select("doc_id", "n"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg((-F.sum(p * F.log(p))).alias("entropy"))
+    )
+    return de.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.avg("entropy") * 1e4 + 0.5) / 1e4).alias("avg_entropy"),
+        (F.floor(F.min("entropy") * 1e4 + 0.5) / 1e4).alias("min_entropy"),
+    )

@@ -114,3 +114,33 @@ def test_pandas_topk_matches_jvm_topk(spark, sf_small):
     jvm = [(r.vec_id, r.cos_sim) for r in similarity.brute_force_topk(emb, qv, k=10).collect()]
     pdu = [(r.vec_id, r.cos_sim) for r in similarity.brute_force_topk_pandas(emb, qv, k=10).collect()]
     assert jvm == pdu
+
+
+def test_join_strategy_hints_are_honored(spark, sf_small):
+    """Join-strategy control surface: broadcast() forces BroadcastHashJoin,
+    a shuffle_hash hint forces ShuffledHashJoin (no sort on either side —
+    the right call when one side is medium and sorting would dominate), and
+    merge forces SortMergeJoin. AQE disabled for the audit so the static
+    planner's choice is what's asserted."""
+    from custom_columnar_format_spark.queries.tables import load
+
+    o = load(spark, sf_small, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_small, "customer").select("c_custkey", "c_acctbal")
+    with _aqe_off(spark):
+        jb = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        assert "BroadcastHashJoin" in plan_of(jb)
+        jh = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        ph = plan_of(jh)
+        assert "ShuffledHashJoin" in ph and "SortMergeJoin" not in ph
+        jm = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        assert "SortMergeJoin" in plan_of(jm)
+
+
+@contextlib.contextmanager
+def _aqe_off(spark):
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
