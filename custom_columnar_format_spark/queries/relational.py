@@ -958,6 +958,23 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentiles_approx",
+    None,  # engine-specific estimator (Spark KLL/GK vs DuckDB t-digest) — pinned vs exact in tests/test_extras.py
+    doc="approximate percentiles (percentile_approx, accuracy 10000): the "
+    "100 TB path — fixed-size mergeable sketch per group, one partial+final "
+    "aggregate, no per-group sort; error bound pinned against the exact "
+    "percentile in tests.",
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4).alias("p50"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)), 4).alias("p90"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)), 4).alias("p99"),
+    )
+
+
+@query(
     "q_array_map_funcs",
     """
     WITH t AS (

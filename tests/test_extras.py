@@ -36,3 +36,15 @@ def test_sample_filter_reaches_scan(spark, sf_small):
     assert "Filter" in plan and "Scan parquet" in plan
     before_exchange = plan.split("Exchange")[-1]  # deepest (scan-side) fragment
     assert "md5" in before_exchange.lower()
+
+def test_approx_percentiles_close_to_exact(spark, sf_small):
+    qa = all_queries()["q_percentiles_approx"]
+    qe = all_queries()["q_percentiles"]
+    approx = {r["l_returnflag"]: r for r in qa.fn(spark, sf_small).collect()}
+    exact = {r["l_returnflag"]: r for r in qe.fn(spark, sf_small).collect()}
+    assert set(approx) == set(exact)
+    for flag, row in exact.items():
+        for col in ("p50", "p90", "p99"):
+            est, true = approx[flag][col], row[col]
+            # rank-error sketch: value error is tiny at this accuracy
+            assert abs(est - true) / true < 0.01, f"{flag}.{col}: {est} vs {true}"
