@@ -305,3 +305,52 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
         F.size(F.col(vec_col)).alias("dim"),
         F.round(norm(F.col(vec_col)), 4).alias("l2_norm"),
     )
+
+
+def ivf_write_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the corpus as an IVF-partitioned dataset — one directory
+    per inverted list (``ivf_list=N/``). This is the 100 TB serving layout
+    ``ivf_topk`` documents: assignment runs once at write time, and every
+    query's probe filter afterwards becomes *partition pruning* (touches
+    ``nprobe`` directories, never the corpus)."""
+    (
+        df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+        .write.partitionBy("ivf_list")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """IVF top-k over an ``ivf_write_partitioned`` dataset. The probe filter
+    is on the PARTITION column, so Catalyst prunes whole directories at
+    planning time (assert: every input file lives under a probed
+    ``ivf_list=`` dir — tests/test_similarity.py)."""
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    probe = [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
+
+    corpus = spark.read.format(fmt).load(path).filter(F.col("ivf_list").isin(probe))
+    q = lit_vector(qv)
+    return (
+        corpus.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -36,3 +36,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view so plain ``spark.sql``
+    works — the SQL entry point for users who don't want the DataFrame API.
+    Views are lazy: Catalyst still prunes/pushes into the parquet scans, so
+    ``SELECT one_col FROM lineitem WHERE ...`` plans identically to the
+    DataFrame form."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

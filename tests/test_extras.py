@@ -48,3 +48,18 @@ def test_approx_percentiles_close_to_exact(spark, sf_small):
             est, true = approx[flag][col], row[col]
             # rank-error sketch: value error is tiny at this accuracy
             assert abs(est - true) / true < 0.01, f"{flag}.{col}: {est} vs {true}"
+
+def test_sql_surface_over_registered_views(spark, sf_small):
+    from custom_columnar_format_spark.queries.tables import register_views
+
+    register_views(spark, sf_small)
+    got = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 5
+        """
+    ).collect()
+    assert len(got) == 5 and got[0]["n_cust"] >= got[-1]["n_cust"]
+    # events view must carry the ns→µs truncation (raw read would fail)
+    assert spark.sql("SELECT MIN(ts) AS t FROM events").collect()[0]["t"] is not None

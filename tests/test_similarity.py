@@ -110,3 +110,39 @@ def test_ivf_probe_subsets_bruteforce(emb, vecs):
     exact = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
     full_probe = [r.vec_id for r in similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=8).collect()]
     assert full_probe == exact
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_small, tmp_path):
+    """The serving layout: corpus written partitionBy(ivf_list) → the probe
+    filter prunes directories (every scanned file is under a probed list),
+    and results equal the in-memory IVF path with the same quantizer."""
+    from custom_columnar_format_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cent = S.ivf_centroids(emb, nlist=8)
+    path = str(tmp_path / "ivf_corpus")
+    S.ivf_write_partitioned(emb, path, cent)
+
+    qrow = emb.orderBy("vec_id").first()
+    qv = list(qrow["embedding"])
+    got = S.ivf_topk_partitioned(spark, path, qv, cent, k=5, nprobe=3)
+    want = S.ivf_topk(emb, qv, k=5, nlist=8, nprobe=3, centroids=cent)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+    # pruning proof: the scan plans a partition filter on ivf_list and reads
+    # only the probed directories (inputFiles() would lie — it lists the
+    # relation's files BEFORE partition pruning)
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[ivf_list#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, f"no partition filter on ivf_list:\n{plan}"
+    qn = __import__("numpy").asarray(qv, dtype="float64")
+    qn = qn / max(float(__import__("numpy").linalg.norm(qn)), 1e-12)
+    probe = {int(p) for p in (-(cent @ qn)).argsort()[:3]}
+    assert {int(x) for x in m.group(1).split(",")} == probe
