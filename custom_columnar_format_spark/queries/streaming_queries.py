@@ -168,3 +168,40 @@ def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.unix_timestamp("session_start").alias("session_start_s"),
     )
+
+
+@query(
+    "q_stream_rollup_upsert",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           FLOOR(SUM(value)*1e4+0.5)/1e4 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="continuous aggregate (streaming/rollup.py): each micro-batch MERGEs "
+    "its per-(hour, type) delta into a persistent SCBF rollup table — the "
+    "hypertable-rollup / incremental-materialized-view pattern; state lives "
+    "in the table so late data needs no watermark, and untouched rollup "
+    "files are never rewritten (key-range copy-on-write). Oracle: the batch "
+    "windowed aggregate the maintained table must converge to.",
+)
+def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.scbf_datasource import register
+    from ..streaming import rollup
+
+    register(spark)
+    stream = ev.read_events_stream(spark, sf_dir).select("ts", "event_type", "value")
+    target = tempfile.mkdtemp(prefix="rollup_tbl_")
+    ck = tempfile.mkdtemp(prefix="rollup_ck_")
+    q = rollup.start_continuous_rollup(stream, target, ck, window_duration="1 hour")
+    q.awaitTermination()
+    return (
+        spark.read.format("scbf")
+        .load(target)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            (F.floor(F.col("sum_value") * 1e4 + 0.5) / 1e4).alias("sum_value"),
+        )
+    )
