@@ -43,6 +43,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk_cosine",
     "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_entropy_quality",
+    "q_pack_sequences",
 ]
 
 
