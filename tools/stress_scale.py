@@ -107,6 +107,20 @@ def main():
                       "seconds": round(time.time() - t0, 2)}), flush=True)
     pairs.unpersist()
 
+    # distributed prefix sum at full corpus width: running token count over
+    # ALL docs (no partition_cols → the single-window formulation this
+    # operator replaces would sort 1M rows in ONE task)
+    from custom_columnar_format_spark.operators import prefix_sum
+
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("tok")
+    )
+    timed(
+        "prefix_sum_global",
+        prefix_sum.cumulative_sum(toks, ["doc_id"], "tok"),
+        rows=n_docs,
+    )
+
     emb = synth_embeddings(spark, n_vecs)
     emb.write.mode("overwrite").format("noop").save()
     qv = [((hash(("q", i)) % 2000) / 1000.0 - 1.0) for i in range(DIM)]
