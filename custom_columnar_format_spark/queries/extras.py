@@ -727,3 +727,62 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_window_first_last",
+    """
+    SELECT o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_k,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="frame-navigation window functions (first_value / last_value / "
+    "nth_value) with explicit ROWS frames — the growing frame for first/nth, "
+    "the full-partition frame for last (the default frame would silently "
+    "return the CURRENT row); unique compound ordering keeps both engines "
+    "bit-identical.",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    grow = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(grow).alias("first_k"),
+        F.last("o_orderkey").over(full).alias("last_k"),
+        F.nth_value("o_orderkey", 2).over(grow).alias("second_k"),
+    )
+
+
+@query(
+    "q_collect_set_agg",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+           CAST(len(list(DISTINCT l_returnflag)) AS INT) AS n_flags
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="set-valued aggregation (collect_set == DuckDB list(DISTINCT)): "
+    "per-key distinct value sets, sorted then serialized so the unordered "
+    "set hashes identically cross-engine; one partial+final hash aggregate.",
+)
+def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
+        F.size(F.collect_set("l_returnflag")).alias("n_flags"),
+    )
