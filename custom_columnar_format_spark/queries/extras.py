@@ -786,3 +786,40 @@ def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
         F.size(F.collect_set("l_returnflag")).alias("n_flags"),
     )
+
+
+@query(
+    "q_posexplode_positions",
+    """
+    SELECT t.tok AS token, COUNT(*) AS cnt,
+           FLOOR(AVG(t.pos)*1e4+0.5)/1e4 AS avg_pos
+    FROM (
+      SELECT UNNEST(list_transform(string_split(text, ' '),
+                    (s, i) -> struct_pack(tok := s, pos := i - 1))) AS t
+      FROM documents
+    ) u
+    WHERE t.tok <> ''
+    GROUP BY t.tok
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+    doc="positional explode (posexplode / UNNEST WITH ORDINALITY): token with "
+    "its 0-based position in one JVM generator — mean position of the top-50 "
+    "tokens. DuckDB 1.x lacks WITH ORDINALITY, so the oracle builds "
+    "(token, pos) structs via the two-arg list_transform lambda; positions "
+    "are exact integers, so only their MEAN needs the floor-rounding idiom.",
+)
+def q_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    tok = docs.select(
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.floor(F.avg("pos") * 1e4 + 0.5) / 1e4).alias("avg_pos"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
