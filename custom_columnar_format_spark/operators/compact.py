@@ -6,8 +6,16 @@ scans). Also re-sorts optionally, restoring stats-pruning quality that
 append-order writes lose.
 
 Staged write + swap-last like operators/merge.py: a failed compaction leaves
-the dataset untouched. Hive-partitioned datasets compact partition
-directories independently (each directory is its own small-files problem).
+the dataset untouched. Scratch lives in **hidden sibling** directories
+(``root/.k=v.compact-tmp``, see operators/_staging.py) so neither a crash
+before the swap nor a concurrent reader during it can ever see staging or
+backup files as data — the recursive file lister skips hidden and
+scratch-suffixed components. The swap itself is two renames; a reader racing
+that exact window can observe a missing directory, so in-place compaction
+assumes no concurrent writer and retry-on-read semantics (same contract as
+merge_into; ``vacuum.recover`` restores the backup if the driver dies between
+the renames). Hive-partitioned datasets compact partition directories
+independently (each directory is its own small-files problem).
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.scbf_datasource import _file_version
+from ._staging import staging_path
 
 
 def _leaf_dirs(path: str) -> list[str]:
@@ -65,10 +74,11 @@ def compact(
         else:
             df = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
 
-        staging = d + ".compact-tmp"
+        staging = staging_path(d, ".compact-tmp")
         df.write.format("scbf").option("version", version).mode("overwrite").save(staging)
 
-        backup = d + ".compact-old"
+        backup = staging_path(d, ".compact-old")
+        shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
         os.rename(d, backup)
         os.rename(staging, d)
         # hive partition dirs keep only data files; carry nothing else over

@@ -426,21 +426,21 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_data_quality_checks",
     """
     SELECT 'not_null_l_orderkey' AS rule,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
     FROM lineitem
     UNION ALL
     SELECT 'in_range_l_quantity',
-           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'accepted_values_l_returnflag',
-           SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'unique_key_l_orderkey_l_linenumber',
-           (SELECT COALESCE(SUM(c - 1), 0) FROM (
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM (
               SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g)
     FROM (SELECT 1)
     """,

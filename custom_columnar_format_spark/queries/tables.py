@@ -23,14 +23,22 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as raw nanos and truncate to microseconds
-        # (exactly what DuckDB/Arrow do when narrowing ns → µs).
+        # events.ts is parquet TIMESTAMP(NANOS). Spark ≤4.0 needs
+        # nanosAsLong=true (ts arrives as raw int64 nanos, truncate to µs —
+        # exactly what DuckDB/Arrow do when narrowing ns → µs); Spark 4.1+
+        # ignores that legacy conf and narrows to TIMESTAMP_NTZ natively.
+        # Handle both by converting only when the column really is int64.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

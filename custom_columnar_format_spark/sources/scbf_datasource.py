@@ -83,14 +83,33 @@ def _file_version(path: str) -> int:
     raise codec.ScbfError(f"{path}: not an SCBF file")
 
 
+def _under_scratch(root: str, file_path: str) -> bool:
+    """True when any directory component of ``file_path`` below ``root`` is a
+    maintenance scratch dir (hidden, or suffixed ``*.merge-tmp``/``-old`` /
+    ``*.compact-tmp``/``-old``). New scratch is dot-prefixed (invisible to
+    glob already); this also shields against legacy visible staging dirs, so
+    a crashed or concurrent compaction can never be ingested as data rows."""
+    from ..operators._staging import is_scratch_component
+
+    rel = os.path.relpath(os.path.abspath(file_path), os.path.abspath(root))
+    comps = rel.split(os.sep)[:-1]  # directory components only
+    return any(is_scratch_component(c) for c in comps)
+
+
 def _list_scbf_files(path: str) -> List[str]:
     """Resolve a load path to concrete SCBF files: a single file, a directory
     of ``*.scbf`` (searched recursively, so hive-partitioned ``k=v`` subdirs
-    are included), or a glob pattern."""
+    are included), or a glob pattern. Maintenance scratch directories
+    (``.k=v.compact-tmp`` siblings and legacy in-tree staging) are never
+    listed — see ``operators/_staging.py``."""
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "**", "*.scbf"), recursive=True))
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*.scbf"), recursive=True)
+            if not _under_scratch(path, f)
+        )
         if not files:
             raise FileNotFoundError(f"no *.scbf files under directory {path}")
         return files
@@ -113,7 +132,15 @@ def _partition_spec(root: str, file_path: str) -> "OrderedDict[str, str]":
     rel = os.path.relpath(os.path.dirname(os.path.abspath(file_path)), os.path.abspath(root))
     if rel == ".":
         return spec
+    from ..operators._staging import is_scratch_component
+
     for comp in rel.split(os.sep):
+        if is_scratch_component(comp):
+            # maintenance scratch (".k=v.compact-tmp" etc.) is never a
+            # partition component; the file lister excludes these paths, and
+            # skipping here keeps a directly-loaded scratch file from
+            # corrupting partition values (e.g. int key -> string)
+            continue
         if "=" not in comp:
             raise codec.ScbfError(
                 f"{file_path}: directory component {comp!r} under dataset root is not "

@@ -33,37 +33,35 @@ from pyspark.sql.types import (
 )
 
 
-def events_schema_nanos() -> StructType:
-    """Physical parquet schema of events (ts is TIMESTAMP(NANOS), surfaced as
-    raw int64 nanos under spark.sql.legacy.parquet.nanosAsLong)."""
-    from pyspark.sql.types import DoubleType
-
-    return StructType(
-        [
-            StructField("event_id", LongType(), True),
-            StructField("ts", LongType(), True),
-            StructField("user_id", LongType(), True),
-            StructField("event_type", StringType(), True),
-            StructField("value", DoubleType(), True),
-            StructField("props", StringType(), True),
-        ]
-    )
+def events_schema_physical(spark: SparkSession, sf_dir: str) -> StructType:
+    """Schema the installed Spark surfaces for events.parquet. ts is parquet
+    TIMESTAMP(NANOS): Spark ≤4.0 needs nanosAsLong=true and surfaces raw
+    int64 nanos; Spark 4.1+ ignores that legacy conf and narrows to
+    TIMESTAMP_NTZ natively. Probe via a batch read so the stream's declared
+    schema always matches the file reader's behavior."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of events with a proper timestamp column. The same
     directory the batch queries read — Structured Streaming treats it as a
     one-batch backlog under ``Trigger.AvailableNow``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_schema_physical(spark, sf_dir)
     # The file-stream source requires a directory; select just the events
     # file(s) with a glob (a production events feed is a directory anyway).
     raw = (
-        spark.readStream.schema(events_schema_nanos())
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
