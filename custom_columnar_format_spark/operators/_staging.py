@@ -13,10 +13,11 @@ Two properties follow:
 - a hive partition directory's scratch lives NEXT TO the partition, not
   inside the dataset as a fake ``k=v.compact-tmp`` partition component.
 
-``dataset_for`` maps a scratch path back to the dataset directory it was
+``split_scratch`` maps a scratch path back to the dataset directory it was
 staged for (supporting the legacy non-hidden naming too), which is what lets
-vacuum refuse to delete the only surviving copy of data whose dataset
-directory vanished mid-swap.
+``vacuum.vacuum`` refuse to delete a ``*-old`` backup that is the only
+surviving copy of data whose dataset directory vanished mid-swap, and what
+``vacuum.recover`` uses to rename that backup back into place.
 """
 
 from __future__ import annotations

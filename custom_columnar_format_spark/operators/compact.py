@@ -29,14 +29,17 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.scbf_datasource import _file_version
-from ._staging import staging_path
+from . import vacuum as _vacuum
+from ._staging import is_scratch_component, staging_path
 
 
 def _leaf_dirs(path: str) -> list[str]:
     """Directories that directly contain .scbf files (the dataset root, or
-    each hive partition directory)."""
+    each hive partition directory). Stale scratch dirs left by a crashed
+    maintenance run are pruned — they hold superseded copies, not data."""
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [x for x in dirs if not is_scratch_component(x)]
         if any(f.endswith(".scbf") for f in files):
             out.append(root)
     return sorted(out)
@@ -56,6 +59,10 @@ def compact(
     restoring tight min/max envelopes for stats pruning."""
     if (target_files is None) == (rows_per_file is None):
         raise ValueError("pass exactly one of target_files / rows_per_file")
+
+    # heal any swap a previous driver crashed in the middle of, so the
+    # backup's rows are visible again before we rewrite
+    _vacuum.recover(path)
 
     stats = {"dirs": 0, "files_before": 0, "files_after": 0}
     for d in _leaf_dirs(path):

@@ -32,6 +32,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..scbf import codec_v2
+from . import vacuum as _vacuum
+from ._staging import staging_path
 
 
 def _target_files(path: str) -> list[str]:
@@ -70,6 +72,7 @@ def merge_into(
     Returns stats: files carried over untouched vs rewritten. When
     ``out_path`` is None the merge replaces ``target_path`` (write to a
     sibling tmp dir, then swap)."""
+    _vacuum.recover(target_path)  # heal a swap a previous driver crashed in
     files = _target_files(target_path)
     if not files:
         raise ValueError(f"no SCBF files at {target_path}")
@@ -78,14 +81,16 @@ def merge_into(
     touched, untouched = split_touched_files(files, key, b.mn, b.mx)
 
     final_dest = out_path or target_path
-    staging = final_dest + ".merge-tmp" if out_path is None else out_path
+    # hidden-sibling scratch (operators/_staging.py): invisible to the
+    # DataSource's file lister, so a crash can't surface half-written rows
+    staging = staging_path(final_dest, ".merge-tmp") if out_path is None else out_path
     os.makedirs(staging, exist_ok=True)
 
     # The DataSource reads directories — stage the touched files as symlinks
     # in a scratch dir so ONLY they are scanned (no data I/O for the link).
     schema = spark.read.format("scbf").load(target_path).schema
     if touched:
-        link_dir = staging + ".touched"
+        link_dir = staging_path(final_dest, ".merge-tmp") + ".touched"
         os.makedirs(link_dir, exist_ok=True)
         for p in touched:
             dst = os.path.join(link_dir, os.path.basename(p))
@@ -105,12 +110,13 @@ def merge_into(
         .save(staging)
     )
     if touched:
-        shutil.rmtree(staging + ".touched", ignore_errors=True)
+        shutil.rmtree(staging_path(final_dest, ".merge-tmp") + ".touched", ignore_errors=True)
     for p in untouched:
         shutil.copy2(p, os.path.join(staging, os.path.basename(p)))
 
     if out_path is None:
-        backup = target_path + ".merge-old"
+        backup = staging_path(target_path, ".merge-old")
+        shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
         os.rename(target_path, backup)
         os.rename(staging, target_path)
         shutil.rmtree(backup)

@@ -379,7 +379,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    day_us = 24 * 3600 * 1_000_000
+    day = F.expr("INTERVAL 24 HOURS")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -389,8 +389,7 @@ def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(
-            (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.timestamp_micros(F.unix_micros("t1") + day_us))
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day)
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
@@ -399,8 +398,7 @@ def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(
-            (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.timestamp_micros(F.unix_micros("t2") + day_us))
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day)
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

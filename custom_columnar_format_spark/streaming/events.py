@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -61,6 +62,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # Spark 4.1+ reads TIMESTAMP(NANOS) as TIMESTAMP_NTZ, but watermarks
+        # require TIMESTAMP (LTZ). Session tz is pinned to UTC (plans/
+        # session.py), so the cast is a pure retag — same instant values.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

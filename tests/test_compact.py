@@ -82,3 +82,31 @@ def test_compact_sort_by_restores_pruning(spark, sf_small, tmp_path):
         1 for p in files if codec_v2.file_may_match(codec_v2.read_meta(p), probe)
     )
     assert alive_after < len(files), "sorted compaction must restore file skipping"
+
+def test_compact_heals_crashed_swap_first(spark, sf_small, tmp_path):
+    """A partition dir lost to a crashed swap (only copy in a hidden backup)
+    is restored by compact() before rewriting, and its stale scratch never
+    gets compacted as data."""
+    import os
+
+    from custom_columnar_format_spark.operators._staging import staging_path
+
+    path = str(tmp_path / "healed")
+    o = _orders(spark, sf_small).withColumn("pk", (F.col("o_orderkey") % 2).cast("int"))
+    (
+        o.repartition(8)
+        .write.format("scbf")
+        .option("version", "2")
+        .option("partition_by", "pk")
+        .mode("overwrite")
+        .save(path)
+    )
+    n = spark.read.format("scbf").load(path).count()
+
+    part = os.path.join(path, "pk=1")
+    os.rename(part, staging_path(part, ".compact-old"))  # crash window
+
+    stats = compact_op.compact(spark, path, target_files=2)
+    assert stats["dirs"] == 2  # both partitions visible again and compacted
+    assert spark.read.format("scbf").load(path).count() == n
+    assert not os.path.exists(staging_path(part, ".compact-old"))
