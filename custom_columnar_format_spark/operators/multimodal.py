@@ -96,6 +96,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     ``mapInPandas`` — the pattern for any decode/resize/embed stage. The UDF
     sees pandas batches (zero-copy Arrow transfer for the binary column) and
     emits fixed-width features; raw payloads are dropped before any shuffle."""
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -175,7 +175,14 @@ def ivf_assign(centroids: np.ndarray, vec_col: str = "embedding") -> F.Column:
     an Arrow-batched Pandas UDF doing one BLAS matmul per batch. Centroids
     ride along in the UDF closure (they're nlist × dim — effectively a
     broadcast variable)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    from ..shipping import ensure_worker_imports
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_worker_imports(active)
 
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
 
@@ -275,6 +282,10 @@ def brute_force_topk_pandas(
     workload. Identical results to ``brute_force_topk`` (same rounding)."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
 
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = float(np.linalg.norm(q))

@@ -104,8 +104,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_jaccard",
-    None,
-    doc="exact n-gram Jaccard pairs via shingle inverted index (posting-pruned).",
+    # exact oracle: the engine computes Jaccard over xxhash64'd shingle SETS,
+    # which equals Jaccard over the shingle strings themselves (hashing is a
+    # set bijection modulo 64-bit collisions); DuckDB builds the same word
+    # 3-gram sets directly. floor(x*1e4+0.5) = Spark's HALF_UP round for
+    # positive doubles (cross-engine rounding idiom used repo-wide).
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                            '[ \\t\\n]+', ' ', 'g') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), w AS (
+      SELECT doc_id, string_split(t, ' ') AS w FROM norm
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS s
+      FROM w
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
+    FROM pairs WHERE j >= 0.4
+    """,
+    doc="exact n-gram Jaccard pairs via shingle inverted index (posting-pruned; "
+    "oracle is the brute-force quadratic form over the same shingle sets).",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
@@ -484,8 +511,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    None,  # mapInPandas + sha256 stub decode — not SQL-expressible
-    doc="Arrow-batched mapInPandas feature extraction over binary payloads (decode stubbed).",
+    # The stub decoder is deterministic arithmetic on sha256(payload), and the
+    # payload is the document's UTF-8 text — so DuckDB can replay it exactly:
+    # width/height are 64 + (digest byte % 192) for images, NULL otherwise
+    # (hex pair → byte via strpos on the hex alphabet). This oracle pins the
+    # whole mapInPandas plumbing — batch iteration, schema contract, binary
+    # round-trip — not just the stub.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha256
+      FROM documents
+    )
+    SELECT media_id, kind, n_bytes, sha256,
+           CASE WHEN kind = 'image'
+                THEN 64 + (16*(strpos('0123456789abcdef', substr(sha256,1,1))-1)
+                           + (strpos('0123456789abcdef', substr(sha256,2,1))-1)) % 192
+           END AS width,
+           CASE WHEN kind = 'image'
+                THEN 64 + (16*(strpos('0123456789abcdef', substr(sha256,3,1))-1)
+                           + (strpos('0123456789abcdef', substr(sha256,4,1))-1)) % 192
+           END AS height
+    FROM m
+    """,
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(decode stubbed deterministically; oracle replays the stub in SQL).",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(_docs_spread(spark, sf_dir))

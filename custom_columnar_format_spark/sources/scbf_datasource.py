@@ -716,35 +716,11 @@ class ScbfDataSource(DataSource):
         return ScbfStreamReader(schema, self.options)
 
 
-def _ship_package(spark) -> None:
-    """Make ``custom_columnar_format_spark`` importable on executor Python
-    workers. The DataSource class is cloudpickled *by reference*, so workers
-    re-import this module — which fails if the driver process happened to be
-    launched from a cwd where the package isn't on sys.path. Shipping a zip
-    via ``addPyFile`` (the standard mechanism, works on a real cluster too)
-    removes that dependence on driver cwd/PYTHONPATH."""
-    import shutil
-    import tempfile
-
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_base = os.path.join(
-        tempfile.gettempdir(), f"scbf_pyfiles_{os.getpid()}", "custom_columnar_format_spark"
-    )
-    zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
-        os.makedirs(os.path.dirname(zip_base), exist_ok=True)
-        shutil.make_archive(
-            zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
-        )
-    spark.sparkContext.addPyFile(zip_path)
-
-
 def register(spark) -> None:
     """Idempotently register the scbf format on a SparkSession."""
-    try:
-        _ship_package(spark)
-    except Exception:
-        pass  # already-shipped or restricted env; worker import may still work via PYTHONPATH
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     try:
         # Required for pushFilters() to reach the reader (v2 stats skipping).
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

@@ -141,6 +141,9 @@ def stateful_sessionize(
     sessions it saw (update mode), so downstream consumers upsert by
     (user_id, session_id).
     """
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
     gap_us = gap_seconds * 1_000_000
 
     def fn(
