@@ -1,0 +1,62 @@
+"""Benchmark decontamination: find corpus documents that share word n-grams
+with a held-out evaluation/benchmark set — the standard pre-training hygiene
+step (GPT-3 §C / PaLM-style n-gram collision checks).
+
+Scale shape (the point — a 100 TB corpus vs a few-MB benchmark set):
+
+- The benchmark side is tiny by construction (eval sets are thousands of
+  documents). Its distinct gram-hash set is aggregated and **broadcast** —
+  the corpus-side probe is a broadcast LEFT SEMI join, so the 100 TB side
+  never shuffles; each corpus partition streams its grams past an in-memory
+  hash set.
+- Grams are xxhash64'd (reusing ``dedup.shingle_table``), so the broadcast
+  set and every probe row are fixed-width i64s, not strings.
+- Output is one row per *contaminated* doc (doc_id, n_grams,
+  n_contaminated, contamination_ratio) — the removal list a pipeline feeds
+  back into its filter stage — not a row per doc.
+
+The reference has nothing like this (SURVEY.md §2.2: no filters/joins at
+all); it's part of the north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingle_table
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated, contamination_ratio) for every
+    corpus doc sharing at least one word ``gram_k``-gram with the benchmark.
+
+    ``corpus`` and ``benchmark`` must be disjoint slices (filter upstream);
+    a doc present in both would trivially self-collide."""
+    corpus_grams = shingle_table(corpus, text_col, id_col, k=gram_k)
+    bench_grams = (
+        shingle_table(benchmark, text_col, id_col, k=gram_k)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    sizes = corpus_grams.select("id", F.size("shingles").alias("n_grams"))
+    hits = (
+        corpus_grams.select("id", F.explode("shingles").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))  # grams are distinct per doc
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination_ratio"),
+        )
+    )

@@ -318,6 +318,29 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     )
 
 
+def group_centroids(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per group, as (group, pos, centroid_val)
+    rows — the aggregation behind class prototypes, cluster summaries, and
+    k-means update steps.
+
+    Shape chosen for scale: ``posexplode`` the vector and run ONE hash
+    aggregation on (group, pos). Partial avg combines map-side, so the
+    shuffle carries (group × dim) running sums per partition — independent
+    of row count — and no executor materializes whole-group vector sets
+    (a ``collect_list``-then-average formulation would). Row-form output
+    keeps the result joinable/oracle-comparable; pivot back to arrays with
+    ``array_sort(collect_list(struct(pos, v)))`` if needed downstream.
+    """
+    return (
+        df.select(F.col(group_col).alias("grp"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("grp", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_val"))
+        .select(F.col("grp").alias(group_col), "pos", "centroid_val")
+    )
+
+
 def ivf_write_partitioned(
     df: DataFrame,
     path: str,

@@ -158,3 +158,50 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .withColumn("fingerprint", fingerprint_md5(t))
     )
+
+
+def unigram_logprob_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-document language-model quality signal: average negative log
+    probability of the doc's tokens under a per-language unigram LM estimated
+    from the corpus itself (the cheap stand-in for a KenLM perplexity filter
+    — high scores flag gibberish/outlier docs, low scores boilerplate).
+
+    Scale shape: the token→frequency join is co-partitioned on
+    (lang, token) — tokens shuffle once into the frequency aggregation and
+    the per-doc rollup shuffles doc-sized rows, never raw text. The unigram
+    table is vocabulary-sized (≪ corpus) and could broadcast instead; the
+    shuffle join is kept because a 100 TB multilingual vocabulary can exceed
+    broadcast limits.
+
+    Returns (id_col, lang, n_tokens, avg_neg_logprob), neg-logprob in nats,
+    rounded to 4 (cross-engine float tolerance).
+    """
+    from .dedup import normalize_text
+
+    toks = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    lang_totals = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    freqs = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+        .join(lang_totals, "lang")
+        .select("lang", "tok", (F.col("tok_n") / F.col("lang_n")).alias("p"))
+    )
+    return (
+        toks.join(freqs, ["lang", "tok"])
+        .groupBy("id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_neg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "lang", "n_tokens", "avg_neg_logprob")
+    )

@@ -798,3 +798,106 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg("entropy") * 1e4 + 0.5) / 1e4).alias("avg_entropy"),
         (F.floor(F.min("entropy") * 1e4 + 0.5) / 1e4).alias("min_entropy"),
     )
+
+
+@query(
+    "q_decontaminate",
+    # benchmark = src0 docs; corpus = everything else. Word 5-grams over the
+    # module-standard normalization; counts are over each doc's DISTINCT gram
+    # set (shingle_table dedups per doc, the oracle's list_distinct mirrors
+    # it). Gram hashing is a set bijection, so string-side counts match.
+    """
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                                         '[ \\t\\n]+', ' ', 'g'), ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                                          i -> array_to_string(w[i:i+4], ' '))) AS g
+      FROM norm
+    ), bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source = 'src0'
+    ), hits AS (
+      SELECT c.doc_id, count(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE source <> 'src0') c
+      JOIN bench USING (gram) GROUP BY 1
+    )
+    SELECT h.doc_id, len(g.g) AS n_grams, h.n_contaminated,
+           floor(CAST(h.n_contaminated AS DOUBLE) / len(g.g) * 10000 + 0.5) / 10000
+             AS contamination_ratio
+    FROM hits h JOIN grams g USING (doc_id)
+    """,
+    doc="benchmark decontamination: corpus docs sharing word 5-grams with the "
+    "held-out set (source=src0) — tiny benchmark gram-set broadcasts, the "
+    "corpus side never shuffles (GPT-3-style n-gram collision check).",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import contamination
+
+    d = load(spark, sf_dir, "documents")
+    return contamination.contamination_report(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        gram_k=5,
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(
+               regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                              '[ \\t\\n]+', ' ', 'g'), ' ')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), t AS (SELECT * FROM toks WHERE tok <> ''),
+    lang_totals AS (SELECT lang, count(*) AS lang_n FROM t GROUP BY lang),
+    freqs AS (
+      SELECT t.lang, tok, CAST(count(*) AS DOUBLE) / any_value(lt.lang_n) AS p
+      FROM t JOIN lang_totals lt USING (lang) GROUP BY t.lang, tok
+    )
+    SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+           floor(avg(-ln(f.p)) * 10000 + 0.5) / 10000 AS avg_neg_logprob
+    FROM t JOIN freqs f ON t.lang = f.lang AND t.tok = f.tok
+    GROUP BY t.doc_id, t.lang
+    """,
+    doc="unigram-LM quality signal: per-doc average token negative logprob "
+    "under a per-language unigram model estimated from the corpus — the "
+    "cheap perplexity-filter stand-in; token→frequency join co-partitioned "
+    "on (lang, token).",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.unigram_logprob_quality(_docs_spread(spark, sf_dir))
+    # round half-up idiom already applied operator-side via F.round (positive)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.floor(F.col("avg_neg_logprob") * 10000 + 0.5) / 10000).alias("avg_neg_logprob"),
+    )
+
+
+@query(
+    "q_embedding_centroid",
+    """
+    SELECT label, i - 1 AS pos,
+           floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) / 10000 AS centroid_val
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, pos
+    """,
+    doc="per-label embedding centroids as (label, pos, value) rows: one hash "
+    "aggregation on (label, pos) with map-side partial avg — shuffle size is "
+    "groups × dims, independent of corpus row count (class-prototype / "
+    "k-means-update shape).",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    out = sim.group_centroids(_emb_spread(spark, sf_dir))
+    return out.select(
+        "label",
+        "pos",
+        (F.floor(F.col("centroid_val") * 10000 + 0.5) / 10000).alias("centroid_val"),
+    )

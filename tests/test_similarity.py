@@ -146,3 +146,19 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_small, tmp_path):
     qn = qn / max(float(__import__("numpy").linalg.norm(qn)), 1e-12)
     probe = {int(p) for p in (-(cent @ qn)).argsort()[:3]}
     assert {int(x) for x in m.group(1).split(",")} == probe
+
+
+def test_group_centroids(spark):
+    from pyspark.sql import Row
+
+    from custom_columnar_format_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 4.0]),
+            Row(label=1, embedding=[10.0, 20.0]),
+        ]
+    )
+    rows = {(r["label"], r["pos"]): r["centroid_val"] for r in group_centroids(df).collect()}
+    assert rows == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}

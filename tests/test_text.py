@@ -71,3 +71,27 @@ def test_winnow_edit_robust_vs_md5(spark):
     # determinism
     wf2 = {r.doc_id: r.winnow_fp for r in text.winnow_table(df).collect()}
     assert wf == wf2
+
+
+def test_unigram_logprob_quality(spark):
+    """Hand-computable corpus: 'a a b' and 'a c' in one language.
+    Totals: a=3, b=1, c=1, N=5 → p(a)=.6, p(b)=p(c)=.2."""
+    import math
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="a a b"),
+            Row(doc_id=2, lang="en", text="a c"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob_quality(df).collect()}
+    d1 = -(2 * math.log(0.6) + math.log(0.2)) / 3
+    d2 = -(math.log(0.6) + math.log(0.2)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_neg_logprob"] - d1) < 1e-3
+    assert out[2]["n_tokens"] == 2
+    assert abs(out[2]["avg_neg_logprob"] - d2) < 1e-3
+    # gibberish (rare tokens) scores HIGHER than repetitive text — the signal
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
