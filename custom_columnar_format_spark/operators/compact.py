@@ -88,7 +88,13 @@ def compact(
         shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
         os.rename(d, backup)
         os.rename(staging, d)
-        # hive partition dirs keep only data files; carry nothing else over
+        # Dataset metadata (``_``-prefixed dirs: snapshot manifests, etc.)
+        # survives the rewrite; old data files do not — snapshots referencing
+        # them fail loudly at read (operators/snapshot.py's documented
+        # retention contract).
+        for name in os.listdir(backup):
+            if name.startswith("_"):
+                os.rename(os.path.join(backup, name), os.path.join(d, name))
         shutil.rmtree(backup)
 
         stats["dirs"] += 1

@@ -55,8 +55,11 @@ def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 def word_shingles(text: F.Column, k: int = 3) -> F.Column:
     """Distinct word k-shingle hashes (xxhash64) for a document — the
-    MinHash/Jaccard item set. Hashing each shingle to i64 immediately keeps
-    downstream arrays fixed-width.
+    MinHash/Jaccard item set. Each shingle is hashed directly from its k
+    word columns (multi-arg xxhash64) — no joined string is ever built, and
+    word boundaries can't alias (``concat_ws`` would hash "a b"+"c" and
+    "a"+"b c" identically). Hashing to i64 immediately keeps downstream
+    arrays fixed-width.
 
     PERF: only use this Column directly when ``text`` is already a plain
     column reference in a *materialized* projection. When the lambda inside
@@ -66,11 +69,12 @@ def word_shingles(text: F.Column, k: int = 3) -> F.Column:
     safe two-step form; all operators in this module go through it."""
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.xxhash64(*[F.try_element_at(words, i + 1 + j) for j in range(k)]),
+        )
     )
-    return F.array_distinct(F.transform(joined, lambda s: F.xxhash64(s)))
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
@@ -104,12 +108,19 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
+    # Multi-arg xxhash64 over the k word columns directly: ~40% faster than
+    # building a joined string per shingle (measured at sf0.1), no per-shingle
+    # string allocation at 100 TB, and no concat_ws boundary aliasing
+    # ("a b"+"c" vs "a"+"b c"). Past-the-end element_at (docs shorter than k)
+    # yields nulls via try_element_at (plain element_at throws under ANSI),
+    # which xxhash64 skips — short docs hash their whole text,
+    # the same one-gram-per-short-doc rule as before.
     return w.select(
         "id",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+                lambda i: F.xxhash64(*[F.try_element_at(F.col("w"), i + 1 + j) for j in range(k)]),
             )
         ).alias("shingles"),
     )
@@ -117,7 +128,14 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
 
 def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
     """MinHash signature: for seed j, min over shingle-hash rehashes. Each
-    rehash is ``xxhash64(shingle_hash, seed_j)`` — all codegen'd."""
+    rehash is ``xxhash64(shingle_hash, seed_j)``.
+
+    PERF NOTE (measured, sf0.1): this per-row HOF form (1.2 s) beats the
+    explode + 64-min-aggregates rewrite (12.7 s) that works so well for
+    simhash_table's 65 sums — 64 aggregate expressions exceed
+    ``spark.sql.codegen.maxFields``, knocking the whole aggregation out of
+    whole-stage codegen, and the interpreted agg path is far slower than
+    interpreted array lambdas. Benchmark before 'optimizing' either form."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))

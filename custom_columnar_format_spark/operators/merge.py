@@ -119,6 +119,10 @@ def merge_into(
         shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
         os.rename(target_path, backup)
         os.rename(staging, target_path)
+        # carry dataset metadata (snapshot manifests etc.) across the swap
+        for name in os.listdir(backup):
+            if name.startswith("_"):
+                os.rename(os.path.join(backup, name), os.path.join(target_path, name))
         shutil.rmtree(backup)
 
     return {

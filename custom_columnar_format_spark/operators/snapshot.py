@@ -1,0 +1,159 @@
+"""Dataset snapshots for SCBF: pin the exact file set of a dataset at a
+moment, read it back later (time travel), or roll the dataset back to it.
+
+A snapshot is a JSON manifest under ``<dataset>/_snapshots/snap-<id>.json``
+listing the data files (relative paths + sizes) visible at creation time.
+``_``-prefixed directories are invisible to the DataSource's ``*.scbf``
+lister and to hive partition discovery, so manifests can never be read as
+data (same convention as Spark's ``_SUCCESS`` / Delta's ``_delta_log``).
+
+Semantics (and honest limits — this is a manifest log, not a full
+multi-version table format):
+
+- **Append-only history is fully time-travelable.** Writers only ever add
+  files (the DataSource's commit protocol never mutates committed files;
+  the streaming sink is append-only by construction), so every snapshot of
+  an append-only dataset stays readable: ``read_snapshot`` sees exactly the
+  manifest's files, concurrent appends after the snapshot are invisible.
+- **Rewrites invalidate older snapshots.** ``compact``/``merge_into``
+  replace files; a manifest naming a replaced file fails loudly at read
+  with the missing paths (the Delta analog: VACUUM beyond retention breaks
+  time travel). A true multi-snapshot store would keep rewritten files
+  until no manifest references them — that is ``expire_snapshots``' job
+  here: drop manifests, then ``vacuum`` reclaims.
+- **Rollback** restores the dataset to a manifest by deleting data files
+  the manifest doesn't name. It refuses if any manifest file is missing
+  (nothing is deleted — all-or-nothing), so a crash mid-rollback leaves a
+  dataset that is a superset of the target and rollback can simply re-run.
+
+At 100 TB the manifest is small (file names, not data) and creation is one
+metadata listing — no data I/O, same as Iceberg snapshot creation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+SNAP_DIR = "_snapshots"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(os.path.abspath(path), SNAP_DIR)
+
+
+def _manifest_path(path: str, snapshot_id: int) -> str:
+    return os.path.join(_snap_dir(path), f"snap-{snapshot_id}.json")
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """All manifests for the dataset, ascending by id."""
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def create_snapshot(path: str, tag: Optional[str] = None) -> dict:
+    """Record the dataset's current committed file set as a new snapshot.
+    Metadata-only: lists files, writes one small JSON. Returns the manifest."""
+    from ..sources.scbf_datasource import _list_scbf_files
+
+    root = os.path.abspath(path)
+    files = _list_scbf_files(root)
+    existing = list_snapshots(path)
+    snap_id = (existing[-1]["snapshot_id"] + 1) if existing else 1
+    manifest = {
+        "snapshot_id": snap_id,
+        "tag": tag,
+        "created_unix": time.time(),
+        "files": [
+            {"path": os.path.relpath(f, root).replace(os.sep, "/"), "bytes": os.path.getsize(f)}
+            for f in files
+        ],
+    }
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    tmp = _manifest_path(path, snap_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, _manifest_path(path, snap_id))  # atomic publish
+    return manifest
+
+
+def _resolve_manifest(path: str, snapshot) -> dict:
+    """Find a manifest by numeric id or tag string."""
+    snaps = list_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {path}/{SNAP_DIR}")
+    try:
+        want_id = int(snapshot)
+    except (TypeError, ValueError):
+        want_id = None
+    for m in snaps:
+        if (want_id is not None and m["snapshot_id"] == want_id) or (
+            want_id is None and m.get("tag") == snapshot
+        ):
+            return m
+    raise FileNotFoundError(
+        f"snapshot {snapshot!r} not found under {path}/{SNAP_DIR}; "
+        f"have ids {[m['snapshot_id'] for m in snaps]}"
+    )
+
+
+def snapshot_files(path: str, snapshot) -> list[str]:
+    """Absolute data-file paths of a snapshot, erroring loudly (with the
+    missing names) if maintenance rewrote any of them since."""
+    root = os.path.abspath(path)
+    m = _resolve_manifest(path, snapshot)
+    files = [os.path.join(root, e["path"]) for e in m["files"]]
+    missing = [f for f in files if not os.path.isfile(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {m['snapshot_id']} of {path} is no longer readable: "
+            f"{len(missing)} file(s) were rewritten by compact/merge or vacuumed: "
+            f"{[os.path.relpath(p, root) for p in missing[:5]]}"
+        )
+    return sorted(files)
+
+
+def read_snapshot(spark, path: str, snapshot):
+    """DataFrame over exactly the snapshot's files (time travel):
+    ``spark.read.format('scbf').option('snapshot', id).load(path)``."""
+    from ..sources.scbf_datasource import register
+
+    register(spark)
+    return spark.read.format("scbf").option("snapshot", str(snapshot)).load(path)
+
+
+def rollback(path: str, snapshot) -> dict:
+    """Restore the dataset to a snapshot's exact file set by deleting data
+    files the manifest doesn't name (all manifest files must still exist —
+    verified before anything is deleted). Append-only writers make this the
+    cheap undo for a bad batch. Returns {"kept": n, "deleted": n}."""
+    root = os.path.abspath(path)
+    keep = set(snapshot_files(path, snapshot))  # raises if any are missing
+    from ..sources.scbf_datasource import _list_scbf_files
+
+    current = _list_scbf_files(root)
+    extras = [f for f in current if f not in keep]
+    for f in extras:
+        os.unlink(f)
+    return {"kept": len(keep), "deleted": len(extras)}
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> int:
+    """Drop all but the newest ``keep_last`` manifests (retention). Data
+    files are untouched — reclaim space afterwards via compaction/vacuum.
+    Returns the number of manifests removed."""
+    snaps = list_snapshots(path)
+    drop = snaps[:-keep_last] if keep_last > 0 else snaps
+    for m in drop:
+        os.unlink(_manifest_path(path, m["snapshot_id"]))
+    return len(drop)

@@ -823,3 +823,50 @@ def q_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "q_scbf_snapshot_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+    doc="SCBF snapshot time travel: write batch 1 (even orderkeys), snapshot, "
+    "append batch 2 (odd) — then aggregate a read PINNED to snapshot 1. The "
+    "oracle sees only batch 1, proving the manifest isolates the later "
+    "append (operators/snapshot.py; metadata-only, no data copied).",
+)
+def q_scbf_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import snapshot as snap_op
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|snap".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_snap_{tag}")
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    if not os.path.isdir(path):
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .coalesce(2)
+            .write.format("scbf").option("version", "2").mode("overwrite").save(path)
+        )
+        snap_op.create_snapshot(path, tag="batch1")
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .coalesce(2)
+            .write.format("scbf").option("version", "2").mode("append").save(path)
+        )
+    return (
+        snap_op.read_snapshot(spark, path, "batch1")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

@@ -35,7 +35,7 @@ import os
 import re
 import uuid
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -96,12 +96,18 @@ def _under_scratch(root: str, file_path: str) -> bool:
     return any(is_scratch_component(c) for c in comps)
 
 
-def _list_scbf_files(path: str) -> List[str]:
+def _list_scbf_files(path: str, snapshot: Optional[str] = None) -> List[str]:
     """Resolve a load path to concrete SCBF files: a single file, a directory
     of ``*.scbf`` (searched recursively, so hive-partitioned ``k=v`` subdirs
     are included), or a glob pattern. Maintenance scratch directories
     (``.k=v.compact-tmp`` siblings and legacy in-tree staging) are never
-    listed — see ``operators/_staging.py``."""
+    listed — see ``operators/_staging.py``. With ``snapshot``, the listing
+    comes from the pinned manifest instead (time travel — see
+    ``operators/snapshot.py``)."""
+    if snapshot is not None:
+        from ..operators.snapshot import snapshot_files
+
+        return snapshot_files(path, snapshot)
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
@@ -151,13 +157,13 @@ def _partition_spec(root: str, file_path: str) -> "OrderedDict[str, str]":
     return spec
 
 
-def _dataset_layout(path: str):
+def _dataset_layout(path: str, snapshot: Optional[str] = None):
     """(files, partition keys, per-key python type, per-file typed values).
 
     Partition keys must be identical (same names, same order) for every file.
     A key is typed int when every file's value parses as an int, else str —
     the same inference Spark applies to parquet partition directories."""
-    files = _list_scbf_files(path)
+    files = _list_scbf_files(path, snapshot)
     raw_specs = [_partition_spec(path, f) for f in files]
     keys = list(raw_specs[0].keys())
     for f, s in zip(files, raw_specs):
@@ -276,6 +282,7 @@ class ScbfReader(DataSourceReader):
         self.columns: List[str] = [f.name for f in schema.fields]
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
         self.file_skipping = options.get("file_skipping", "true").lower() != "false"
+        self.snapshot = options.get("snapshot")
         self._filters: List = []
 
     def pushFilters(self, filters):
@@ -294,7 +301,7 @@ class ScbfReader(DataSourceReader):
         # Use a fresh spark.read per differently-filtered query, or disable
         # skipping with .option("file_skipping", "false").
         filters = self._filters if self.file_skipping else []
-        files, _keys, _types, specs = _dataset_layout(self.path)
+        files, _keys, _types, specs = _dataset_layout(self.path, self.snapshot)
         parts = []
         for p in files:
             spec = specs[p]
@@ -656,7 +663,8 @@ class ScbfDataSource(DataSource):
     """Python DataSource V2 for format ``"scbf"``.
 
     Read options: ``columns`` (comma-separated explicit projection),
-    ``verify_crc`` (v2, default true).
+    ``verify_crc`` (v2, default true), ``snapshot`` (id or tag — time-travel
+    read pinned to a manifest from ``operators/snapshot.py``).
     Write options: ``compression_level`` (zlib 0-9, default 6), ``version``
     (1 or 2), ``partition_by`` (comma-separated columns → hive ``k=v``
     directory layout; readers reconstruct the columns from the path and
@@ -671,7 +679,7 @@ class ScbfDataSource(DataSource):
         path = self.options.get("path")
         if path is None:
             raise ValueError("scbf requires a path")
-        files, keys, key_types, _specs = _dataset_layout(path)
+        files, keys, key_types, _specs = _dataset_layout(path, self.options.get("snapshot"))
         if self.options.get("merge_schemas", "false").lower() == "true":
             # Schema evolution: union of every file's schema, first-seen
             # column order, all nullable (older files back-fill nulls at

@@ -1,0 +1,94 @@
+"""Snapshots: time-travel reads pin the file set, rollback restores it,
+rewrites invalidate loudly, manifests are invisible to normal reads."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import snapshot
+
+
+@pytest.fixture(autouse=True)
+def _register_scbf(spark):
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+
+
+def _write(spark, sf_small, path, key_max):
+    (
+        spark.read.parquet(f"{sf_small}/orders.parquet")
+        .filter(F.col("o_orderkey") <= key_max)
+        .select("o_orderkey", "o_totalprice")
+        .coalesce(2)
+        .write.format("scbf")
+        .option("version", "2")
+        .mode("append")
+        .save(path)
+    )
+
+
+def test_snapshot_time_travel_and_rollback(spark, sf_small, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, sf_small, path, 1000)
+    n1 = spark.read.format("scbf").load(path).count()
+    m1 = snapshot.create_snapshot(path, tag="first-batch")
+    assert m1["snapshot_id"] == 1 and len(m1["files"]) >= 1
+
+    _write(spark, sf_small, path, 500)  # append a second batch
+    n2 = spark.read.format("scbf").load(path).count()
+    assert n2 > n1
+    snapshot.create_snapshot(path)
+
+    # time travel: snapshot 1 sees only the first batch (by id and by tag)
+    assert snapshot.read_snapshot(spark, path, 1).count() == n1
+    assert snapshot.read_snapshot(spark, path, "first-batch").count() == n1
+    # snapshot 2 = everything; current read unaffected by manifests
+    assert snapshot.read_snapshot(spark, path, 2).count() == n2
+    assert spark.read.format("scbf").load(path).count() == n2
+
+    # rollback to snapshot 1: the bad second batch disappears
+    stats = snapshot.rollback(path, 1)
+    assert stats["kept"] == len(m1["files"]) and stats["deleted"] >= 1
+    assert spark.read.format("scbf").load(path).count() == n1
+
+
+def test_snapshot_invalidated_by_rewrite_fails_loudly(spark, sf_small, tmp_path):
+    from custom_columnar_format_spark.operators import compact
+
+    path = str(tmp_path / "ds2")
+    _write(spark, sf_small, path, 1000)
+    snapshot.create_snapshot(path)
+    compact.compact(spark, path, target_files=1)  # rewrites every file
+
+    with pytest.raises(Exception, match="no longer readable"):
+        snapshot.read_snapshot(spark, path, 1).count()
+    # current reads still fine; a fresh snapshot of the compacted set works
+    n = spark.read.format("scbf").load(path).count()
+    m = snapshot.create_snapshot(path)
+    assert m["snapshot_id"] == 2
+    assert snapshot.read_snapshot(spark, path, 2).count() == n
+
+
+def test_snapshot_expiry_and_pruned_reads(spark, sf_small, tmp_path):
+    path = str(tmp_path / "ds3")
+    _write(spark, sf_small, path, 1000)
+    snapshot.create_snapshot(path)
+    _write(spark, sf_small, path, 500)
+    snapshot.create_snapshot(path)
+
+    # snapshot read composes with column projection + filters
+    df = (
+        spark.read.format("scbf")
+        .option("snapshot", "1")
+        .option("columns", "o_totalprice")
+        .load(path)
+    )
+    assert df.columns == ["o_totalprice"]
+    assert df.count() == snapshot.read_snapshot(spark, path, 1).count()
+
+    assert snapshot.expire_snapshots(path, keep_last=1) == 1
+    assert [m["snapshot_id"] for m in snapshot.list_snapshots(path)] == [2]
+    with pytest.raises(Exception, match="not found"):
+        snapshot.snapshot_files(path, 1)
