@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword marker sets for the heuristic language ID.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -204,4 +205,85 @@ def unigram_logprob_quality(
             F.round(F.avg(-F.log("p")), 4).alias("avg_neg_logprob"),
         )
         .select(F.col("id").alias(id_col), "lang", "n_tokens", "avg_neg_logprob")
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of
+    duplicate lines and duplicate word 2-grams within each document
+    (Rae et al. 2021 §A1.1 quality rules — boilerplate and template spam
+    score high and get filtered).
+
+    All per-row array arithmetic (no shuffle, no UDF): split → filter empty
+    → distinct-count ratio. Returns (id, n_lines, dup_line_frac,
+    dup_2gram_frac), fractions rounded to 4.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    # all (overlapping) word 2-grams, NOT deduped — the dup fraction needs
+    # the multiset; hash pairs directly (no joined strings)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.xxhash64(F.try_element_at(words, i + 1), F.try_element_at(words, i + 2)),
+    )
+    nl, ng = F.size(lines), F.size(grams)
+    return df.select(
+        F.col(id_col),
+        nl.alias("n_lines"),
+        F.round(
+            F.when(nl > 0, 1 - F.size(F.array_distinct(lines)) / nl).otherwise(0.0), 4
+        ).alias("dup_line_frac"),
+        F.round(1 - F.size(F.array_distinct(grams)) / ng, 4).alias("dup_2gram_frac"),
+    )
+
+
+#: cross-engine-safe PII-ish patterns (plain classes/quantifiers only — the
+#: same regex text compiles identically under Java regex and DuckDB's RE2)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ \t\n]+",
+    "long_digits": r"[0-9]{7,}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-group PII exposure report: document counts and total match counts
+    for each pattern class — the planning stage before a redaction pass.
+    One scan, one partial+final aggregate; regexp_count is codegen'd JVM."""
+    counts = {k: F.regexp_count(F.col(text_col), F.lit(p)) for k, p in PII_PATTERNS.items()}
+    aggs = []
+    for k in PII_PATTERNS:
+        aggs.append(F.sum(F.col(f"_c_{k}")).cast("bigint").alias(f"total_{k}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"_c_{k}") > 0, 1).otherwise(0)).cast("bigint").alias(f"docs_with_{k}")
+        )
+    staged = df.select(
+        F.col(group_col), *[c.alias(f"_c_{k}") for k, c in counts.items()]
+    )
+    return staged.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+
+
+def mixing_weights(
+    df: DataFrame, text_col: str = "text", group_col: str = "source", alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: per-group token share s_g,
+    sampling weight ∝ s_g^alpha (alpha<1 upsamples small domains — the
+    multilingual/multi-domain mixing rule from mT5/XLM-R). One aggregation
+    plus a scalar normalizer broadcast back — group cardinality is tiny.
+    Returns (group, n_docs, total_tokens, token_share, mix_weight)."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    powed = F.pow(share, F.lit(alpha))
+    return per.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(powed / F.sum(powed).over(w), 6).alias("mix_weight"),
     )

@@ -901,3 +901,90 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         (F.floor(F.col("centroid_val") * 10000 + 0.5) / 10000).alias("centroid_val"),
     )
+
+
+@query(
+    "q_repetition_signals",
+    # lines/grams are per-row list arithmetic in both engines; gram hashing is
+    # injective-w.h.p. so multiset distinct fractions match the string form
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines,
+             list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                            i -> CASE WHEN i + 1 <= len(w)
+                                      THEN w[i] || ' ' || w[i+1] ELSE w[i] END) AS grams
+      FROM base
+    )
+    SELECT doc_id, len(lines) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN floor((1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)) * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS dup_line_frac,
+           floor((1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000 + 0.5) / 10000
+             AS dup_2gram_frac
+    FROM g
+    """,
+    doc="Gopher-style repetition quality signals: per-doc duplicate-line and "
+    "duplicate-word-2-gram fractions — pure per-row array arithmetic, no "
+    "shuffle; the boilerplate/template-spam filter stage.",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(_docs_spread(spark, sf_dir))
+
+
+@query(
+    "q_pii_scan",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS total_email,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(len(regexp_extract_all(text, 'https?://[^ \\t\\n]+'))) AS BIGINT) AS total_url,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, 'https?://[^ \\t\\n]+')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]{7,}'))) AS BIGINT) AS total_long_digits,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[0-9]{7,}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_long_digits
+    FROM documents GROUP BY source
+    """,
+    doc="per-source PII exposure report (emails / URLs / long digit runs): "
+    "one scan, one partial+final aggregate — the planning stage before a "
+    "redaction pass; patterns chosen to compile identically under Java "
+    "regex and RE2.",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.pii_scan(_docs_spread(spark, sf_dir))
+    return out.select(
+        "source", "n_docs",
+        "total_email", "docs_with_email",
+        "total_url", "docs_with_url",
+        "total_long_digits", "docs_with_long_digits",
+    )
+
+
+@query(
+    "q_mix_weights",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(total_tokens) AS all_tokens FROM per),
+    p AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(total_tokens AS DOUBLE) / all_tokens AS share,
+             pow(CAST(total_tokens AS DOUBLE) / all_tokens, 0.7) AS powed
+      FROM per, tot
+    )
+    SELECT source, n_docs, total_tokens,
+           floor(share * 1000000 + 0.5) / 1000000 AS token_share,
+           floor(powed / (SELECT SUM(powed) FROM p) * 1000000 + 0.5) / 1000000 AS mix_weight
+    FROM p
+    """,
+    doc="temperature-scaled domain mixing weights (share^0.7, mT5/XLM-R "
+    "rule): per-source token totals in one aggregation, scalar normalizers "
+    "broadcast back over the tiny group table.",
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixing_weights(_docs_spread(spark, sf_dir))

@@ -95,3 +95,56 @@ def test_unigram_logprob_quality(spark):
     assert abs(out[2]["avg_neg_logprob"] - d2) < 1e-3
     # gibberish (rare tokens) scores HIGHER than repetitive text — the signal
     assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def test_repetition_signals(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 distinct → dup_line_frac 0.5;
+            Row(doc_id=1, text="aa bb\naa bb\ncc dd\ncc dd"),
+            # no repetition at all
+            Row(doc_id=2, text="one two three four"),
+            # 'ab ab ab ab': 3 overlapping 2-grams, all 'ab ab' → frac 2/3
+            Row(doc_id=3, text="ab ab ab ab"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_2gram_frac"] == 0.0
+    assert abs(out[3]["dup_2gram_frac"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_pii_scan(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(source="a", text="mail me at jo@x.io or jo.b@y.org, see https://x.io/p"),
+            Row(source="a", text="card 12345678 and 1234567890 here"),
+            Row(source="b", text="nothing sensitive"),
+        ]
+    )
+    out = {r["source"]: r for r in text.pii_scan(df).collect()}
+    assert out["a"]["total_email"] == 2 and out["a"]["docs_with_email"] == 1
+    assert out["a"]["total_url"] == 1
+    assert out["a"]["total_long_digits"] == 2 and out["a"]["docs_with_long_digits"] == 1
+    assert out["b"]["total_email"] == 0 and out["b"]["n_docs"] == 1
+
+
+def test_mixing_weights(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(source="big", text="w " * 90),   # 90 tokens
+            Row(source="small", text="w " * 10),  # 10 tokens
+        ]
+    )
+    out = {r["source"]: r for r in text.mixing_weights(df, alpha=0.5).collect()}
+    assert out["big"]["token_share"] == 0.9
+    # alpha<1 upsamples the small domain: sqrt(.9)/(sqrt(.9)+sqrt(.1)) ≈ .75
+    assert abs(out["big"]["mix_weight"] - 0.75) < 0.01
+    assert abs(out["small"]["mix_weight"] - 0.25) < 0.01
+    assert abs(out["big"]["mix_weight"] + out["small"]["mix_weight"] - 1.0) < 1e-6
