@@ -870,3 +870,50 @@ def q_scbf_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@query(
+    "q_scbf_bloom_point_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_custkey IN (371, 746)
+    GROUP BY o_orderpriority
+    """,
+    doc="SCBF v2 per-file Bloom filters (.option('bloom_filters', ...)): the "
+    "dataset is hash-distributed on o_custkey so every file's min/max range "
+    "covers the probe keys and stats prune NOTHING — the footer blooms "
+    "prove absence per file and the IN probe skips almost all of them "
+    "(Parquet column-bloom semantics, SPARK-34562).",
+)
+def q_scbf_bloom_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|bloom".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_bloom_{tag}")
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    if not os.path.isdir(path):
+        (
+            o.repartition(16, "o_orderkey")  # every file spans the custkey range
+            .write.format("scbf")
+            .option("version", "2")
+            .option("bloom_filters", "o_custkey")
+            .mode("overwrite")
+            .save(path)
+        )
+    return (
+        spark.read.format("scbf")
+        .load(path)
+        .filter(F.col("o_custkey").isin(371, 746))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

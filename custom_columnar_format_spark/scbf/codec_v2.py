@@ -130,10 +130,80 @@ def _stats_of(values: np.ndarray, type_name: str, valid: Optional[np.ndarray]) -
     return {"min": int(mn), "max": int(mx)}
 
 
-def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None:
-    """Write a ``pyarrow.Table`` as one SCBF v2 file (nulls allowed)."""
+_BLOOM_MAX_BITS = 1 << 19  # 64 KiB of bits per column — bounded footer growth
+_BLOOM_FPP = 0.01
+
+
+def _bloom_value_bytes(v, type_name: str) -> bytes:
+    """Canonical hash input per value: ints little-endian 8 bytes, strings
+    UTF-8 — identical for int32/int64 widths so readers need no width info."""
+    if type_name == "utf8":
+        return str(v).encode("utf-8")
+    return struct.pack("<q", int(v))
+
+
+def _bloom_hashes(data: bytes, k: int, m: int) -> List[int]:
+    """k bit positions via double hashing h1 + i*h2 over a blake2b-128 digest
+    (stdlib, stable across platforms — the write/read contract)."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → full-period stepping
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_of(values, type_name: str) -> Optional[dict]:
+    """Standard Bloom filter over the column's distinct non-null values:
+    m = -n·ln(p)/ln²2 bits (capped), k = m/n·ln2 hash probes. Stored
+    base64(zlib(bits)) inside the JSON footer — a sparse filter compresses
+    to near-nothing."""
+    import base64
+    import math
+
+    distinct = set(values)
+    n = len(distinct)
+    if n == 0:
+        return None
+    m = min(_BLOOM_MAX_BITS, max(64, int(math.ceil(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2)))))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    bits = np.zeros(m, dtype=bool)
+    for v in distinct:
+        for pos in _bloom_hashes(_bloom_value_bytes(v, type_name), k, m):
+            bits[pos] = True
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    return {"m": m, "k": k, "bits": base64.b64encode(zlib.compress(packed, 6)).decode("ascii")}
+
+
+def bloom_contains(bloom: dict, value, type_name: str) -> bool:
+    """May-contain test against a stored filter (False = provably absent)."""
+    import base64
+
+    m, k = bloom["m"], bloom["k"]
+    bits = np.unpackbits(
+        np.frombuffer(zlib.decompress(base64.b64decode(bloom["bits"])), dtype=np.uint8),
+        bitorder="little",
+    )
+    return all(bits[pos] for pos in _bloom_hashes(_bloom_value_bytes(value, type_name), k, m))
+
+
+def write_arrow_table(
+    path: str,
+    table,
+    level: int = DEFAULT_ZLIB_LEVEL,
+    bloom_columns: Optional[Sequence[str]] = None,
+) -> None:
+    """Write a ``pyarrow.Table`` as one SCBF v2 file (nulls allowed).
+
+    ``bloom_columns`` (int/string columns) additionally get a per-file Bloom
+    filter in the footer: point-lookup (``=`` / ``IN``) predicates can then
+    skip files whose key RANGE overlaps but which provably lack the value —
+    the case min/max stats cannot prune (Parquet's column bloom filters,
+    SPARK-34562, solve exactly this)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    bloom_set = set(bloom_columns or ())
 
     with open(path, "wb") as f:
         bw = _BlockWriter(f, level)
@@ -212,17 +282,28 @@ def write_arrow_table(path: str, table, level: int = DEFAULT_ZLIB_LEVEL) -> None
                 bitmap = np.packbits(valid_np, bitorder="little")  # Arrow validity layout
                 blocks["validity"] = bw.put(bitmap.tobytes())
 
-            columns_meta.append(
-                {
-                    "name": fld.name,
-                    "type": type_name,
-                    "nullable": bool(null_count),
-                    "null_count": int(null_count),
-                    "dict": "indices" in blocks,
-                    "blocks": {k: v.to_json() for k, v in blocks.items()},
-                    "stats": stats,
-                }
-            )
+            cm = {
+                "name": fld.name,
+                "type": type_name,
+                "nullable": bool(null_count),
+                "null_count": int(null_count),
+                "dict": "indices" in blocks,
+                "blocks": {k: v.to_json() for k, v in blocks.items()},
+                "stats": stats,
+            }
+            if fld.name in bloom_set:
+                if type_name not in ("int32", "int64", "utf8"):
+                    raise ScbfV2Error(
+                        f"bloom filter on column {fld.name!r}: only int/string "
+                        f"columns are supported (got {type_name})"
+                    )
+                nn = col.drop_null()
+                bloom = _bloom_of(
+                    nn.to_pylist() if type_name == "utf8" else np.asarray(nn), type_name
+                )
+                if bloom is not None:
+                    cm["bloom"] = bloom
+            columns_meta.append(cm)
 
         meta = {"version": 2, "rows": table.num_rows, "columns": columns_meta}
         meta_comp = zlib.compress(json.dumps(meta).encode("utf-8"), level)
@@ -337,10 +418,13 @@ def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
 
     stats_by_col: Dict[str, dict] = {}
     nulls_by_col: Dict[str, int] = {}
+    bloom_by_col: Dict[str, tuple] = {}
     rows = meta["rows"]
     for c in meta["columns"]:
         if c.get("stats"):
             stats_by_col[c["name"]] = c["stats"]
+        if c.get("bloom"):
+            bloom_by_col[c["name"]] = (c["bloom"], c["type"])
         nulls_by_col[c["name"]] = c.get("null_count", 0)
 
     for flt in filters:
@@ -352,6 +436,20 @@ def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
             if rows and nulls_by_col.get(col, 0) == rows:
                 return False
             continue
+        # Bloom check for point lookups: skips files whose key RANGE overlaps
+        # but which provably lack the value — the case min/max can't prune.
+        bl = bloom_by_col.get(col)
+        if bl is not None:
+            bloom, tname = bl
+            try:
+                if isinstance(flt, EqualTo) and not bloom_contains(bloom, flt.value, tname):
+                    return False
+                if isinstance(flt, In) and not any(
+                    bloom_contains(bloom, v, tname) for v in flt.value
+                ):
+                    return False
+            except (TypeError, ValueError):
+                pass  # incomparable probe type → fall through to stats
         if st is None:
             continue
         # "max" may be absent (upper-bound truncation gave up) → unbounded

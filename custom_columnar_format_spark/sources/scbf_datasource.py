@@ -440,6 +440,10 @@ class ScbfWriter(DataSourceArrowWriter):
             raise ValueError("scbf write requires a path: .save('/path/to/dir')")
         self.level = int(options.get("compression_level", codec.DEFAULT_ZLIB_LEVEL))
         self.version = int(options.get("version", "1"))
+        bloom_opt = options.get("bloom_filters", "")
+        self.bloom_columns: List[str] = [c.strip() for c in bloom_opt.split(",") if c.strip()]
+        if self.bloom_columns and self.version != 2:
+            raise ValueError("bloom_filters requires .option('version', '2')")
         self.overwrite = overwrite
         part_opt = options.get("partition_by", "")
         self.partition_by: List[str] = [c.strip() for c in part_opt.split(",") if c.strip()]
@@ -455,6 +459,15 @@ class ScbfWriter(DataSourceArrowWriter):
         data_fields = [f for f in schema.fields if f.name not in self.partition_by]
         if not data_fields:
             raise ValueError("partition_by cannot cover every column")
+        data_by_name = {f.name: f for f in data_fields}
+        for c in self.bloom_columns:
+            if c not in data_by_name:
+                raise ValueError(f"bloom_filters column {c!r} not in data columns")
+            if not isinstance(data_by_name[c].dataType, (IntegerType, LongType, StringType)):
+                raise ValueError(
+                    f"bloom_filters column {c!r} must be int/long/string "
+                    f"(got {data_by_name[c].dataType.simpleString()})"
+                )
         if self.version == 2:
             ok = (IntegerType, LongType, DoubleType, BooleanType, StringType)
             for f in data_fields:
@@ -480,7 +493,7 @@ class ScbfWriter(DataSourceArrowWriter):
         tmp = os.path.join(directory, f".tmp-{file_id}.scbf")
         final = os.path.join(directory, f"part-{file_id}.scbf")
         if self.version == 2:
-            codec_v2.write_arrow_table(tmp, table, self.level)
+            codec_v2.write_arrow_table(tmp, table, self.level, bloom_columns=self.bloom_columns)
         else:
             codec.write_arrow_table(tmp, table, self.level)
         return (tmp, final)
@@ -668,7 +681,10 @@ class ScbfDataSource(DataSource):
     Write options: ``compression_level`` (zlib 0-9, default 6), ``version``
     (1 or 2), ``partition_by`` (comma-separated columns → hive ``k=v``
     directory layout; readers reconstruct the columns from the path and
-    prune whole directories on pushed filters without touching a file).
+    prune whole directories on pushed filters without touching a file),
+    ``bloom_filters`` (v2, comma-separated int/string columns → per-file
+    Bloom filters in the footer; ``=``/``IN`` predicates then skip files
+    whose key range overlaps but which provably lack the value).
     """
 
     @classmethod

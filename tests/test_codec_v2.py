@@ -164,3 +164,71 @@ def test_utf8_stat_truncation_preserves_bounds(tmp_path):
     assert codec_v2.file_may_match(meta, [GreaterThan(("s",), "b" * 64)])
     # and still prunes what it can
     assert not codec_v2.file_may_match(meta, [GreaterThan(("s",), "z")])
+
+
+def test_bloom_filter_roundtrip_and_membership(tmp_path):
+    import pyarrow as pa
+
+    from custom_columnar_format_spark.scbf import codec_v2
+
+    path = str(tmp_path / "bloom.scbf")
+    t = pa.table(
+        {
+            "id": pa.array([3, 17, 42, 99], type=pa.int64()),
+            "name": pa.array(["alpha", "beta", "gamma", "delta"]),
+            "score": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    codec_v2.write_arrow_table(path, t, bloom_columns=["id", "name"])
+    meta = codec_v2.read_meta(path)
+    by_name = {c["name"]: c for c in meta["columns"]}
+    assert "bloom" in by_name["id"] and "bloom" in by_name["name"]
+    assert "bloom" not in by_name["score"]
+
+    bl, tn = by_name["id"]["bloom"], "int64"
+    assert all(codec_v2.bloom_contains(bl, v, tn) for v in (3, 17, 42, 99))
+    # 1% target fpp: 200 absent probes should essentially all miss
+    misses = sum(not codec_v2.bloom_contains(bl, v, tn) for v in range(1000, 1200))
+    assert misses >= 190
+    sbl = by_name["name"]["bloom"]
+    assert codec_v2.bloom_contains(sbl, "alpha", "utf8")
+    assert not codec_v2.bloom_contains(sbl, "omega", "utf8")
+    # data blocks unaffected
+    assert codec_v2.read_arrow_table(path).num_rows == 4
+
+
+def test_bloom_skips_files_minmax_cannot(tmp_path):
+    """Keys striped across files so every file spans the whole range —
+    min/max stats prune nothing, the bloom filter prunes everything for an
+    absent key and keeps exactly the one file holding a present key."""
+    import glob as g
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualTo
+
+    from custom_columnar_format_spark.scbf import codec_v2
+
+    for fi in range(4):
+        # file fi holds ids ≡ fi (mod 4), plus common endpoints 0 and 10000
+        ids = [0, 10_000] + list(range(100 + fi, 900, 4))
+        t = pa.table({"id": pa.array(ids, type=pa.int64())})
+        codec_v2.write_arrow_table(str(tmp_path / f"part-{fi}.scbf"), t, bloom_columns=["id"])
+
+    files = sorted(g.glob(str(tmp_path / "*.scbf")))
+    metas = [codec_v2.read_meta(p) for p in files]
+    present, absent = 101, 901  # 901 ≡ 1 mod 4 but range(101, 900, 4) tops out at 897
+
+    alive_minmax_only = [
+        m for m in metas
+        if (lambda st: st["min"] <= absent <= st["max"])(m["columns"][0]["stats"])
+    ]
+    assert len(alive_minmax_only) == 4  # stats alone keep every file
+
+    alive = [m for m in metas if codec_v2.file_may_match(m, [EqualTo(("id",), absent)])]
+    assert len(alive) == 0  # bloom proves absence everywhere
+    # present key: the holder MUST stay alive (no false negatives); other
+    # files may rarely false-positive (~1% fpp), but never all of them
+    holder = metas[(present - 100) % 4]
+    assert codec_v2.file_may_match(holder, [EqualTo(("id",), present)])
+    alive = [m for m in metas if codec_v2.file_may_match(m, [EqualTo(("id",), present)])]
+    assert 1 <= len(alive) < 4
