@@ -917,3 +917,45 @@ def q_scbf_bloom_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@query(
+    "q_scbf_compact_agg",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag
+    """,
+    doc="compaction end-to-end: 24 small streaming-sized files rewritten to "
+    "<=4 sorted ones (operators/compact.py, staged write + swap), values "
+    "bit-identical — the small-files maintenance every streaming sink needs.",
+)
+def q_scbf_compact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import compact as compact_op
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|cmp".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_cmp_{tag}")
+
+    if not os.path.isdir(path):
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") <= 2000)
+            .select("l_orderkey", "l_returnflag", "l_quantity")
+        )
+        li.repartition(24).write.format("scbf").option("version", "2").mode(
+            "overwrite"
+        ).save(path)
+        compact_op.compact(spark, path, target_files=4, sort_by=["l_orderkey"])
+    return (
+        spark.read.format("scbf")
+        .load(path)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

@@ -988,3 +988,31 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mixing_weights(_docs_spread(spark, sf_dir))
+
+
+@query(
+    "q_dedup_incremental",
+    """
+    WITH h AS (
+      SELECT DISTINCT md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                                         '[ \\t\\n]+', ' ', 'g')) AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ), n AS (
+      SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'),
+                                '[ \\t\\n]+', ' ', 'g')) AS content_hash,
+             MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY 1
+    )
+    SELECT n.doc_id, n.content_hash
+    FROM n LEFT JOIN h USING (content_hash) WHERE h.content_hash IS NULL
+    """,
+    doc="incremental dedup: a new ingest batch (odd doc_ids) dedups within "
+    "itself then anti-joins the historical corpus's digest set (even "
+    "doc_ids) — both sides shuffle 16-byte digests, never documents.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )

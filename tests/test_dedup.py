@@ -84,3 +84,21 @@ def test_simhash_table_deterministic(docs):
     a = {r.id: r.sim for r in dedup.simhash_table(docs).collect()}
     b = {r.id: r.sim for r in dedup.simhash_table(docs).collect()}
     assert a == b and len(a) == len(DOCS)
+
+
+def test_incremental_dedup(spark):
+    from pyspark.sql import Row
+
+    hist = spark.createDataFrame(
+        [Row(doc_id=1, text="known doc"), Row(doc_id=2, text="other known")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="Known  DOC"),   # dup of history (normalized)
+            Row(doc_id=11, text="fresh content"),
+            Row(doc_id=12, text="fresh content"),  # within-batch dup of 11
+            Row(doc_id=13, text="also new"),
+        ]
+    )
+    out = sorted(r["doc_id"] for r in dedup.incremental_dedup(new, hist).collect())
+    assert out == [11, 13]
