@@ -205,3 +205,36 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("sum_value") * 1e4 + 0.5) / 1e4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_stream_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+            AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+            AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS stage_view,
+           (SELECT COUNT(*) FROM c) AS stage_click,
+           (SELECT COUNT(*) FROM p) AS stage_purchase
+    """,
+    doc="STREAMING funnel / CEP sequence detection (applyInPandasWithState): "
+    "per-user view→click→purchase chain with 24h step windows, three "
+    "timestamps of state per user — the MATCH_RECOGNIZE shape; drained "
+    "backlog must reproduce the batch funnel exactly (same oracle as "
+    "q_funnel_3step).",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    stages = _drain(ev.stateful_funnel(stream), output_mode="update")
+    return stages.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("stage_view"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("stage_click"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("stage_purchase"),
+    )

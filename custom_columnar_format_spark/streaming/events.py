@@ -243,3 +243,91 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),  # furthest stage reached: 1..n_steps
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        # earliest qualifying timestamp (µs) per stage, -1 = not reached
+        StructField("t1_us", LongType(), False),
+        StructField("t2_us", LongType(), False),
+        StructField("t3_us", LongType(), False),
+    ]
+)
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    step_within_seconds: int = 24 * 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming funnel / CEP pattern detector via ``applyInPandasWithState``:
+    per user, track the earliest event chain step1 → step2 → step3 where each
+    step lands within ``step_within_seconds`` of the previous one — the
+    MATCH_RECOGNIZE-style sequence detection Spark's built-in windows can't
+    express. Emits each user's furthest stage (update mode, monotone — later
+    batches only ever raise it); state is three timestamps per user, O(users)
+    regardless of event volume.
+
+    Semantics are identical to the batch funnel (queries/llm_ops.py
+    ``q_funnel_3step``): stage k's time is the MIN event time of type k in
+    ``(t_{k-1}, t_{k-1} + step]`` — a per-user fold over time-ordered events,
+    so a drained backlog reproduces the batch answer exactly (the driver's
+    oracle checks this).
+    """
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
+    if len(steps) != 3:
+        raise ValueError("stateful_funnel currently models 3-step funnels")
+    step_us = step_within_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[int], batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        t = list(state.get) if state.exists else [-1, -1, -1]
+
+        rows = []
+        for pdf in batches:
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            rows.extend(zip(ts_us, pdf["event_type"]))
+        rows.sort()
+
+        for ts, etype in rows:
+            # stage 1: unconditional earliest occurrence of steps[0]
+            if etype == steps[0] and (t[0] == -1 or ts < t[0]):
+                t[0], t[1], t[2] = ts, -1, -1  # earlier anchor resets the chain
+            for k in (1, 2):
+                if (
+                    etype == steps[k]
+                    and t[k - 1] != -1
+                    and t[k] == -1
+                    and t[k - 1] < ts <= t[k - 1] + step_us
+                ):
+                    t[k] = ts
+        state.update(tuple(t))
+        stage = 3 if t[2] != -1 else 2 if t[1] != -1 else 1 if t[0] != -1 else 0
+        if stage:
+            yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+        else:
+            yield pd.DataFrame({"user_id": [], "stage": []}).astype("int64")
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

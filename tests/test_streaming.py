@@ -154,3 +154,15 @@ def test_stream_source_from_scbf(spark, tmp_path_factory):
     # total is 60, not 110)
     assert got == set(range(60))
     assert drain().count() == 60  # no new files → nothing appended
+
+
+def test_stateful_funnel_matches_batch(spark, sf_small, tmp_path):
+    """Drained streaming funnel == batch funnel (same per-stage counts)."""
+    import __spark_entry__ as E
+    from custom_columnar_format_spark.queries.streaming_queries import q_stream_funnel
+
+    got = q_stream_funnel(spark, sf_small).collect()[0]
+    want = E.queries()["q_funnel_3step"](spark, sf_small).collect()[0]
+    assert (got.stage_view, got.stage_click, got.stage_purchase) == (
+        want.stage_view, want.stage_click, want.stage_purchase,
+    )
