@@ -144,3 +144,38 @@ def _aqe_off(spark):
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
+    """Fleet-wide plan lint: NO registered relational/LLM query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — the two shapes that melt
+    at 100 TB. Allowlist: queries whose SEMANTICS are a cross join (explicit
+    cross-join query; scalar-subquery × scalar-subquery joins, where the
+    build side is provably one row)."""
+    allow = {
+        "q_cross_join_segments",   # intentionally a cartesian (tiny × tiny)
+        "q_funnel_3step",          # joins three single-row aggregates at the top
+        "q_stream_funnel",         # same single-row count join shape
+        "q_scalar_subquery",       # scalar subquery literally (1-row build side)
+        "q11_important_parts",     # HAVING vs scalar-total threshold (1-row build)
+        "q22_idle_customers",      # scalar AVG threshold (1-row build)
+        "q_tfidf_top_terms",       # IDF needs the scalar corpus doc count (1-row build)
+        "q_mix_weights",           # scalar normalizer over a 20-row group table
+        # exact-quadratic tier ON PURPOSE: it is the oracle-checkable answer;
+        # the production path is the LSH-bucketed tier (equi-join on lsh_sig,
+        # recall-tested in tests/test_similarity.py)
+        "q_embedding_neardup",
+    }
+    skip_prefixes = ("q_scbf_", "q_stream_", "q_csv_", "q_json_")  # side-effecting / drained elsewhere
+    bad = {}
+    for name, q in qs.items():
+        if name in allow or name.startswith(skip_prefixes):
+            continue
+        try:
+            p = plan_of(q.fn(spark, sf_small), mode="simple")
+        except Exception:
+            continue  # environment-gated queries lint nothing
+        hits = [m for m in ("CartesianProduct", "BroadcastNestedLoop") if m in p]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale-hostile join shapes: {bad}"
