@@ -232,3 +232,25 @@ def test_bloom_skips_files_minmax_cannot(tmp_path):
     assert codec_v2.file_may_match(holder, [EqualTo(("id",), present)])
     alive = [m for m in metas if codec_v2.file_may_match(m, [EqualTo(("id",), present)])]
     assert 1 <= len(alive) < 4
+
+
+def test_bloom_never_false_negative_property(tmp_path):
+    """Hypothesis: every written value is always may-contain (the correctness
+    contract; false positives are allowed, false negatives never)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from custom_columnar_format_spark.scbf import codec_v2
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        ints=st.sets(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+        strs=st.sets(st.text(min_size=0, max_size=40), min_size=1, max_size=100),
+    )
+    def check(ints, strs):
+        bi = codec_v2._bloom_of(list(ints), "int64")
+        assert all(codec_v2.bloom_contains(bi, v, "int64") for v in ints)
+        bs = codec_v2._bloom_of(list(strs), "utf8")
+        assert all(codec_v2.bloom_contains(bs, s, "utf8") for s in strs)
+
+    check()
