@@ -1016,3 +1016,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
     )
+
+
+@query(
+    "q_pagerank_suppliers",
+    # fixed-3-iteration power method, unrolled as chained CTEs — exactly the
+    # engine's loop (undirected edges, no dangling mass, d = 0.85)
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+    ), n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT u, 1.0 / n.n AS rank FROM deg, n),
+    r1 AS (
+      SELECT d.u, 0.15 / any_value(n.n) + 0.85 * COALESCE(SUM(r.rank / rd.deg), 0) AS rank
+      FROM deg d CROSS JOIN n
+      LEFT JOIN und e ON e.v = d.u
+      LEFT JOIN r0 r ON r.u = e.u LEFT JOIN deg rd ON rd.u = e.u
+      GROUP BY d.u
+    ),
+    r2 AS (
+      SELECT d.u, 0.15 / any_value(n.n) + 0.85 * COALESCE(SUM(r.rank / rd.deg), 0) AS rank
+      FROM deg d CROSS JOIN n
+      LEFT JOIN und e ON e.v = d.u
+      LEFT JOIN r1 r ON r.u = e.u LEFT JOIN deg rd ON rd.u = e.u
+      GROUP BY d.u
+    ),
+    r3 AS (
+      SELECT d.u, 0.15 / any_value(n.n) + 0.85 * COALESCE(SUM(r.rank / rd.deg), 0) AS rank
+      FROM deg d CROSS JOIN n
+      LEFT JOIN und e ON e.v = d.u
+      LEFT JOIN r2 r ON r.u = e.u LEFT JOIN deg rd ON rd.u = e.u
+      GROUP BY d.u
+    )
+    SELECT u - 1000000 AS supplier, floor(rank * 100000000 + 0.5) / 100000000 AS rank
+    FROM r3 WHERE u > 1000000
+    ORDER BY rank DESC, supplier LIMIT 25
+    """,
+    doc="PageRank (3 power iterations, d=0.85) over the undirected "
+    "customer-supplier interaction graph (orders x lineitem): the "
+    "iterative-DataFrame pattern — one shuffle per round, per-node state, "
+    "localCheckpoint lineage cuts; top-25 most-central suppliers.",
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pagerank as pr
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # offset supplier ids into their own node-id space (customer and
+            # supplier keys overlap numerically)
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pr.pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.filter(F.col("node") > 1_000_000)
+        .select(
+            (F.col("node") - 1_000_000).alias("supplier"),
+            (F.floor(F.col("rank") * 100_000_000 + 0.5) / 100_000_000).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "supplier")
+        .limit(25)
+    )
