@@ -7,8 +7,9 @@ v2 is OUR format (the reference defines only v1), so the layout is designed
 for object stores and distributed writers from the start:
 
     magic "SCBFv2\\0\\0"
-    <data blocks ...>                (zlib, per column / per role)
-    <metadata JSON, zlib>            (footer, like Parquet's)
+    <data blocks ...>                (per column / per role; file-level codec:
+                                      zlib default, bz2 | lzma | none)
+    <metadata JSON, zlib>            (footer, like Parquet's; names the codec)
     u64 meta_comp_len | magic tail
 
 - **Footer metadata**: written last, so the writer is one forward pass with
@@ -50,6 +51,32 @@ DICT_RATIO = 0.5
 MAX_STAT_STR = 64
 
 
+def _c_zlib(raw, level): return zlib.compress(raw, level)
+def _c_bz2(raw, level):
+    import bz2
+    return bz2.compress(raw, max(1, min(9, level)))
+def _c_lzma(raw, level):
+    import lzma
+    return lzma.compress(raw, preset=max(0, min(9, level)))
+def _c_none(raw, level): return raw
+def _d_bz2(comp):
+    import bz2
+    return bz2.decompress(comp)
+def _d_lzma(comp):
+    import lzma
+    return lzma.decompress(comp)
+
+#: pluggable block codecs (all stdlib — Parquet-style per-file codec choice):
+#: zlib = balanced default, bz2/lzma = colder data & better ratios, none =
+#: hot data where decompress CPU dominates (e.g. NVMe-local shuffle spill)
+BLOCK_CODECS = {
+    "zlib": (_c_zlib, zlib.decompress),
+    "bz2": (_c_bz2, _d_bz2),
+    "lzma": (_c_lzma, _d_lzma),
+    "none": (_c_none, lambda b: b),
+}
+
+
 class ScbfV2Error(ValueError):
     pass
 
@@ -72,13 +99,16 @@ class BlockRef:
 class _BlockWriter:
     """Appends compressed blocks, tracking offsets/crc — one forward pass."""
 
-    def __init__(self, f: BinaryIO, level: int):
+    def __init__(self, f: BinaryIO, level: int, codec: str = "zlib"):
+        if codec not in BLOCK_CODECS:
+            raise ScbfV2Error(f"unknown codec {codec!r}; have {sorted(BLOCK_CODECS)}")
         self.f = f
         self.level = level
+        self.codec = codec
         self.pos = f.write(MAGIC_V2)
 
     def put(self, raw: bytes) -> BlockRef:
-        comp = zlib.compress(raw, self.level)
+        comp = BLOCK_CODECS[self.codec][0](raw, self.level)
         ref = BlockRef(self.pos, len(comp), len(raw), zlib.crc32(comp) & 0xFFFFFFFF)
         self.f.write(comp)
         self.pos += len(comp)
@@ -192,6 +222,7 @@ def write_arrow_table(
     table,
     level: int = DEFAULT_ZLIB_LEVEL,
     bloom_columns: Optional[Sequence[str]] = None,
+    codec: str = "zlib",
 ) -> None:
     """Write a ``pyarrow.Table`` as one SCBF v2 file (nulls allowed).
 
@@ -206,7 +237,7 @@ def write_arrow_table(
     bloom_set = set(bloom_columns or ())
 
     with open(path, "wb") as f:
-        bw = _BlockWriter(f, level)
+        bw = _BlockWriter(f, level, codec)
         columns_meta: List[dict] = []
         for fld in table.schema:
             col = table.column(fld.name).combine_chunks()
@@ -305,7 +336,7 @@ def write_arrow_table(
                     cm["bloom"] = bloom
             columns_meta.append(cm)
 
-        meta = {"version": 2, "rows": table.num_rows, "columns": columns_meta}
+        meta = {"version": 2, "rows": table.num_rows, "codec": codec, "columns": columns_meta}
         meta_comp = zlib.compress(json.dumps(meta).encode("utf-8"), level)
         f.write(meta_comp)
         f.write(struct.pack("<Q", len(meta_comp)))
@@ -326,12 +357,12 @@ def read_meta(path: str) -> dict:
         return json.loads(zlib.decompress(f.read(meta_len)).decode("utf-8"))
 
 
-def _get_block(f: BinaryIO, ref: BlockRef, verify: bool = True) -> bytes:
+def _get_block(f: BinaryIO, ref: BlockRef, verify: bool = True, codec: str = "zlib") -> bytes:
     f.seek(ref.offset)
     comp = f.read(ref.comp)
     if verify and (zlib.crc32(comp) & 0xFFFFFFFF) != ref.crc32:
         raise ScbfV2Error(f"crc32 mismatch at offset {ref.offset}: corrupted block")
-    raw = zlib.decompress(comp)
+    raw = BLOCK_CODECS[codec][1](comp)
     if len(raw) != ref.uncomp:
         raise ScbfV2Error("uncompressed size mismatch: corrupted block")
     return raw
@@ -346,6 +377,9 @@ def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_
     import pyarrow as pa
 
     meta = read_meta(path)
+    codec = meta.get("codec", "zlib")  # absent in pre-codec files
+    if codec not in BLOCK_CODECS:
+        raise ScbfV2Error(f"file uses unknown codec {codec!r}; have {sorted(BLOCK_CODECS)}")
     by_name = {c["name"]: c for c in meta["columns"]}
     selected = list(columns) if columns is not None else [c["name"] for c in meta["columns"]]
     rows = meta["rows"]
@@ -359,14 +393,14 @@ def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_
             refs = {k: BlockRef.from_json(v) for k, v in cm["blocks"].items()}
             validity_buf = None
             if "validity" in refs:
-                validity_buf = pa.py_buffer(_get_block(f, refs["validity"], verify_crc))
+                validity_buf = pa.py_buffer(_get_block(f, refs["validity"], verify_crc, codec))
             pa_type = getattr(pa, _PA_TYPES[cm["type"]])()
 
             if cm["type"] == "utf8":
                 if cm["dict"]:
-                    idx = np.frombuffer(_get_block(f, refs["indices"], verify_crc), dtype="<u4", count=rows)
-                    d_offs = _get_block(f, refs["dict_offsets"], verify_crc)
-                    d_blob = _get_block(f, refs["dict_blob"], verify_crc)
+                    idx = np.frombuffer(_get_block(f, refs["indices"], verify_crc, codec), dtype="<u4", count=rows)
+                    d_offs = _get_block(f, refs["dict_offsets"], verify_crc, codec)
+                    d_blob = _get_block(f, refs["dict_blob"], verify_crc, codec)
                     n_dict = len(d_offs) // 4 - 1
                     dict_arr = pa.StringArray.from_buffers(
                         n_dict, pa.py_buffer(d_offs), pa.py_buffer(d_blob)
@@ -376,14 +410,14 @@ def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_
                     )
                     arr = pa.DictionaryArray.from_arrays(indices, dict_arr).cast(pa.string())
                 else:
-                    offs = _get_block(f, refs["offsets"], verify_crc)
-                    blob = _get_block(f, refs["blob"], verify_crc)
+                    offs = _get_block(f, refs["offsets"], verify_crc, codec)
+                    blob = _get_block(f, refs["blob"], verify_crc, codec)
                     np_offs = np.frombuffer(offs, dtype="<u4", count=rows + 1)
                     arr = pa.StringArray.from_buffers(
                         rows, pa.py_buffer(np_offs.astype("<i4").tobytes()), pa.py_buffer(blob), validity_buf
                     )
             else:
-                raw = _get_block(f, refs["data"], verify_crc)
+                raw = _get_block(f, refs["data"], verify_crc, codec)
                 if cm["type"] == "bool":
                     # stored as u1 bytes; Arrow wants bit-packed values
                     vals = np.frombuffer(raw, dtype="u1", count=rows)

@@ -444,6 +444,14 @@ class ScbfWriter(DataSourceArrowWriter):
         self.bloom_columns: List[str] = [c.strip() for c in bloom_opt.split(",") if c.strip()]
         if self.bloom_columns and self.version != 2:
             raise ValueError("bloom_filters requires .option('version', '2')")
+        self.codec = options.get("codec", "zlib")
+        if self.codec != "zlib":
+            if self.version != 2:
+                raise ValueError("codec requires .option('version', '2') (v1 is zlib-only)")
+            if self.codec not in codec_v2.BLOCK_CODECS:
+                raise ValueError(
+                    f"unknown codec {self.codec!r}; have {sorted(codec_v2.BLOCK_CODECS)}"
+                )
         self.overwrite = overwrite
         part_opt = options.get("partition_by", "")
         self.partition_by: List[str] = [c.strip() for c in part_opt.split(",") if c.strip()]
@@ -493,7 +501,9 @@ class ScbfWriter(DataSourceArrowWriter):
         tmp = os.path.join(directory, f".tmp-{file_id}.scbf")
         final = os.path.join(directory, f"part-{file_id}.scbf")
         if self.version == 2:
-            codec_v2.write_arrow_table(tmp, table, self.level, bloom_columns=self.bloom_columns)
+            codec_v2.write_arrow_table(
+                tmp, table, self.level, bloom_columns=self.bloom_columns, codec=self.codec
+            )
         else:
             codec.write_arrow_table(tmp, table, self.level)
         return (tmp, final)
@@ -684,7 +694,9 @@ class ScbfDataSource(DataSource):
     prune whole directories on pushed filters without touching a file),
     ``bloom_filters`` (v2, comma-separated int/string columns → per-file
     Bloom filters in the footer; ``=``/``IN`` predicates then skip files
-    whose key range overlaps but which provably lack the value).
+    whose key range overlaps but which provably lack the value),
+    ``codec`` (v2 block compression: zlib default, bz2/lzma for colder
+    data & better ratios, none for decode-CPU-bound hot data).
     """
 
     @classmethod

@@ -254,3 +254,42 @@ def test_bloom_never_false_negative_property(tmp_path):
         assert all(codec_v2.bloom_contains(bs, s, "utf8") for s in strs)
 
     check()
+
+
+@pytest.mark.parametrize("codec", ["zlib", "bz2", "lzma", "none"])
+def test_block_codecs_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"c_{codec}.scbf")
+    codec_v2.write_arrow_table(p, _table(), codec=codec)
+    meta = codec_v2.read_meta(p)
+    assert meta.get("codec", "zlib") == codec
+    back = codec_v2.read_arrow_table(p)
+    assert back.column("i32").to_pylist() == [1, None, 3, 4]
+    assert back.column("s").to_pylist() == ["aa", None, "", "aa"]
+
+
+def test_codec_none_blocks_are_raw_and_crc_guarded(tmp_path):
+    p = str(tmp_path / "raw.scbf")
+    codec_v2.write_arrow_table(p, _table(), codec="none")
+    meta = codec_v2.read_meta(p)
+    ref = [c for c in meta["columns"] if c["name"] == "i32"][0]["blocks"]["data"]
+    assert ref["comp"] == ref["uncomp"]  # stored uncompressed
+    with open(p, "r+b") as f:
+        f.seek(ref["offset"])
+        f.write(b"\xff\xff")
+    with pytest.raises(codec_v2.ScbfV2Error, match="crc32"):
+        codec_v2.read_arrow_table(p, ["i32"])
+
+
+def test_spark_codec_option_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "sp_lzma")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    df.write.format("scbf").option("version", "2").option("codec", "lzma").mode(
+        "overwrite"
+    ).save(out)
+    import glob as g
+
+    meta = codec_v2.read_meta(g.glob(os.path.join(out, "*.scbf"))[0])
+    assert meta["codec"] == "lzma"
+    assert sorted(spark.read.format("scbf").load(out).collect()) == sorted(df.collect())
+    with pytest.raises(Exception, match="zlib-only|version"):
+        df.write.format("scbf").option("codec", "lzma").mode("overwrite").save(out + "2")
