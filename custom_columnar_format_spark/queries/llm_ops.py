@@ -1087,3 +1087,62 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "supplier")
         .limit(25)
     )
+
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST((CAST(a.w AS DATE) - CAST(f.cohort AS DATE)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: users grouped by first-seen week, counted "
+    "in each subsequent active week — two aggregations and one user-key "
+    "join, the product-analytics staple; distinct-per-week dedup keeps the "
+    "join input at one row per (user, week).",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_date")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort_date")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_provenance_by_file",
+    # each sf dir holds one file per table, so the oracle pins the constant —
+    # the point is the Spark side: hidden _metadata columns give row-level
+    # file provenance with zero stored bytes
+    """
+    SELECT 'documents.parquet' AS source_file, lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 2
+    """,
+    doc="row-level provenance via the hidden _metadata file columns (which "
+    "physical file each row came from — the audit/backfill primitive); "
+    "grouped per (file, lang) with zero bytes stored per row.",
+)
+def q_provenance_by_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("_metadata.file_name").alias("source_file"), "lang")
+        .groupBy("source_file", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
