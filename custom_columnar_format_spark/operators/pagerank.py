@@ -43,6 +43,8 @@ def pagerank(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select("u")
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks (not a 1/0 teleport term)
+        return nodes.select(F.col("u").alias("node"), F.lit(0.0).alias("rank"))
 
     out_edges = und.join(deg, "u").localCheckpoint()  # (u, v, deg) — reused every round
     ranks = nodes.select("u", F.lit(1.0 / n).alias("rank"))

@@ -29,3 +29,12 @@ def test_star_graph_center_dominates(spark):
 def test_zero_iterations_is_uniform(spark):
     r = _ranks(spark, [(1, 2), (3, 4)], iterations=0)
     assert set(r.values()) == {0.25}
+
+
+def test_empty_graph(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    )
+    assert pagerank.pagerank(empty, iterations=2).count() == 0
