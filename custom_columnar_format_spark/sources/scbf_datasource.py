@@ -444,6 +444,9 @@ class ScbfWriter(DataSourceArrowWriter):
         self.bloom_columns: List[str] = [c.strip() for c in bloom_opt.split(",") if c.strip()]
         if self.bloom_columns and self.version != 2:
             raise ValueError("bloom_filters requires .option('version', '2')")
+        self.max_records_per_file = int(options.get("max_records_per_file", "0"))
+        if self.max_records_per_file < 0:
+            raise ValueError("max_records_per_file must be >= 0 (0 = unlimited)")
         self.codec = options.get("codec", "zlib")
         if self.codec != "zlib":
             if self.version != 2:
@@ -508,6 +511,18 @@ class ScbfWriter(DataSourceArrowWriter):
             codec.write_arrow_table(tmp, table, self.level)
         return (tmp, final)
 
+    def _write_sized(self, directory: str, table) -> list:
+        """One file per ``max_records_per_file`` slice (zero-copy Arrow
+        slices), or a single file when unset — the parquet-writer knob that
+        keeps file sizes bounded no matter how large a task's partition is."""
+        if not self.max_records_per_file or table.num_rows <= self.max_records_per_file:
+            return [self._write_one(directory, table)]
+        step = self.max_records_per_file
+        return [
+            self._write_one(directory, table.slice(off, step))
+            for off in range(0, table.num_rows, step)
+        ]
+
     def write(self, iterator: Iterator) -> ScbfCommitMessage:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -518,7 +533,7 @@ class ScbfWriter(DataSourceArrowWriter):
         table = pa.Table.from_batches(batches)
         if not self.partition_by:
             return ScbfCommitMessage(
-                files=(self._write_one(self.path, table),), rows=table.num_rows
+                files=tuple(self._write_sized(self.path, table)), rows=table.num_rows
             )
 
         # Hive-layout write: one file per distinct partition-value combo seen
@@ -547,7 +562,7 @@ class ScbfWriter(DataSourceArrowWriter):
             directory = os.path.join(
                 self.path, *[f"{k}={quote(str(v), safe='')}" for k, v in vals.items()]
             )
-            files.append(self._write_one(directory, sub))
+            files.extend(self._write_sized(directory, sub))
         return ScbfCommitMessage(files=tuple(files), rows=table.num_rows)
 
     def commit(self, messages):
@@ -696,7 +711,9 @@ class ScbfDataSource(DataSource):
     Bloom filters in the footer; ``=``/``IN`` predicates then skip files
     whose key range overlaps but which provably lack the value),
     ``codec`` (v2 block compression: zlib default, bz2/lzma for colder
-    data & better ratios, none for decode-CPU-bound hot data).
+    data & better ratios, none for decode-CPU-bound hot data),
+    ``max_records_per_file`` (split each task's output into bounded-size
+    files — the parquet-writer knob; 0/unset = one file per partition).
     """
 
     @classmethod

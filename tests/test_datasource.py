@@ -185,3 +185,29 @@ def test_partition_value_strict_int_inference(spark, tmp_path):
     back = spark.read.format("scbf").load(out)
     assert dict(back.dtypes)["k"] == "string"
     assert {r.k for r in back.select("k").collect()} == {"1_0", "2_5"}
+
+
+def test_max_records_per_file_bounds_output(spark, tmp_path):
+    import glob as g
+
+    out = str(tmp_path / "sized")
+    df = spark.range(1000).select(F.col("id").cast("int").alias("id")).coalesce(1)
+    df.write.format("scbf").option("version", "2").option(
+        "max_records_per_file", "300"
+    ).mode("overwrite").save(out)
+    files = g.glob(os.path.join(out, "*.scbf"))
+    assert len(files) == 4  # 300+300+300+100 from the single task
+    back = spark.read.format("scbf").load(out)
+    assert back.count() == 1000 and back.distinct().count() == 1000
+
+    # partitioned variant: sizing applies per partition directory
+    out2 = str(tmp_path / "sized_pt")
+    df2 = spark.range(1000).select(
+        F.col("id").cast("int").alias("id"), (F.col("id") % 2).cast("int").alias("pk")
+    ).coalesce(1)
+    df2.write.format("scbf").option("version", "2").option("partition_by", "pk").option(
+        "max_records_per_file", "200"
+    ).mode("overwrite").save(out2)
+    for d in ("pk=0", "pk=1"):
+        assert len(g.glob(os.path.join(out2, d, "*.scbf"))) == 3  # 200+200+100
+    assert spark.read.format("scbf").load(out2).count() == 1000
