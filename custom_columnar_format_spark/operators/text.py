@@ -102,9 +102,14 @@ def fingerprint_md5(text: Column) -> Column:
 
 
 def fingerprint_winnow(text: Column, k: int = 8, num_bands: int = 4) -> Column:
-    """Winnowing-style content fingerprint: min xxhash64 over character
-    k-grams, per hash band — robust to small edits (unlike md5). Spark-native
-    (sequence + transform + array_min), no Python in the loop."""
+    """Winnowing-style content fingerprint: per hash band, the minimum
+    12-hex-char md5 prefix over character k-grams — robust to small edits
+    (unlike a whole-document md5). Min is taken lexicographically on the
+    fixed-width hex strings (== numeric order), which keeps the fingerprint
+    byte-identical across engines: any SQL engine with ``md5`` can recompute
+    it, so the driver oracle value-checks this op (xxhash64, the previous
+    hash, exists in no other engine). Spark-native (sequence + transform +
+    array_min), no Python in the loop."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     n = F.length(normalized)
     grams = F.transform(
@@ -112,10 +117,12 @@ def fingerprint_winnow(text: Column, k: int = 8, num_bands: int = 4) -> Column:
         lambda i: normalized.substr(i, F.lit(k)),
     )
     mins = [
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(F.concat(g, F.lit(f"#b{b}")))))
+        F.array_min(
+            F.transform(grams, lambda g: F.substring(F.md5(F.concat(g, F.lit(f"#b{b}"))), 1, 12))
+        )
         for b in range(num_bands)
     ]
-    return F.concat_ws("-", *[F.conv(F.abs(m).cast("string"), 10, 16) for m in mins])
+    return F.concat_ws("-", *mins)
 
 
 def winnow_table(
@@ -138,12 +145,15 @@ def winnow_table(
         ).alias("grams"),
     )
     mins = [
-        F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(F.concat(g, F.lit(f"#b{b}")))))
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda g: F.substring(F.md5(F.concat(g, F.lit(f"#b{b}"))), 1, 12),
+            )
+        )
         for b in range(num_bands)
     ]
-    return grams.select(
-        id_col, F.concat_ws("-", *[F.conv(F.abs(m).cast("string"), 10, 16) for m in mins]).alias("winnow_fp")
-    )
+    return grams.select(id_col, F.concat_ws("-", *mins).alias("winnow_fp"))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

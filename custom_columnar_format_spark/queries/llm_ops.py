@@ -330,8 +330,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_doc_fingerprint_winnow",
-    None,  # xxhash64-based; no DuckDB-identical hash — pinned by property tests
-    doc="winnowing fingerprint: banded min-hash over char 8-grams, edit-robust.",
+    # md5-prefix min per band: lexicographic min on fixed-width hex strings ==
+    # numeric min, and md5 exists in both engines — exact value check
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \\t\\n]+', ' ', 'g') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                            i -> substr(t, i, 8)) AS grams
+      FROM norm
+    )
+    SELECT doc_id,
+           list_min(list_transform(grams, x -> substr(md5(x || '#b0'), 1, 12))) || '-' ||
+           list_min(list_transform(grams, x -> substr(md5(x || '#b1'), 1, 12))) || '-' ||
+           list_min(list_transform(grams, x -> substr(md5(x || '#b2'), 1, 12))) || '-' ||
+           list_min(list_transform(grams, x -> substr(md5(x || '#b3'), 1, 12))) AS winnow_fp
+    FROM g
+    """,
+    doc="winnowing fingerprint: banded min md5-prefix over char 8-grams, "
+    "edit-robust (one changed char perturbs one gram window, not the whole "
+    "fingerprint like a document md5 would).",
 )
 def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_table(_docs_spread(spark, sf_dir))
