@@ -51,14 +51,20 @@ def compact(
     target_files: int | None = None,
     rows_per_file: int | None = None,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """Compact every leaf directory of an SCBF dataset.
 
     Size either by ``target_files`` per directory or ``rows_per_file``
     (exactly one). ``sort_by`` re-sorts within the directory before writing,
-    restoring tight min/max envelopes for stats pruning."""
+    restoring tight min/max envelopes for stats pruning on that column;
+    ``zorder_by`` instead clusters along the Morton curve of SEVERAL columns
+    (Delta's ``OPTIMIZE ... ZORDER BY``) so box predicates on all of them
+    skip files — see operators/zorder.py."""
     if (target_files is None) == (rows_per_file is None):
         raise ValueError("pass exactly one of target_files / rows_per_file")
+    if sort_by and zorder_by:
+        raise ValueError("pass at most one of sort_by / zorder_by")
 
     # heal any swap a previous driver crashed in the middle of, so the
     # backup's rows are visible again before we rewrite
@@ -78,6 +84,15 @@ def compact(
             n_out = max(1, target_files)
         if sort_by:
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        elif zorder_by:
+            from .zorder import zorder_value
+
+            df = (
+                zorder_value(df, zorder_by)
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
         else:
             df = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
 

@@ -110,3 +110,36 @@ def test_compact_heals_crashed_swap_first(spark, sf_small, tmp_path):
     assert stats["dirs"] == 2  # both partitions visible again and compacted
     assert spark.read.format("scbf").load(path).count() == n
     assert not os.path.exists(staging_path(part, ".compact-old"))
+
+
+def test_compact_zorder_by_enables_2d_skipping(spark, sf_small, tmp_path):
+    """OPTIMIZE ZORDER BY shape: fragmented append-order files → compacted
+    Morton-clustered ones; a 2-D box predicate then skips files on BOTH
+    columns via footer stats, which linear sorting can't give."""
+    path = str(tmp_path / "zc")
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(16).write.format("scbf").option("version", "2").mode("overwrite").save(path)
+    before = li.agg(F.round(F.sum("l_quantity"), 2).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+
+    stats = compact_op.compact(spark, path, target_files=8, zorder_by=["l_orderkey", "l_partkey"])
+    assert stats["files_before"] == 16
+
+    files = glob.glob(f"{path}/*.scbf")
+    probe = [
+        GreaterThanOrEqual(("l_orderkey",), 200), LessThanOrEqual(("l_orderkey",), 900),
+        GreaterThanOrEqual(("l_partkey",), 20), LessThanOrEqual(("l_partkey",), 120),
+    ]
+    alive = sum(1 for p in files if codec_v2.file_may_match(codec_v2.read_meta(p), probe))
+    assert alive < len(files), "z-ordered compaction must enable 2-D box skipping"
+
+    after = (
+        spark.read.format("scbf").load(path)
+        .agg(F.round(F.sum("l_quantity"), 2).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert (after.s, after.n) == (before.s, before.n)
+
+    with pytest.raises(ValueError, match="at most one"):
+        compact_op.compact(spark, path, target_files=4, sort_by=["l_orderkey"], zorder_by=["l_partkey"])
