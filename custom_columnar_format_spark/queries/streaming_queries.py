@@ -238,3 +238,25 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("stage") >= 2).cast("long")).alias("stage_click"),
         F.sum((F.col("stage") >= 3).cast("long")).alias("stage_purchase"),
     )
+
+
+@query(
+    "q_stream_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="STREAM-STREAM inner join (click attribution): watermarks on both "
+    "sides + a time-bounded join condition keep buffered state evictable — "
+    "the third Structured Streaming join type alongside stream-static and "
+    "windowed aggregation; drained backlog equals the batch join.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    s2 = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    return _drain(
+        ev.stream_stream_click_attribution(s1, s2), output_mode="append"
+    )

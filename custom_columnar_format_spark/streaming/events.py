@@ -331,3 +331,40 @@ def stateful_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_click_attribution(
+    views: DataFrame, clicks: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM inner join: attribute each click to the same user's
+    views in the preceding ``within`` interval. Both sides are watermarked
+    and the join condition carries the time bound, so each side's buffered
+    state is evicted once the other stream's watermark passes — the bounded-
+    state contract that makes stream-stream joins viable at 100 TB/day
+    (an unbounded-condition join would buffer both streams forever).
+    Inner-join results emit as matches arrive (no watermark holdback), so a
+    drained finite backlog reproduces the batch join exactly."""
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id"
+    )

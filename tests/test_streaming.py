@@ -166,3 +166,24 @@ def test_stateful_funnel_matches_batch(spark, sf_small, tmp_path):
     assert (got.stage_view, got.stage_click, got.stage_purchase) == (
         want.stage_view, want.stage_click, want.stage_purchase,
     )
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small):
+    from custom_columnar_format_spark.queries.streaming_queries import q_stream_stream_join
+
+    got = {tuple(r) for r in q_stream_stream_join(spark, sf_small).collect()}
+    ev_b = __import__("custom_columnar_format_spark.queries.tables", fromlist=["load"]).load(
+        spark, sf_small, "events"
+    )
+    v = ev_b.filter(F.col("event_type") == "view").select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts"))
+    c = ev_b.filter(F.col("event_type") == "click").select(F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
+    want = {
+        tuple(r)
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "view_id", "click_id").collect()
+    }
+    assert got == want and len(got) > 0
