@@ -293,3 +293,62 @@ def test_spark_codec_option_roundtrip(spark, tmp_path):
     assert sorted(spark.read.format("scbf").load(out).collect()) == sorted(df.collect())
     with pytest.raises(Exception, match="zlib-only|version"):
         df.write.format("scbf").option("codec", "lzma").mode("overwrite").save(out + "2")
+
+
+def test_v2_random_table_roundtrip_property(tmp_path):
+    """Hypothesis: any table over the five v2 types, with any null pattern
+    (incl. all-null and empty columns), round-trips value-identically —
+    dictionary and plain utf8 encodings both exercised by the generator."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    opt = st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1))
+    opt64 = st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    optf = st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True))
+    optb = st.one_of(st.none(), st.booleans())
+    # low-cardinality alphabet → dictionary path; full text → plain path
+    opts_dict = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+    opts_plain = st.one_of(st.none(), st.text(max_size=20))
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(opt, opt64, optf, optb, opts_dict, opts_plain), min_size=0, max_size=50
+        )
+    )
+    def check(data):
+        t = pa.table(
+            {
+                "i32": pa.array([r[0] for r in data], type=pa.int32()),
+                "i64": pa.array([r[1] for r in data], type=pa.int64()),
+                "f": pa.array([r[2] for r in data], type=pa.float64()),
+                "b": pa.array([r[3] for r in data], type=pa.bool_()),
+                "sd": pa.array([r[4] for r in data], type=pa.string()),
+                "sp": pa.array([r[5] for r in data], type=pa.string()),
+            }
+        )
+        p = str(tmp_path / "prop.scbf")
+        codec_v2.write_arrow_table(p, t)
+        back = codec_v2.read_arrow_table(p)
+        assert back.to_pylist() == t.to_pylist()
+
+    check()
+
+
+def test_v2_truncated_and_garbage_files_fail_loudly(tmp_path):
+    """Corruption never yields silent wrong data: truncations at every
+    region and random garbage all raise, none return rows."""
+    p = str(tmp_path / "whole.scbf")
+    codec_v2.write_arrow_table(p, _table())
+    blob = open(p, "rb").read()
+
+    for cut in (0, 4, 8, len(blob) // 2, len(blob) - 17, len(blob) - 1):
+        q = str(tmp_path / f"cut_{cut}.scbf")
+        open(q, "wb").write(blob[:cut])
+        with pytest.raises(Exception):
+            codec_v2.read_arrow_table(q)
+
+    g = str(tmp_path / "garbage.scbf")
+    open(g, "wb").write(b"\x99" * 256)
+    with pytest.raises(Exception):
+        codec_v2.read_arrow_table(g)
