@@ -1166,3 +1166,54 @@ def q_provenance_by_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_file", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "q_mix_weighted_sample",
+    """
+    WITH per AS (
+      SELECT source, CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(toks) AS allt FROM per),
+    w AS (
+      SELECT source, pow(CAST(toks AS DOUBLE) / allt, 0.7) AS powed FROM per, tot
+    ), quota AS (
+      SELECT source,
+             CAST(floor(powed / (SELECT SUM(powed) FROM w) * 200 + 0.5) AS BIGINT) AS q
+      FROM w
+    ), ranked AS (
+      SELECT doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source FROM ranked r JOIN quota USING (source)
+    WHERE r.rn <= quota.q
+    """,
+    doc="training-mix assembly end-to-end: temperature-scaled source weights "
+    "(share^0.7) turn into per-source row quotas (~200 total) drawn in "
+    "deterministic hash order — same rows on any cluster size; composes "
+    "mixing_weights with the stratified-sampling idiom in one plan.",
+)
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_spread(spark, sf_dir)
+    w = text.mixing_weights(d, alpha=0.7).select(
+        "source",
+        F.floor(F.col("mix_weight") * 200 + 0.5).cast("bigint").alias("q"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(w), "source")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source")
+    )
