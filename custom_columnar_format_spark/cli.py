@@ -129,6 +129,56 @@ def inspect(args) -> None:
         print(f"  {name}: {tp}")
 
 
+def compact_cmd(args) -> None:
+    """Table maintenance from the command line (operators/compact.py)."""
+    from pyspark.sql import SparkSession
+
+    from .operators import compact as compact_op
+    from .sources.scbf_datasource import register
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or _get_spark()
+    register(spark)
+    try:
+        stats = compact_op.compact(
+            spark,
+            args.path,
+            target_files=args.target_files,
+            rows_per_file=args.rows_per_file,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+        )
+        print(stats)
+    finally:
+        if existing is None:  # never stop a session the caller owns
+            spark.stop()
+
+
+def vacuum_cmd(args) -> None:
+    from .operators import vacuum
+
+    if args.recover:
+        print({"recovered": vacuum.recover(args.path)})
+    print(vacuum.vacuum(args.path, older_than_seconds=args.older_than))
+
+
+def snapshot_cmd(args) -> None:
+    from .operators import snapshot
+
+    if args.action == "create":
+        m = snapshot.create_snapshot(args.path, tag=args.tag)
+        print({"snapshot_id": m["snapshot_id"], "files": len(m["files"])})
+    elif args.action == "list":
+        for m in snapshot.list_snapshots(args.path):
+            print(
+                {"snapshot_id": m["snapshot_id"], "tag": m.get("tag"), "files": len(m["files"])}
+            )
+    elif args.action == "rollback":
+        print(snapshot.rollback(args.path, args.snapshot))
+    elif args.action == "expire":
+        print({"expired": snapshot.expire_snapshots(args.path, keep_last=args.keep_last)})
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scbf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -155,6 +205,29 @@ def main(argv=None) -> int:
     ins = sub.add_parser("inspect", help="print schema and row count (metadata-only read)")
     ins.add_argument("file_path")
     ins.set_defaults(fn=inspect)
+
+    cp = sub.add_parser("compact", help="rewrite small files; optional (z-)ordering")
+    cp.add_argument("path")
+    cp.add_argument("--target-files", type=int, default=None)
+    cp.add_argument("--rows-per-file", type=int, default=None)
+    cp.add_argument("--sort-by", default=None, help="comma-separated sort columns")
+    cp.add_argument("--zorder-by", default=None, help="comma-separated Morton-cluster columns")
+    cp.set_defaults(fn=compact_cmd)
+
+    vc = sub.add_parser("vacuum", help="remove orphaned scratch; optionally heal crashed swaps")
+    vc.add_argument("path")
+    vc.add_argument("--older-than", type=float, default=3600.0)
+    vc.add_argument("--recover", action="store_true",
+                    help="first restore any only-copy backups from crashed swaps")
+    vc.set_defaults(fn=vacuum_cmd)
+
+    sn = sub.add_parser("snapshot", help="create/list/rollback/expire dataset snapshots")
+    sn.add_argument("action", choices=["create", "list", "rollback", "expire"])
+    sn.add_argument("path")
+    sn.add_argument("--tag", default=None)
+    sn.add_argument("--snapshot", default=None, help="id or tag (rollback)")
+    sn.add_argument("--keep-last", type=int, default=1)
+    sn.set_defaults(fn=snapshot_cmd)
 
     args = p.parse_args(argv)
     args.fn(args)

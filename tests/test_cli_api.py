@@ -74,3 +74,36 @@ def test_reader_to_spark(spark, sample_csv, tmp_path):
     df = SCBFReader(scbf).to_spark(spark, columns=["id", "score"])
     assert df.schema.fieldNames() == ["id", "score"]
     assert df.count() == 3
+
+
+def test_cli_maintenance_surface(spark, sf_small, tmp_path, capsys):
+    """compact / snapshot / rollback / vacuum drive the operators end-to-end
+    from the CLI entry point."""
+    import glob as g
+
+    from custom_columnar_format_spark.cli import main
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "ds")
+    df = spark.read.parquet(f"{sf_small}/orders.parquet").select("o_orderkey", "o_totalprice")
+    df.repartition(6).write.format("scbf").option("version", "2").mode("overwrite").save(path)
+    n = spark.read.format("scbf").load(path).count()
+
+    assert main(["snapshot", "create", path, "--tag", "before"]) == 0
+    df.limit(100).coalesce(1).write.format("scbf").option("version", "2").mode("append").save(path)
+    assert spark.read.format("scbf").load(path).count() == n + 100
+
+    assert main(["snapshot", "list", path]) == 0
+    assert "before" in capsys.readouterr().out
+
+    assert main(["snapshot", "rollback", path, "--snapshot", "before"]) == 0
+    assert spark.read.format("scbf").load(path).count() == n
+
+    assert main(["compact", path, "--target-files", "2", "--sort-by", "o_orderkey"]) == 0
+    assert len(g.glob(os.path.join(path, "*.scbf"))) <= 2
+    assert spark.read.format("scbf").load(path).count() == n
+
+    os.makedirs(path + ".merge-tmp")
+    assert main(["vacuum", path, "--older-than", "0"]) == 0
+    assert not os.path.exists(path + ".merge-tmp")
