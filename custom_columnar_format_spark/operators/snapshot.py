@@ -157,3 +157,65 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
     for m in drop:
         os.unlink(_manifest_path(path, m["snapshot_id"]))
     return len(drop)
+
+
+def changed_files(path: str, from_snapshot, to_snapshot) -> list[str]:
+    """Data files added between two snapshots (append-only change feed).
+    Both manifests must still be fully readable; files REMOVED between the
+    snapshots (a rewrite or rollback happened in between) are an error —
+    this feed only describes appends, and pretending otherwise would silently
+    drop deletions."""
+    root = os.path.abspath(path)
+    older = {e["path"] for e in _resolve_manifest(path, from_snapshot)["files"]}
+    newer_m = _resolve_manifest(path, to_snapshot)
+    newer = {e["path"] for e in newer_m["files"]}
+    removed = older - newer
+    if removed:
+        raise ValueError(
+            f"snapshots {from_snapshot!r}→{to_snapshot!r} of {path} are not "
+            f"append-only: {len(removed)} file(s) were removed (rewrite or "
+            f"rollback in between): {sorted(removed)[:5]}"
+        )
+    added = [os.path.join(root, p) for p in sorted(newer - older)]
+    missing = [f for f in added if not os.path.isfile(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"change feed {from_snapshot!r}→{to_snapshot!r}: {len(missing)} "
+            f"added file(s) no longer exist: {[os.path.relpath(p, root) for p in missing[:5]]}"
+        )
+    return added
+
+
+def read_changes(spark, path: str, from_snapshot, to_snapshot):
+    """DataFrame over ONLY the rows appended between two snapshots — the
+    incremental-consumption primitive (downstream jobs process the delta,
+    never rescan 100 TB of history). Implemented as a temporary one-off
+    manifest over the added files, read through the same ``snapshot`` read
+    option as time travel."""
+    import json as _json
+
+    files = changed_files(path, from_snapshot, to_snapshot)
+    if not files:
+        # empty delta: an empty DataFrame with the dataset's schema
+        from ..sources.scbf_datasource import register
+
+        register(spark)
+        return spark.read.format("scbf").load(path).limit(0)
+    root = os.path.abspath(path)
+    snaps = list_snapshots(path)
+    delta_id = snaps[-1]["snapshot_id"] + 1 if snaps else 1
+    manifest = {
+        "snapshot_id": delta_id,
+        "tag": f"__delta_{from_snapshot}_{to_snapshot}",
+        "created_unix": time.time(),
+        "files": [
+            {"path": os.path.relpath(f, root).replace(os.sep, "/"), "bytes": os.path.getsize(f)}
+            for f in files
+        ],
+    }
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    tmp = _manifest_path(path, delta_id) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(path, delta_id))
+    return read_snapshot(spark, path, delta_id)

@@ -92,3 +92,27 @@ def test_snapshot_expiry_and_pruned_reads(spark, sf_small, tmp_path):
     assert [m["snapshot_id"] for m in snapshot.list_snapshots(path)] == [2]
     with pytest.raises(Exception, match="not found"):
         snapshot.snapshot_files(path, 1)
+
+
+def test_change_feed_between_snapshots(spark, sf_small, tmp_path):
+    """Incremental consumption: read_changes returns exactly the rows
+    appended between two snapshots; rewrites in between fail loudly."""
+    path = str(tmp_path / "cdf")
+    _write(spark, sf_small, path, 500)
+    snapshot.create_snapshot(path, tag="t1")
+    n1 = spark.read.format("scbf").load(path).count()
+
+    _write(spark, sf_small, path, 1000)  # append batch 2
+    snapshot.create_snapshot(path, tag="t2")
+    n2 = spark.read.format("scbf").load(path).count()
+
+    delta = snapshot.read_changes(spark, path, "t1", "t2")
+    assert delta.count() == n2 - n1
+    # empty delta between a snapshot and itself
+    assert snapshot.read_changes(spark, path, "t1", "t1").count() == 0
+
+    # a rollback between the snapshots breaks the append-only premise
+    snapshot.rollback(path, "t1")
+    snapshot.create_snapshot(path, tag="t3")
+    with pytest.raises(ValueError, match="not append-only"):
+        snapshot.changed_files(path, "t2", "t3")
