@@ -189,33 +189,16 @@ def changed_files(path: str, from_snapshot, to_snapshot) -> list[str]:
 def read_changes(spark, path: str, from_snapshot, to_snapshot):
     """DataFrame over ONLY the rows appended between two snapshots — the
     incremental-consumption primitive (downstream jobs process the delta,
-    never rescan 100 TB of history). Implemented as a temporary one-off
-    manifest over the added files, read through the same ``snapshot`` read
-    option as time travel."""
-    import json as _json
+    never rescan 100 TB of history). Served via the DataSource's ``files``
+    read option (explicit file pinning), so reading a delta never writes
+    table metadata."""
+    from ..sources.scbf_datasource import register
 
+    register(spark)
     files = changed_files(path, from_snapshot, to_snapshot)
     if not files:
         # empty delta: an empty DataFrame with the dataset's schema
-        from ..sources.scbf_datasource import register
-
-        register(spark)
         return spark.read.format("scbf").load(path).limit(0)
     root = os.path.abspath(path)
-    snaps = list_snapshots(path)
-    delta_id = snaps[-1]["snapshot_id"] + 1 if snaps else 1
-    manifest = {
-        "snapshot_id": delta_id,
-        "tag": f"__delta_{from_snapshot}_{to_snapshot}",
-        "created_unix": time.time(),
-        "files": [
-            {"path": os.path.relpath(f, root).replace(os.sep, "/"), "bytes": os.path.getsize(f)}
-            for f in files
-        ],
-    }
-    os.makedirs(_snap_dir(path), exist_ok=True)
-    tmp = _manifest_path(path, delta_id) + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(path, delta_id))
-    return read_snapshot(spark, path, delta_id)
+    rel = ",".join(os.path.relpath(f, root).replace(os.sep, "/") for f in files)
+    return spark.read.format("scbf").option("files", rel).load(path)

@@ -96,7 +96,9 @@ def _under_scratch(root: str, file_path: str) -> bool:
     return any(is_scratch_component(c) for c in comps)
 
 
-def _list_scbf_files(path: str, snapshot: Optional[str] = None) -> List[str]:
+def _list_scbf_files(
+    path: str, snapshot: Optional[str] = None, files: Optional[str] = None
+) -> List[str]:
     """Resolve a load path to concrete SCBF files: a single file, a directory
     of ``*.scbf`` (searched recursively, so hive-partitioned ``k=v`` subdirs
     are included), or a glob pattern. Maintenance scratch directories
@@ -108,6 +110,16 @@ def _list_scbf_files(path: str, snapshot: Optional[str] = None) -> List[str]:
         from ..operators.snapshot import snapshot_files
 
         return snapshot_files(path, snapshot)
+    if files is not None:
+        # explicit file pinning (comma-separated paths relative to the
+        # dataset root) — the snapshot change feed and external manifest
+        # integrations use this; missing files fail loudly like snapshots do
+        root = os.path.abspath(path)
+        out = [os.path.join(root, p) for p in files.split(",") if p]
+        missing = [p for p in out if not os.path.isfile(p)]
+        if missing:
+            raise FileNotFoundError(f"pinned files do not exist: {missing[:5]}")
+        return sorted(out)
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
@@ -157,13 +169,13 @@ def _partition_spec(root: str, file_path: str) -> "OrderedDict[str, str]":
     return spec
 
 
-def _dataset_layout(path: str, snapshot: Optional[str] = None):
+def _dataset_layout(path: str, snapshot: Optional[str] = None, files_opt: Optional[str] = None):
     """(files, partition keys, per-key python type, per-file typed values).
 
     Partition keys must be identical (same names, same order) for every file.
     A key is typed int when every file's value parses as an int, else str —
     the same inference Spark applies to parquet partition directories."""
-    files = _list_scbf_files(path, snapshot)
+    files = _list_scbf_files(path, snapshot, files_opt)
     raw_specs = [_partition_spec(path, f) for f in files]
     keys = list(raw_specs[0].keys())
     for f, s in zip(files, raw_specs):
@@ -283,6 +295,7 @@ class ScbfReader(DataSourceReader):
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
         self.file_skipping = options.get("file_skipping", "true").lower() != "false"
         self.snapshot = options.get("snapshot")
+        self.files_opt = options.get("files")
         self._filters: List = []
 
     def pushFilters(self, filters):
@@ -301,7 +314,7 @@ class ScbfReader(DataSourceReader):
         # Use a fresh spark.read per differently-filtered query, or disable
         # skipping with .option("file_skipping", "false").
         filters = self._filters if self.file_skipping else []
-        files, _keys, _types, specs = _dataset_layout(self.path, self.snapshot)
+        files, _keys, _types, specs = _dataset_layout(self.path, self.snapshot, self.files_opt)
         parts = []
         for p in files:
             spec = specs[p]
@@ -724,7 +737,9 @@ class ScbfDataSource(DataSource):
         path = self.options.get("path")
         if path is None:
             raise ValueError("scbf requires a path")
-        files, keys, key_types, _specs = _dataset_layout(path, self.options.get("snapshot"))
+        files, keys, key_types, _specs = _dataset_layout(
+            path, self.options.get("snapshot"), self.options.get("files")
+        )
         if self.options.get("merge_schemas", "false").lower() == "true":
             # Schema evolution: union of every file's schema, first-seen
             # column order, all nullable (older files back-fill nulls at
