@@ -56,7 +56,10 @@ def list_snapshots(path: str) -> list[dict]:
     out = []
     for name in os.listdir(d):
         if name.startswith("snap-") and name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
+            p = os.path.join(d, name)
+            if os.path.getsize(p) == 0:
+                continue  # a concurrent creator's claimed-but-unfilled id
+            with open(p) as f:
                 out.append(json.load(f))
     return sorted(out, key=lambda m: m["snapshot_id"])
 
@@ -80,11 +83,24 @@ def create_snapshot(path: str, tag: Optional[str] = None) -> dict:
         ],
     }
     os.makedirs(_snap_dir(path), exist_ok=True)
-    tmp = _manifest_path(path, snap_id) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.rename(tmp, _manifest_path(path, snap_id))  # atomic publish
-    return manifest
+    # Publish without clobbering: two concurrent snapshotters computing the
+    # same next id must not silently overwrite each other. O_EXCL claims the
+    # id (the loser retries with the next one — ids stay unique), then the
+    # content lands via tmp + rename so readers never parse a partial JSON;
+    # a zero-byte claim is skipped by list_snapshots until filled.
+    while True:
+        manifest["snapshot_id"] = snap_id
+        mp = _manifest_path(path, snap_id)
+        try:
+            os.close(os.open(mp, os.O_WRONLY | os.O_CREAT | os.O_EXCL))
+        except FileExistsError:
+            snap_id += 1
+            continue
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mp)  # atomic content publish over the claim
+        return manifest
 
 
 def _resolve_manifest(path: str, snapshot) -> dict:

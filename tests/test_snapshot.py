@@ -116,3 +116,25 @@ def test_change_feed_between_snapshots(spark, sf_small, tmp_path):
     snapshot.create_snapshot(path, tag="t3")
     with pytest.raises(ValueError, match="not append-only"):
         snapshot.changed_files(path, "t2", "t3")
+
+
+def test_concurrent_snapshot_id_claims_never_clobber(spark, sf_small, tmp_path):
+    """A concurrently-claimed id (simulated by a pre-existing manifest and a
+    zero-byte claim) is skipped, not overwritten; unfilled claims are
+    invisible to listing."""
+    import json as _json
+
+    path = str(tmp_path / "race")
+    _write(spark, sf_small, path, 500)
+    m1 = snapshot.create_snapshot(path, tag="mine")
+
+    # another writer claimed the next id but hasn't filled it yet
+    open(os.path.join(path, "_snapshots", f"snap-{m1['snapshot_id'] + 1}.json"), "w").close()
+    m2 = snapshot.create_snapshot(path, tag="later")
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 2  # skipped the claim
+
+    listed = snapshot.list_snapshots(path)
+    assert [m["snapshot_id"] for m in listed] == [m1["snapshot_id"], m2["snapshot_id"]]
+    # the original manifest was never clobbered
+    with open(os.path.join(path, "_snapshots", f"snap-{m1['snapshot_id']}.json")) as f:
+        assert _json.load(f)["tag"] == "mine"
