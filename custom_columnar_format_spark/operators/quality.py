@@ -82,3 +82,44 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     if out is None:
         raise ValueError("no rules given")
     return out
+
+
+def analyze_table(df, columns=None):
+    """ANALYZE TABLE-style per-column statistics in ONE scan: row count,
+    null count, exact distinct count, min/max (rendered as strings so mixed
+    types share a schema), average length. All N columns' aggregates fold
+    into a single hash aggregation — the driver-side cost of a CBO stats
+    refresh is one job regardless of column count. For 100 TB refreshes swap
+    ``count_distinct`` for ``approx_count_distinct`` (same plan shape, HLL
+    sketch instead of exact dedup state).
+
+    Returns one row per column: (column, n_rows, n_null, n_distinct,
+    min_value, max_value, avg_len).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(columns) if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(col).alias(f"__ndv_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.avg(F.length(col.cast("string"))).alias(f"__len_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__ndv_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+            F.round(F.col(f"__len_{c}"), 4).alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")

@@ -1220,3 +1220,50 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "source")
     )
+
+
+@query(
+    "q_analyze_table_stats",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
+    SELECT 'doc_id' AS column, n.n_rows,
+           (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL) AS n_null,
+           (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_distinct,
+           (SELECT CAST(MIN(doc_id) AS VARCHAR) FROM documents) AS min_value,
+           (SELECT CAST(MAX(doc_id) AS VARCHAR) FROM documents) AS max_value,
+           (SELECT floor(AVG(length(CAST(doc_id AS VARCHAR))) * 10000 + 0.5) / 10000
+              FROM documents WHERE doc_id IS NOT NULL) AS avg_len
+    FROM n
+    UNION ALL
+    SELECT 'lang', n.n_rows,
+           (SELECT COUNT(*) FROM documents WHERE lang IS NULL),
+           (SELECT COUNT(DISTINCT lang) FROM documents),
+           (SELECT MIN(lang) FROM documents),
+           (SELECT MAX(lang) FROM documents),
+           (SELECT floor(AVG(length(lang)) * 10000 + 0.5) / 10000
+              FROM documents WHERE lang IS NOT NULL)
+    FROM n
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           (SELECT COUNT(*) FROM documents WHERE source IS NULL),
+           (SELECT COUNT(DISTINCT source) FROM documents),
+           (SELECT MIN(source) FROM documents),
+           (SELECT MAX(source) FROM documents),
+           (SELECT floor(AVG(length(source)) * 10000 + 0.5) / 10000
+              FROM documents WHERE source IS NOT NULL)
+    FROM n
+    """,
+    doc="ANALYZE TABLE-style stats: per-column null/ndv/min/max/avg-len for "
+    "(doc_id, lang, source), ALL folded into one scan + one hash aggregation "
+    "— the CBO stats-refresh primitive (swap exact ndv for HLL at 100 TB).",
+)
+def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as q
+
+    out = q.analyze_table(
+        load(spark, sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+    return out.select(
+        "column", "n_rows", "n_null", "n_distinct", "min_value", "max_value",
+        (F.floor(F.col("avg_len") * 10000 + 0.5) / 10000).alias("avg_len"),
+    )

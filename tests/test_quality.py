@@ -67,3 +67,22 @@ def test_clean_data_has_zero_violations(spark, sf_small):
     o = spark.read.parquet(f"{sf_small}/orders.parquet")
     got = _counts(Q.check(o, [Q.not_null("o_orderkey"), Q.unique_key("o_orderkey")]))
     assert got == {"not_null_o_orderkey": 0, "unique_key_o_orderkey": 0}
+
+def test_analyze_table_one_pass(spark):
+    from pyspark.sql import Row
+
+    from custom_columnar_format_spark.operators.quality import analyze_table
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="aa"),
+            Row(id=2, name=None),
+            Row(id=2, name="bbbb"),
+        ]
+    )
+    out = {r["column"]: r for r in analyze_table(df).collect()}
+    assert out["id"]["n_rows"] == 3 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 2
+    assert (out["id"]["min_value"], out["id"]["max_value"]) == ("1", "2")
+    assert out["name"]["n_null"] == 1 and out["name"]["n_distinct"] == 2
+    assert out["name"]["avg_len"] == 3.0  # (2 + 4) / 2 non-null values
