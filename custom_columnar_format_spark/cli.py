@@ -25,14 +25,20 @@ import sys
 
 
 def _get_spark(cpus: str = "*"):
+    """(session, owned): reuse the caller's active session when one exists —
+    and never stop a session the CLI doesn't own (stopping a shared session
+    out from under a host application would be hostile)."""
     from pyspark.sql import SparkSession
 
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "8")
         .appName("scbf-cli")
         .getOrCreate()
-    )
+    ), True
 
 
 def _finalize_single_file(out_dir: str, target: str) -> None:
@@ -58,7 +64,7 @@ def csv_to_custom(args) -> None:
 
     from .sources.scbf_datasource import register
 
-    spark = _get_spark()
+    spark, owned = _get_spark()
     try:
         register(spark)
         df = spark.read.option("header", True).option("inferSchema", True).csv(args.csv_path)
@@ -81,7 +87,8 @@ def csv_to_custom(args) -> None:
         if args.single_file:
             _finalize_single_file(tmp, args.out_path)
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
 
 
 def custom_to_csv(args) -> None:
@@ -102,7 +109,7 @@ def custom_to_csv(args) -> None:
 
     from .sources.scbf_datasource import register
 
-    spark = _get_spark()
+    spark, owned = _get_spark()
     try:
         register(spark)
         reader = spark.read.format("scbf")
@@ -115,7 +122,8 @@ def custom_to_csv(args) -> None:
         shutil.move(part, args.out_path)
         shutil.rmtree(tmp, ignore_errors=True)
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
 
 
 def inspect(args) -> None:
@@ -131,13 +139,10 @@ def inspect(args) -> None:
 
 def compact_cmd(args) -> None:
     """Table maintenance from the command line (operators/compact.py)."""
-    from pyspark.sql import SparkSession
-
     from .operators import compact as compact_op
     from .sources.scbf_datasource import register
 
-    existing = SparkSession.getActiveSession()
-    spark = existing or _get_spark()
+    spark, owned = _get_spark()
     register(spark)
     try:
         stats = compact_op.compact(
@@ -150,7 +155,7 @@ def compact_cmd(args) -> None:
         )
         print(stats)
     finally:
-        if existing is None:  # never stop a session the caller owns
+        if owned:
             spark.stop()
 
 
