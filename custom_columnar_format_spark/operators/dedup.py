@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_NUM_HASHES = 64
 DEFAULT_NUM_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
+#: 48-bit mask for the Kirsch-Mitzenmacher double-hash family (see
+#: ``km_hash_table``): values stay < 2^54 pre-mask, so the arithmetic is
+#: exact in int64 in every engine — no overflow, no bigint-vs-hugeint drift.
+MASK48 = (1 << 48) - 1
+
 
 def normalize_text(text: F.Column) -> F.Column:
     """Canonical form for content comparison: lowercase, collapse whitespace,
@@ -126,6 +131,87 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     )
 
 
+def gram_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, grams) with distinct word k-grams as SPACE-JOINED STRINGS per
+    document — the cross-engine twin of ``shingle_table``.
+
+    Keeping the gram as a string (instead of hashing to xxhash64 immediately)
+    is what makes the whole MinHash/SimHash pipeline oracle-checkable: any SQL
+    engine with ``md5`` can recompute every downstream hash bit-for-bit,
+    whereas xxhash64 exists only in Spark. Joining with a space is injective
+    here because the words come from a space-split of space-collapsed text,
+    so no word contains the separator (the aliasing concern in
+    ``shingle_table``'s multi-arg hashing does not apply).
+
+    Same staging discipline as ``shingle_table`` (words materialized before
+    the shingling ``transform`` references them — the lambda re-inlining
+    pathology), same empty-doc scan filter, same parallelism widening."""
+    df = df.filter(F.trim(F.col(text_col)) != "")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
+    )
+    # concat_ws skips the nulls try_element_at yields past the end, so docs
+    # shorter than k produce one gram of their whole text — the same
+    # one-gram-per-short-doc rule as shingle_table, and the same clamped
+    # slice semantics as DuckDB's array_to_string(w[i:i+k-1], ' ').
+    return w.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(F.col("w"), i + 1 + j) for j in range(k)]
+                ),
+            )
+        ).alias("grams"),
+    )
+
+
+def km_hash_table(grams_df: DataFrame, grams_col: str = "grams") -> DataFrame:
+    """Attach Kirsch-Mitzenmacher base-hash arrays (h1, h2) to a gram table:
+    ONE md5 per gram, split into two 48-bit halves (12 hex chars each,
+    parsed with ``conv``), h2 forced odd. The j-th MinHash function is then
+    ``(h1 + j*h2) & MASK48`` — 64 hash functions for the price of one md5
+    plus fused integer multiply-adds (Kirsch & Mitzenmacher, "Less Hashing,
+    Same Performance", ESA'06). This beats 64 per-seed md5 calls ~30× and is
+    competitive with 64 xxhash64 rehashes, while staying recomputable in any
+    engine that has md5.
+
+    Each stage is its own projection so no ``transform`` lambda references a
+    compound expression (the measured quadratic re-inlining pathology — see
+    ``shingle_table``)."""
+    m = grams_df.select("id", grams_col, F.transform(grams_col, F.md5).alias("m"))
+    return m.select(
+        "id",
+        grams_col,
+        F.transform(
+            "m", lambda x: F.conv(F.substring(x, 1, 12), 16, 10).cast("bigint")
+        ).alias("h1"),
+        F.transform(
+            "m",
+            lambda x: F.conv(F.substring(x, 13, 12), 16, 10).cast("bigint").bitwiseOR(F.lit(1)),
+        ).alias("h2"),
+    )
+
+
+def minhash_signature_km(h1: F.Column, h2: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
+    """Cross-engine MinHash signature from KM base-hash arrays: element j is
+    ``min_g (h1[g] + j*h2[g]) & MASK48``. Exact int64 arithmetic (≤ 2^54
+    pre-mask) — DuckDB replays it verbatim, which is what lets the driver
+    hash-check the LSH pipeline end to end."""
+    return F.array(
+        *[
+            F.array_min(
+                F.zip_with(h1, h2, lambda a, b: (a + F.lit(j) * b).bitwiseAND(F.lit(MASK48)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
     """MinHash signature: for seed j, min over shingle-hash rehashes. Each
     rehash is ``xxhash64(shingle_hash, seed_j)``.
@@ -187,6 +273,18 @@ def _pairs_within(sorted_arr: F.Column) -> F.Column:
     )
 
 
+def _star_pairs(sorted_arr: F.Column) -> F.Column:
+    """Star expansion of a sorted id array: (min, x) for every other member —
+    LINEAR in group size, and connectivity-equivalent to the quadratic
+    all-pairs expansion for downstream connected components. Used by the
+    oversized-bucket second pass, where full expansion is exactly the
+    quadratic blowup the bucket cap exists to prevent."""
+    return F.transform(
+        F.slice(sorted_arr, 2, F.size(sorted_arr)),
+        lambda x: F.struct(F.element_at(sorted_arr, 1).alias("a"), x.alias("b")),
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,12 +295,35 @@ def minhash_neardup_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
     persist: bool = True,
+    scheme: str = "km-md5",
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
 
     Pipeline: shingle → signature → band-bucket → in-bucket pair expansion →
     distinct candidate pairs → exact Jaccard verification on shingle sets.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``scheme`` picks the hash family:
+
+    - ``"km-md5"`` (default): string grams, one md5 per gram split into two
+      48-bit halves, 64 hash functions by Kirsch-Mitzenmacher double hashing
+      (``km_hash_table``). Every value is recomputable in DuckDB, so the
+      driver value-checks this pipeline end to end (the xxhash64 form could
+      only ever get a rows-only check).
+    - ``"xxhash64"``: the original all-JVM-hash form; slightly cheaper per
+      gram, kept for pipelines that don't need cross-engine replay.
+
+    Both schemes produce the same verified output on exact duplicates and
+    the same exact-Jaccard values on any pair both recall (verification is
+    Jaccard over the same gram sets — only banding recall near the s-curve
+    boundary can differ).
+
+    Oversized buckets (> ``max_bucket``, degenerate boilerplate) are NOT
+    dropped: a second pass groups their members by FULL signature and
+    star-expands each identical-signature group (min-id hub, linear in group
+    size), so heavily-duplicated content — precisely what a training
+    pipeline most needs to catch — still yields verified pairs without the
+    quadratic in-bucket expansion. Residue stats via ``lsh_bucket_stats``.
 
     The shingle table feeds three plan branches (signatures + both sides of
     pair verification). ``persist`` caches it so shingling runs once instead
@@ -213,30 +334,86 @@ def minhash_neardup_pairs(
     memory for the shingle table pass ``persist=False`` and pay the
     recompute.
     """
-    base = shingle_table(df, text_col, id_col, shingle_k)
+    rows_per_band = num_hashes // num_bands
+    if scheme == "xxhash64":
+        base = shingle_table(df, text_col, id_col, shingle_k)
+        if persist:
+            base = base.persist()
+        sigs = base.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    else:
+        base = gram_table(df, text_col, id_col, shingle_k).withColumnRenamed("grams", "shingles")
+        if persist:
+            base = base.persist()
+        hashed = km_hash_table(base.select("id", F.col("shingles").alias("grams")))
+        sigs = hashed.select(
+            "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
+        )
+    # The signature table feeds the banding branch and (only when oversized
+    # buckets exist) the full-signature second pass; it is tiny
+    # (id + num_hashes longs) so always persist alongside the shingles.
     if persist:
-        base = base.persist()
-    sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        sigs = sigs.persist()
     banded = sigs.select(
-        "id", F.explode(minhash_bands(F.col("sig"), num_bands)).alias("b")
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # band key = the raw signature slice rendered as a
+                        # string — no extra hash, identical text in any engine
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
     ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
 
     # Candidate pairs via ONE aggregation: collect ids per (band, band_hash)
-    # bucket, drop degenerate buckets with a free size() predicate (the
-    # quadratic-blowup safety valve — at scale, route oversized buckets to a
-    # finer second pass), and expand pairs from the sorted id array. The
-    # signature pipeline runs exactly once; the bucket self-join formulation
+    # bucket and expand pairs from the sorted id array. The signature
+    # pipeline runs exactly once; the bucket self-join formulation
     # recomputed it per join side plus once more for the cap's broadcast.
     # Only ids travel through the shuffle — shingle sets are re-attached
     # once per verified pair below.
-    buckets = (
+    grouped = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select("ids")  # plain attribute — see _pairs_within
+        .filter(F.size("ids") >= 2)
     )
+    cand_ok = (
+        grouped.filter(F.size("ids") <= max_bucket)
+        .select("ids")  # plain attribute — see _pairs_within
+        .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+    )
+    # Second pass for oversized buckets: their members are grouped by FULL
+    # signature (64 longs rendered once — exact-signature equality is the
+    # "finer" criterion: colliding on ALL bands ≈ near-identical content)
+    # and each group is star-expanded around its min id. Linear cost, and
+    # the stars still connect every true duplicate through verification +
+    # connected components downstream.
+    over_ids = (
+        grouped.filter(F.size("ids") > max_bucket)
+        .select(F.explode("ids").alias("id"))
+        .distinct()
+    )
+    over_groups = (
+        sigs.join(over_ids, "id", "left_semi")
+        .select("id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("full_sig"))
+        .groupBy("full_sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids")
+    )
+    cand_over = over_groups.select(F.explode(_star_pairs(F.col("ids"))).alias("p"))
     cand = (
-        buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        cand_ok.unionByName(cand_over)
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -251,6 +428,57 @@ def minhash_neardup_pairs(
     return (
         jac.filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Bucket-population report for the MinHash LSH layer: one row with
+    (n_buckets, n_pair_buckets, n_oversized, max_bucket_size,
+    oversized_member_rows). Run alongside ``minhash_neardup_pairs`` to watch
+    the oversized tail — a rising ``n_oversized`` means boilerplate is
+    flooding buckets and the second pass (full-signature grouping) is doing
+    more of the matching."""
+    base = gram_table(df, text_col, id_col, shingle_k)
+    hashed = km_hash_table(base)
+    sigs = hashed.select("id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig"))
+    rows_per_band = num_hashes // num_bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+    sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("bigint").alias("n_pair_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).cast("bigint").alias("n_oversized"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("oversized_member_rows"),
     )
 
 
@@ -304,28 +532,40 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 2,
+    scheme: str = "km-md5",
 ) -> DataFrame:
-    """(id, sim) with a 64-bit SimHash per document.
+    """(id, sim) with a SimHash per document — 60-bit under the default
+    ``"km-md5"`` scheme (first 15 hex chars of one md5 per gram, parsed with
+    ``conv``; every bit recomputable in DuckDB → driver value-checks it),
+    64-bit under the legacy ``"xxhash64"`` scheme.
 
     Shape chosen for scale: explode shingle hashes, then ONE groupBy(id) with
-    64 conditional-sum aggregates (bit b's popcount) + a count. All 65 sums
-    partial-aggregate map-side, so the shuffle carries one 65-int row per doc
+    60/64 conditional-sum aggregates (bit b's popcount) + a count. All sums
+    partial-aggregate map-side, so the shuffle carries one ~65-int row per doc
     per partition — not the shingles. (A per-row higher-order-function
     formulation — 64 ``F.aggregate`` lambdas over the shingle array — is
     semantically equal but catastrophically slow: each lambda re-inlines the
     whole shingle expression tree into codegen; measured 135 s vs <2 s on
     sf0.01.) Documents with zero shingles are dropped (nothing to match).
     """
-    base = shingle_table(df, text_col, id_col, shingle_k)
-    posts = base.select("id", F.explode("shingles").alias("h"))
+    nbits = _simhash_bits(scheme)
+    if scheme == "xxhash64":
+        base = shingle_table(df, text_col, id_col, shingle_k)
+        posts = base.select("id", F.explode("shingles").alias("h"))
+    else:
+        base = gram_table(df, text_col, id_col, shingle_k)
+        posts = base.select("id", F.explode("grams").alias("g")).select(
+            "id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        )
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     counts = posts.groupBy("id").agg(*aggs)
     # bit b set iff popcount_b*2 >= n  (majority of shingles have the bit)
     sim = F.lit(0).cast("bigint")
-    for b in range(64):
+    for b in range(nbits):
         sim = sim.bitwiseOR(
             F.shiftleft(
                 F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
@@ -335,20 +575,32 @@ def simhash_table(
     return counts.select("id", sim.alias("sim"))
 
 
+def _simhash_bits(scheme: str) -> int:
+    return 64 if scheme == "xxhash64" else 60
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 10_000,
+    scheme: str = "km-md5",
 ) -> DataFrame:
-    """SimHash near-dups: bucket by 4× 16-bit bands (any pair within Hamming
-    distance ≤3 of a 64-bit hash shares at least one exact 16-bit band —
-    pigeonhole), expand candidate pairs within buckets, verify true Hamming
-    distance. ``max_bucket`` caps per-bucket pair expansion (buckets above it
-    are skipped — degenerate near-identical content; route to an exact-dedup
-    pass instead at scale)."""
-    sims = simhash_table(df, text_col, id_col)
+    """SimHash near-dups: bucket by 4 bands (15-bit under km-md5, 16-bit
+    under xxhash64 — any pair within Hamming distance ≤3 shares at least one
+    exact band by pigeonhole), expand candidate pairs within buckets, verify
+    true Hamming distance.
+
+    Oversized buckets (> ``max_bucket``) go through a second pass instead of
+    being dropped: members grouped by FULL simhash value (Hamming 0 —
+    degenerate near-identical content) and star-expanded around the min id —
+    linear cost, and the heavy boilerplate clusters that overflow buckets
+    still produce their pairs."""
+    nbits = _simhash_bits(scheme)
+    band_bits = nbits // 4
+    band_mask = (1 << band_bits) - 1
+    sims = simhash_table(df, text_col, id_col, scheme=scheme)
     bands = sims.select(
         "id",
         "sim",
@@ -357,7 +609,9 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                        F.shiftright(F.col("sim"), i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bh"),
                     )
                     for i in range(4)
                 ]
@@ -367,14 +621,33 @@ def simhash_neardup_pairs(
     # Same one-aggregation candidate expansion as MinHash: a bucket
     # self-join would recompute the full SimHash aggregation per join side.
     # array_sort on structs orders by the first field (id), so a < b holds.
-    buckets = (
+    grouped = (
         bands.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sim"))).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .filter(F.size("ms") >= 2)
+    )
+    cand_ok = (
+        grouped.filter(F.size("ms") <= max_bucket)
         .select("ms")  # plain attribute — see _pairs_within
+        .select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
+    )
+    # Second pass: oversized-bucket members regrouped by exact simhash value
+    # (carried in the bucket rows — no recompute of the simhash aggregation),
+    # star-expanded around the min id. Structs sort by (id, sim), so the hub
+    # is the min id.
+    cand_over = (
+        grouped.filter(F.size("ms") > max_bucket)
+        .select(F.explode("ms").alias("m"))
+        .select(F.col("m.id").alias("id"), F.col("m.sim").alias("sim"))
+        .dropDuplicates(["id"])
+        .groupBy("sim")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sim"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select("ms")
+        .select(F.explode(_star_pairs(F.col("ms"))).alias("p"))
     )
     cand = (
-        buckets.select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
+        cand_ok.unionByName(cand_over)
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
@@ -402,8 +675,11 @@ def incremental_dedup(
     deployment keeps history as a pre-bucketed digest table, making the
     anti-join co-located: shuffle only the new batch).
 
-    Returns the surviving new-batch rows as (id, content_hash)."""
-    digest = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    Returns the surviving new-batch rows as (id, content_hash). The shuffled
+    key is ``unhex(md5(...))`` — 16 raw bytes, not md5's 32-char hex string,
+    so the stated bytes-per-doc actually holds; callers wanting the hex form
+    can ``hex(content_hash)`` on the way out."""
+    digest = F.unhex(F.md5(normalize_text(F.col(text_col)).cast("binary")))
     new_d = new_batch.select(F.col(id_col), digest.alias("content_hash"))
     hist_d = history.select(digest.alias("content_hash")).distinct()
     survivors = (

@@ -152,21 +152,33 @@ def ivf_centroids(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     sample_cap: int = 50_000,
     seed: int = 42,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer from a deterministic hash sample.
 
-    ``sample_mod`` keeps rows with ``xxhash64(id) % sample_mod == 0`` — a
+    ``sample_mod`` keeps rows with ``pmod(xxhash64(id), sample_mod) == 0`` — a
     reproducible sample independent of partitioning (no RNG in the plan), the
-    same trick used for sampled stats at 100 TB: set it so roughly
-    ``sample_cap`` rows survive; the scan is column-pruned to (id, vec)."""
+    same trick used for sampled stats at 100 TB. The default (``None``)
+    derives it from a cheap count so roughly ``sample_cap`` rows survive;
+    the scan is column-pruned to (id, vec)."""
     sampled = df
+    if sample_mod is None:
+        # Hash-uniform by default: derive the modulus from a cheap
+        # column-pruned count so ~sample_cap rows survive the filter. A bare
+        # limit() without the filter takes whichever partitions answer
+        # first — on a partition-clustered corpus the quantizer would only
+        # ever see one region of the data (positional bias).
+        n = df.select(id_col).count()
+        sample_mod = max(1, -(-n // sample_cap))  # ceil div
     if sample_mod > 1:
-        sampled = sampled.filter(F.xxhash64(F.col(id_col)) % sample_mod == 0)
-    rows = sampled.select(vec_col).limit(sample_cap).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        sampled = sampled.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    # limit() here is only a guard against a skewed hash undershooting the
+    # modulus estimate; after the hash filter the surviving rows are
+    # partition-order-invariant up to the cap.
+    rows = sampled.select(id_col, vec_col).orderBy(id_col).limit(sample_cap).collect()
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
     return _spherical_kmeans(x, nlist, seed=seed)
 
 
@@ -225,7 +237,11 @@ def ivf_topk(
         centroids = ivf_centroids(df, nlist, id_col, vec_col, seed=seed)
     qv = np.asarray(list(query_vec), dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
-    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    # stable sort with explicit id tiebreak — np.argsort's default quicksort
+    # is NOT stable, and the probe order must be deterministic (and
+    # replayable by the DuckDB oracle: ORDER BY dot DESC, id)
+    dots = centroids @ qn
+    probe = sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]
 
     assigned = df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
     bucketed = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
@@ -379,7 +395,8 @@ def ivf_topk_partitioned(
     ``ivf_list=`` dir — tests/test_similarity.py)."""
     qv = np.asarray(list(query_vec), dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
-    probe = [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
+    dots = centroids @ qn
+    probe = sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]
 
     corpus = spark.read.format(fmt).load(path).filter(F.col("ivf_list").isin(probe))
     q = lit_vector(qv)

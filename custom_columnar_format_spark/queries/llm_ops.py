@@ -47,6 +47,144 @@ def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------------
 
+# Oracle-SQL generators for the hash-heavy dedup tier. The engine's km-md5
+# scheme (operators/dedup.py) was designed so every hash value is exact
+# integer/md5 arithmetic a SQL engine can replay: one md5 per word-gram, two
+# 48-bit halves, 64 Kirsch-Mitzenmacher hash functions, 16 band keys. These
+# helpers emit that arithmetic as DuckDB SQL; Python builds the 64/60-term
+# expression lists so the registered oracle strings stay literal (the driver
+# only ever sees the final SQL text).
+
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'), "
+    "'[ \\t\\n]+', ' ', 'g')"
+)
+
+
+def _hexparse_sql(expr: str, offset: int, nchars: int) -> str:
+    """Hex-substring → BIGINT, digit-by-digit (DuckDB has no conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {offset + i}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    return f"({terms})"
+
+
+def _minhash_pairs_ctes(threshold: float, k: int = 3, num_hashes: int = 64, num_bands: int = 16) -> str:
+    """CTE chain ending in pairs(id_a, id_b, jaccard) — the brute-force replay
+    of minhash_neardup_pairs' km-md5 scheme: same grams, same signatures, a
+    pair qualifies iff ≥1 of the 16 band slices matches exactly AND exact
+    gram-set Jaccard clears the threshold. (The engine's bucket-grouped
+    expansion computes exactly this set sub-quadratically; the bucket cap
+    never binds at oracle scale.)"""
+    rows = num_hashes // num_bands
+    sig_terms = ",\n        ".join(
+        f"list_min(list_transform(range(1, len(h1) + 1), "
+        f"i -> ((h1[i] + {j} * h2[i]) & 281474976710655)))"
+        for j in range(num_hashes)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]" for r in range(rows))
+        + ")"
+        for b in range(num_bands)
+    )
+    jac = "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / (len(ga) + len(gb) - len(list_intersect(ga, gb)))"
+    return f"""norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t
+      FROM documents WHERE trim(text) <> ''
+    ), w AS (
+      SELECT doc_id, string_split(t, ' ') AS w FROM norm
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - {k - 1}, 1) + 1),
+                                          i -> array_to_string(w[i:i+{k - 1}], ' '))) AS grams
+      FROM w
+    ), m AS (
+      SELECT doc_id, grams, list_transform(grams, x -> md5(x)) AS m FROM g
+    ), h AS (
+      SELECT doc_id, grams,
+             list_transform(m, x -> {_hexparse_sql('x', 1, 12)}) AS h1,
+             list_transform(m, x -> ({_hexparse_sql('x', 13, 12)} | 1)) AS h2
+      FROM m
+    ), sig AS (
+      SELECT doc_id, grams,
+        [{sig_terms}] AS sig
+      FROM h
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+    ), pairs AS (
+      SELECT id_a, id_b, floor(({jac}) * 10000 + 0.5) / 10000 AS jaccard
+      FROM cand WHERE ({jac}) >= {threshold}
+    )"""
+
+
+def _minhash_oracle_sql(threshold: float) -> str:
+    return (
+        "WITH "
+        + _minhash_pairs_ctes(threshold)
+        + "\n    SELECT id_a, id_b, jaccard FROM pairs"
+    )
+
+
+def _clusters_oracle_sql(threshold: float) -> str:
+    """Duplicate clusters over the minhash pairs: transitive closure via a
+    recursive CTE (component = min reachable id — identical to the engine's
+    converged min-label propagation), then the same per-component rollup."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(threshold)
+        + """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component, COUNT(*) AS n_members, MIN(node) AS keep_id
+    FROM comp GROUP BY component"""
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, k: int = 2, nbits: int = 60) -> str:
+    """Brute-force replay of simhash_neardup_pairs' km-md5 scheme: 60-bit
+    simhash from per-gram md5-prefix hashes (majority vote per bit), pairs at
+    Hamming ≤ 3. Pigeonhole over the 4×15-bit bands makes the engine's
+    banded candidate set complete for Hamming ≤ 3, so the brute-force pair
+    set is exactly the engine's output."""
+    csums = ",\n             ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(nbits))
+    simexpr = " + ".join(f"CASE WHEN c{b} * 2 >= n THEN {1 << b} ELSE 0 END" for b in range(nbits))
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t
+      FROM documents WHERE trim(text) <> ''
+    ), w AS (
+      SELECT doc_id, string_split(t, ' ') AS w FROM norm
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - {k - 1}, 1) + 1),
+                                          i -> array_to_string(w[i:i+{k - 1}], ' '))) AS grams
+      FROM w
+    ), p AS (
+      SELECT doc_id, substr(md5(unnest(grams)), 1, 15) AS hx FROM g
+    ), ph AS (
+      SELECT doc_id, {_hexparse_sql('hx', 1, 15)} AS h FROM p
+    ), c AS (
+      SELECT doc_id, count(*) AS n,
+             {csums}
+      FROM ph GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id, ({simexpr}) AS sim FROM c
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
 
 @query(
     "q_dedup_exact",
@@ -73,8 +211,13 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_minhash",
-    None,  # sub-quadratic LSH pipeline — not SQL-expressible; verified in tests vs exact Jaccard
-    doc="MinHash-LSH near-duplicate pairs (shingle→signature→band-bucket→join→verify).",
+    # full value-check: the km-md5 scheme's hashes are exact md5+int64
+    # arithmetic, replayed brute-force by the generated oracle (≥1 matching
+    # band slice AND exact Jaccard ≥ threshold)
+    _minhash_oracle_sql(0.4),
+    doc="MinHash-LSH near-duplicate pairs (shingle→KM-md5 signature→band-"
+    "bucket→one-shuffle pair expansion→exact-Jaccard verify); oversized "
+    "buckets routed through a full-signature second pass, never dropped.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_neardup_pairs(
@@ -84,7 +227,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_clusters",
-    None,  # iterative connected components — not SQL-expressible; pinned vs union-find in tests
+    # recursive-CTE transitive closure == the engine's converged min-label
+    # propagation (component = min reachable id)
+    _clusters_oracle_sql(0.4),
     doc="duplicate clusters: MinHash pairs → iterative min-label connected "
     "components (large-star/small-star shape, O(diameter) rounds, one "
     "(node,label) row of state per node) → (component, n_members, keep_id).",
@@ -98,8 +243,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_simhash",
-    None,
-    doc="SimHash-64 near-duplicate pairs, Hamming ≤ 3 via 16-bit band pigeonhole.",
+    # full value-check: 60-bit km-md5 simhash is majority-vote integer
+    # arithmetic over md5-prefix gram hashes; Hamming ≤3 ⇒ ≥1 matching
+    # 15-bit band (pigeonhole), so brute force == the engine's banded set
+    _simhash_oracle_sql(),
+    doc="SimHash near-duplicate pairs (60-bit km-md5), Hamming ≤ 3 via "
+    "15-bit band pigeonhole; oversized buckets regrouped by exact simhash "
+    "in a second pass.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(_docs_spread(spark, sf_dir)).orderBy("id_a", "id_b")
@@ -147,6 +297,81 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+# Oracle-SQL generators for the ANN tier. Both approximate indexes are
+# deterministic given their parameters — LSH planes come from a seeded RNG
+# (inlined as double literals, which round-trip exactly through SQL text),
+# IVF uses explicit seed-vector centroids — so DuckDB can replay candidate
+# selection AND scoring, turning "approximate" into fully value-checked.
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _lsh_oracle_sql(k: int = 10, num_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """Replay of lsh_topk: per-vector signature bit p = (dot(v, plane_p) >= 0),
+    candidates at signature Hamming ≤ 1 from the query's (== the query bucket
+    plus its ``num_planes`` multiprobe neighbors), exact cosine top-k within.
+    Plane constants are the same seeded draw the engine uses, inlined via
+    repr() (exact double round-trip)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    def sig_expr(vec: str) -> str:
+        bits = []
+        for p in range(num_planes):
+            lst = "[" + ", ".join(repr(float(v)) for v in planes[p]) + "]"
+            d = (
+                f"list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+            )
+            bits.append(f"CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END")
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sigs AS (SELECT vec_id, embedding, {sig_expr('embedding')} AS sig FROM embeddings),
+    qs AS (SELECT {sig_expr('qv')} AS qsig FROM q),
+    cand AS (
+      SELECT s.vec_id, s.embedding FROM sigs s, qs
+      WHERE bit_count(xor(s.sig, qs.qsig)) <= 1
+    ),
+    scored AS (SELECT vec_id, {_cos_sql('embedding', 'qv')} AS c FROM cand, q)
+    SELECT vec_id, ROUND(c, 4) AS cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _ivf_oracle_sql(k: int = 10, nlist: int = 16, nprobe: int = 4) -> str:
+    """Replay of ivf_topk with seed-vector centroids (embeddings of
+    vec_id < nlist): assign every vector to its max-cosine centroid (ties →
+    smaller centroid id, matching argmax-first), probe the query's nprobe
+    nearest lists, exact cosine top-k among their members."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent, q ORDER BY {_cos_sql('cv', 'qv')} DESC, cid LIMIT {nprobe}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    cand AS (SELECT l.vec_id, l.embedding FROM lists l JOIN probe p USING (cid)),
+    scored AS (SELECT vec_id, {_cos_sql('embedding', 'qv')} AS c FROM cand, q)
+    SELECT vec_id, ROUND(c, 4) AS cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
 
 @query(
     "q_sim_topk_cosine",
@@ -173,7 +398,9 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sim_lsh_topk",
-    None,  # approximate — correctness = recall vs brute force, checked in tests
+    # fully value-checked: the seeded hyperplanes are inlined as double
+    # literals and the oracle replays signature + multiprobe + scoring
+    _lsh_oracle_sql(),
     doc="LSH (random-hyperplane, multiprobe) approximate top-10 — the 100 TB scale path.",
 )
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,13 +411,27 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sim_ivf_topk",
-    None,  # approximate — correctness = recall vs brute force, checked in tests
-    doc="IVF (spherical-k-means inverted lists, nprobe probing) approximate top-10.",
+    # fully value-checked: seed-vector coarse quantizer (embeddings of
+    # vec_id < 16) makes assignment + probing pure deterministic cosine math
+    # both engines replay; the k-means-trained quantizer path stays covered
+    # by the recall tests (its centroids are data-dependent, not SQL-fixed)
+    _ivf_oracle_sql(),
+    doc="IVF (inverted lists from an explicit coarse quantizer, nprobe "
+    "probing) approximate top-10; quantizer here = seed vectors so the "
+    "oracle replays it, k-means training covered in tests.",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = _emb_spread(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    qv = seeds[0]
+    return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4, centroids=cent)
 
 
 @query(
@@ -1036,9 +1277,11 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.incremental_dedup(
+    out = dedup.incremental_dedup(
         d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
     )
+    # the operator shuffles 16-byte binary digests; render hex for the oracle
+    return out.select("doc_id", F.lower(F.hex("content_hash")).alias("content_hash"))
 
 
 @query(

@@ -233,7 +233,13 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.read_events_stream(spark, sf_dir)
     stages = _drain(ev.stateful_funnel(stream), output_mode="update")
-    return stages.agg(
+    # The update-mode memory sink holds one row per user per micro-batch in
+    # which that user had events; reduce to each user's FINAL emission
+    # (max rev) before counting — a multi-batch drain would otherwise count
+    # users once per batch, and the chain can be revised downward by
+    # out-of-order batches, so max(stage) would also be wrong.
+    final = stages.groupBy("user_id").agg(F.max_by("stage", "rev").alias("stage"))
+    return final.agg(
         F.sum((F.col("stage") >= 1).cast("long")).alias("stage_view"),
         F.sum((F.col("stage") >= 2).cast("long")).alias("stage_click"),
         F.sum((F.col("stage") >= 3).cast("long")).alias("stage_purchase"),

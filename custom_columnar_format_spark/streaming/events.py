@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -248,7 +249,11 @@ def run_available_now(
 FUNNEL_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
-        StructField("stage", LongType(), False),  # furthest stage reached: 1..n_steps
+        StructField("stage", LongType(), False),  # current chain depth: 1..n_steps
+        # per-user emission sequence number — consumers that see one row per
+        # micro-batch (update-mode sinks) keep the max-rev row per user to
+        # get the final answer regardless of how many batches the drain took
+        StructField("rev", LongType(), False),
     ]
 )
 
@@ -258,6 +263,11 @@ FUNNEL_STATE_SCHEMA = StructType(
         StructField("t1_us", LongType(), False),
         StructField("t2_us", LongType(), False),
         StructField("t3_us", LongType(), False),
+        # candidate pools for cross-batch chain revision, bounded by the
+        # watermark below and the anchor window above (see docstring)
+        StructField("clicks_us", ArrayType(LongType()), False),
+        StructField("purchases_us", ArrayType(LongType()), False),
+        StructField("rev", LongType(), False),
     ]
 )
 
@@ -269,18 +279,31 @@ def stateful_funnel(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming funnel / CEP pattern detector via ``applyInPandasWithState``:
-    per user, track the earliest event chain step1 → step2 → step3 where each
-    step lands within ``step_within_seconds`` of the previous one — the
+    per user, track the event chain step1 → step2 → step3 where each step
+    lands within ``step_within_seconds`` of the previous one — the
     MATCH_RECOGNIZE-style sequence detection Spark's built-in windows can't
-    express. Emits each user's furthest stage (update mode, monotone — later
-    batches only ever raise it); state is three timestamps per user, O(users)
-    regardless of event volume.
+    express.
 
     Semantics are identical to the batch funnel (queries/llm_ops.py
-    ``q_funnel_3step``): stage k's time is the MIN event time of type k in
-    ``(t_{k-1}, t_{k-1} + step]`` — a per-user fold over time-ordered events,
-    so a drained backlog reproduces the batch answer exactly (the driver's
-    oracle checks this).
+    ``q_funnel_3step``) under ANY micro-batch split of the input: t1 is the
+    MIN step1 time seen so far, and t_k is the MIN step-k event time in
+    ``(t_{k-1}, t_{k-1} + step]``. Because a later micro-batch can deliver an
+    EARLIER anchor (t1 only ever decreases), the chain must be revisable:
+    state keeps, besides (t1, t2, t3), candidate step2/step3 event-time pools
+    from which t2/t3 are recomputed whenever the anchor moves. The pools are
+    bounded — below by the watermark (an event older than the watermark can
+    never become part of a future chain, because any future anchor's event
+    time is at least the watermark) and above by ``t1 + step`` for clicks /
+    ``t1 + 2*step`` for purchases (t1 is non-increasing, so no later anchor
+    can ever reach past those) — so state is O(events inside the
+    watermark+window horizon) per user, not O(history).
+
+    Emitted ``stage`` is the CURRENT batch-equivalent chain depth; it can go
+    DOWN across batches when out-of-order data revises the chain (exactly as
+    the batch answer over the larger prefix would). Each emission carries a
+    per-user ``rev`` sequence number so update-mode consumers can reduce to
+    the final row per user (``max_by(stage, rev)``) — after a full drain
+    that reduction equals the batch funnel (the driver's oracle checks it).
     """
     from ..shipping import ensure_worker_imports
 
@@ -293,32 +316,56 @@ def stateful_funnel(
         key: Tuple[int], batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        t = list(state.get) if state.exists else [-1, -1, -1]
+        if state.exists:
+            t1, t2, t3, clicks, purchases, rev = state.get
+            clicks, purchases = list(clicks), list(purchases)
+        else:
+            t1, t2, t3, clicks, purchases, rev = -1, -1, -1, [], [], 0
 
-        rows = []
+        new_views: list = []
         for pdf in batches:
             ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            rows.extend(zip(ts_us, pdf["event_type"]))
-        rows.sort()
+            for ts, etype in zip(ts_us, pdf["event_type"]):
+                if etype == steps[0]:
+                    new_views.append(ts)
+                elif etype == steps[1]:
+                    clicks.append(ts)
+                elif etype == steps[2]:
+                    purchases.append(ts)
 
-        for ts, etype in rows:
-            # stage 1: unconditional earliest occurrence of steps[0]
-            if etype == steps[0] and (t[0] == -1 or ts < t[0]):
-                t[0], t[1], t[2] = ts, -1, -1  # earlier anchor resets the chain
-            for k in (1, 2):
-                if (
-                    etype == steps[k]
-                    and t[k - 1] != -1
-                    and t[k] == -1
-                    and t[k - 1] < ts <= t[k - 1] + step_us
-                ):
-                    t[k] = ts
-        state.update(tuple(t))
-        stage = 3 if t[2] != -1 else 2 if t[1] != -1 else 1 if t[0] != -1 else 0
-        if stage:
-            yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+        if new_views:
+            t1 = min(new_views) if t1 == -1 else min(t1, min(new_views))
+        # Recompute the chain from the anchor + candidate pools. The stored
+        # t2/t3 are real event times that may have been pruned from the
+        # pools, so they rejoin the candidate set here.
+        if t1 != -1:
+            c_pool = clicks + ([t2] if t2 != -1 else [])
+            q2 = [c for c in c_pool if t1 < c <= t1 + step_us]
+            t2 = min(q2) if q2 else -1
+        if t2 != -1:
+            p_pool = purchases + ([t3] if t3 != -1 else [])
+            q3 = [p for p in p_pool if t2 < p <= t2 + step_us]
+            t3 = min(q3) if q3 else -1
         else:
-            yield pd.DataFrame({"user_id": [], "stage": []}).astype("int64")
+            t3 = -1
+
+        # Prune the pools: below the watermark nothing can re-qualify (any
+        # future anchor's event time ≥ watermark), above t1+step (clicks) /
+        # t1+2*step (purchases) nothing can ever qualify for the
+        # non-increasing anchor.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        c_hi = t1 + step_us if t1 != -1 else None
+        p_hi = t1 + 2 * step_us if t1 != -1 else None
+        clicks = sorted({c for c in clicks if c > wm_us and (c_hi is None or c <= c_hi)})
+        purchases = sorted({p for p in purchases if p > wm_us and (p_hi is None or p <= p_hi)})
+
+        rev += 1
+        state.update((t1, t2, t3, clicks, purchases, rev))
+        stage = 3 if t3 != -1 else 2 if t2 != -1 else 1 if t1 != -1 else 0
+        if stage:
+            yield pd.DataFrame({"user_id": [user_id], "stage": [stage], "rev": [rev]})
+        else:
+            yield pd.DataFrame({"user_id": [], "stage": [], "rev": []}).astype("int64")
 
     return (
         events.withWatermark("ts", watermark)
