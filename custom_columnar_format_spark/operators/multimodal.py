@@ -91,11 +91,49 @@ def decode_stub(payload: bytes, kind: str):
     return w, h, feat
 
 
-def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def pil_available() -> bool:
+    """True when Pillow is importable (gates the real image decoder the same
+    way protobuf gates transformWithStateInPandas — absent in this container,
+    picked up automatically where it exists)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_pil(payload: bytes, kind: str):
+    """Real image decoder backed by Pillow, drop-in for ``decode_stub`` (same
+    (width, height, feature[8]) contract). Images decode to true dimensions
+    plus an 8-bin normalized grayscale histogram as the feature vector;
+    non-image kinds (and undecodable payloads) fall back to the deterministic
+    stub so a mixed media table never fails mid-batch. Import is lazy and
+    per-executor — Pillow must be on the worker Python, not the driver."""
+    if kind != "image":
+        return decode_stub(payload, kind)
+    import io
+
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            gray = im.convert("L")
+            hist = gray.histogram()  # 256 bins
+        total = float(sum(hist)) or 1.0
+        feat = [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
+        return w, h, feat
+    except Exception:
+        return decode_stub(payload, kind)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256, decoder=decode_stub) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the pattern for any decode/resize/embed stage. The UDF
     sees pandas batches (zero-copy Arrow transfer for the binary column) and
-    emits fixed-width features; raw payloads are dropped before any shuffle."""
+    emits fixed-width features; raw payloads are dropped before any shuffle.
+
+    ``decoder`` is the single-function seam: the default ``decode_stub``
+    keeps output deterministic (the oracle replays it); pass ``decode_pil``
+    on clusters with Pillow for real image decoding."""
     from ..shipping import ensure_worker_imports
 
     ensure_worker_imports(media.sparkSession)
@@ -106,7 +144,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             for media_id, kind, payload, n_bytes in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["n_bytes"]
             ):
-                w, h, feat = decode_stub(bytes(payload), kind)
+                w, h, feat = decoder(bytes(payload), kind)
                 rows.append(
                     {
                         "media_id": media_id,

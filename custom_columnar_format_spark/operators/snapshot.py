@@ -164,14 +164,36 @@ def rollback(path: str, snapshot) -> dict:
     return {"kept": len(keep), "deleted": len(extras)}
 
 
+#: zero-byte claim files older than this are considered abandoned (a creator
+#: died between the O_EXCL claim and the rename) and reclaimed by retention
+ABANDONED_CLAIM_SECONDS = 3600.0
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> int:
     """Drop all but the newest ``keep_last`` manifests (retention). Data
     files are untouched — reclaim space afterwards via compaction/vacuum.
-    Returns the number of manifests removed."""
+    Also reclaims abandoned zero-byte claim files (a snapshot creator that
+    died between the O_EXCL claim and the content rename) once they are
+    older than ``ABANDONED_CLAIM_SECONDS`` — young claims are left alone
+    because a live creator may still be about to fill them. Returns the
+    number of manifests removed (abandoned claims are not counted)."""
     snaps = list_snapshots(path)
     drop = snaps[:-keep_last] if keep_last > 0 else snaps
     for m in drop:
         os.unlink(_manifest_path(path, m["snapshot_id"]))
+    d = _snap_dir(path)
+    if os.path.isdir(d):
+        now = time.time()
+        for name in os.listdir(d):
+            if not (name.startswith("snap-") and name.endswith(".json")):
+                continue
+            p = os.path.join(d, name)
+            try:
+                st = os.stat(p)
+                if st.st_size == 0 and now - st.st_mtime > ABANDONED_CLAIM_SECONDS:
+                    os.unlink(p)
+            except OSError:
+                pass  # concurrently filled or removed — never an error here
     return len(drop)
 
 

@@ -172,19 +172,37 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def unigram_logprob_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    broadcast_vocab="auto",
+    auto_broadcast_max_vocab: int = 500_000,
 ) -> DataFrame:
     """Per-document language-model quality signal: average negative log
     probability of the doc's tokens under a per-language unigram LM estimated
     from the corpus itself (the cheap stand-in for a KenLM perplexity filter
     — high scores flag gibberish/outlier docs, low scores boilerplate).
 
-    Scale shape: the token→frequency join is co-partitioned on
-    (lang, token) — tokens shuffle once into the frequency aggregation and
-    the per-doc rollup shuffles doc-sized rows, never raw text. The unigram
-    table is vocabulary-sized (≪ corpus) and could broadcast instead; the
-    shuffle join is kept because a 100 TB multilingual vocabulary can exceed
-    broadcast limits.
+    Scale shape: tokens shuffle once into the frequency aggregation; the
+    unigram table is vocabulary-sized (≪ corpus). ``broadcast_vocab``
+    controls the token→frequency join strategy:
+
+    - ``True``  — broadcast the frequency table (the common case: even a
+      100 TB corpus has a vocabulary of millions, far under executor memory,
+      so the full token explosion never shuffles a second time);
+    - ``False`` — shuffle join co-partitioned on (lang, token), for the
+      pathological multilingual/ngram vocabularies that exceed broadcast
+      limits;
+    - ``"auto"`` (default) — the frequency table is persisted and counted
+      (it must be fully computed for either join anyway, so the count is
+      ~free), then hinted broadcast iff it has at most
+      ``auto_broadcast_max_vocab`` rows. Above the cap no hint is planted,
+      but the persisted table's EXACT size statistics remain visible to
+      Catalyst, which still upgrades to broadcast when the vocab is under
+      ``spark.sql.autoBroadcastJoinThreshold`` — auto means "let real sizes
+      decide", with the hint covering the >10 MB-but-fits-in-memory band.
+      Note "auto" triggers one eager Spark job at call time.
 
     Returns (id_col, lang, n_tokens, avg_neg_logprob), neg-logprob in nats,
     rounded to 4 (cross-engine float tolerance).
@@ -207,8 +225,13 @@ def unigram_logprob_quality(
         .join(lang_totals, "lang")
         .select("lang", "tok", (F.col("tok_n") / F.col("lang_n")).alias("p"))
     )
+    if broadcast_vocab == "auto":
+        freqs = freqs.persist()
+        do_broadcast = freqs.count() <= auto_broadcast_max_vocab
+    else:
+        do_broadcast = bool(broadcast_vocab)
     return (
-        toks.join(freqs, ["lang", "tok"])
+        toks.join(F.broadcast(freqs) if do_broadcast else freqs, ["lang", "tok"])
         .groupBy("id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -106,6 +106,12 @@ def _list_scbf_files(
     listed — see ``operators/_staging.py``. With ``snapshot``, the listing
     comes from the pinned manifest instead (time travel — see
     ``operators/snapshot.py``)."""
+    if snapshot is not None and files is not None:
+        # both pin the file set; silently preferring one would read a set the
+        # caller didn't ask for
+        raise ValueError(
+            "options 'snapshot' and 'files' both pin the file set — pass only one"
+        )
     if snapshot is not None:
         from ..operators.snapshot import snapshot_files
 
@@ -113,9 +119,21 @@ def _list_scbf_files(
     if files is not None:
         # explicit file pinning (comma-separated paths relative to the
         # dataset root) — the snapshot change feed and external manifest
-        # integrations use this; missing files fail loudly like snapshots do
+        # integrations use this; missing files fail loudly like snapshots do.
+        # Entries must resolve INSIDE the root: an absolute path or a '..'
+        # component would let a read option pull arbitrary host files into
+        # the dataset, so those are rejected.
         root = os.path.abspath(path)
-        out = [os.path.join(root, p) for p in files.split(",") if p]
+        out = []
+        for p in files.split(","):
+            if not p:
+                continue
+            if os.path.isabs(p):
+                raise ValueError(f"pinned file {p!r} is absolute — paths must be relative to {root}")
+            resolved = os.path.abspath(os.path.join(root, p))
+            if os.path.commonpath([root, resolved]) != root:
+                raise ValueError(f"pinned file {p!r} escapes the dataset root {root}")
+            out.append(resolved)
         missing = [p for p in out if not os.path.isfile(p)]
         if missing:
             raise FileNotFoundError(f"pinned files do not exist: {missing[:5]}")

@@ -211,3 +211,30 @@ def test_max_records_per_file_bounds_output(spark, tmp_path):
     for d in ("pk=0", "pk=1"):
         assert len(g.glob(os.path.join(out2, d, "*.scbf"))) == 3  # 200+200+100
     assert spark.read.format("scbf").load(out2).count() == 1000
+
+
+def test_pinned_files_option_validation(spark, tmp_path):
+    """'files' must be relative paths inside the dataset root ('..'/absolute
+    escape → error), and may not be combined with 'snapshot' (both pin the
+    file set — silently preferring one would read the wrong data)."""
+    from custom_columnar_format_spark.sources.scbf_datasource import _list_scbf_files
+
+    out = str(tmp_path / "pin")
+    _sample_df(spark, 50).coalesce(1).write.format("scbf").mode("overwrite").save(out)
+    rel = os.path.basename(glob.glob(os.path.join(out, "*.scbf"))[0])
+
+    # the legitimate pinned read works
+    assert spark.read.format("scbf").option("files", rel).load(out).count() == 50
+
+    # an outside file that would otherwise be readable
+    outside = tmp_path / "outside.scbf"
+    src = glob.glob(os.path.join(out, "*.scbf"))[0]
+    with open(src, "rb") as f, open(outside, "wb") as g:
+        g.write(f.read())
+
+    with pytest.raises(Exception, match="absolute"):
+        _list_scbf_files(out, files=str(outside))
+    with pytest.raises(Exception, match="escapes"):
+        _list_scbf_files(out, files="../outside.scbf")
+    with pytest.raises(Exception, match="only one"):
+        _list_scbf_files(out, snapshot="1", files=rel)

@@ -46,3 +46,54 @@ def test_sample_frames_only_video(media):
     assert all(1 <= v <= 4 for v in per.values())
     offs = [r.frame_offset for r in frames.filter("media_id = 8").orderBy("frame_idx").collect()]
     assert offs == [i * 64 for i in range(len(offs))]
+
+
+def test_decoder_seam_accepts_custom_decoder(media):
+    """extract_features' decoder parameter is the single-function integration
+    seam: a custom decoder changes width/height/feature while everything
+    around it (schema, sha256, batching) is unchanged."""
+
+    def fixed(payload, kind):
+        return (7, 9, [0.5] * 8) if kind == "image" else (None, None, [0.25] * 8)
+
+    feats = multimodal.extract_features(media, decoder=fixed)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[0].width == 7 and rows[0].height == 9 and rows[0].feature == [0.5] * 8
+    assert rows[1].width is None and rows[1].feature == [0.25] * 8
+    for i, txt in TEXTS:
+        assert rows[i].sha256 == hashlib.sha256(txt.encode()).hexdigest()
+
+
+def test_decode_pil_falls_back_without_pil():
+    """Without Pillow, decode_pil degrades to the deterministic stub for
+    images too (undecodable payload path) — a mixed table never fails."""
+    payload = b"not really an image"
+    if not multimodal.pil_available():
+        assert multimodal.decode_pil(payload, "image") == multimodal.decode_stub(payload, "image")
+    assert multimodal.decode_pil(payload, "audio") == multimodal.decode_stub(payload, "audio")
+
+
+@pytest.mark.skipif(not multimodal.pil_available(), reason="Pillow not installed in this container")
+def test_decode_pil_real_png(spark):
+    """Environment-gated: with Pillow present, a real PNG decodes to its true
+    dimensions and a normalized 8-bin histogram, through the same
+    extract_features plumbing as the stub."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, feat = multimodal.decode_pil(png, "image")
+    assert (w, h) == (20, 10)
+    assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-6
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", len(png))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(df, decoder=multimodal.decode_pil).first()
+    assert row.width == 20 and row.height == 10

@@ -138,3 +138,27 @@ def test_concurrent_snapshot_id_claims_never_clobber(spark, sf_small, tmp_path):
     # the original manifest was never clobbered
     with open(os.path.join(path, "_snapshots", f"snap-{m1['snapshot_id']}.json")) as f:
         assert _json.load(f)["tag"] == "mine"
+
+
+def test_expire_reclaims_abandoned_claims_only_when_old(spark, sf_small, tmp_path):
+    """A creator that died between the O_EXCL claim and the content rename
+    leaves a zero-byte snap-*.json; expiry deletes it once it is older than
+    the abandonment threshold, but leaves young claims (a live creator may
+    still fill them) and never miscounts them as expired manifests."""
+    path = str(tmp_path / "claims")
+    _write(spark, sf_small, path, 500)
+    snapshot.create_snapshot(path)
+    snapshot.create_snapshot(path)
+
+    snap_dir = os.path.join(path, "_snapshots")
+    young = os.path.join(snap_dir, "snap-90.json")
+    old = os.path.join(snap_dir, "snap-91.json")
+    open(young, "w").close()
+    open(old, "w").close()
+    stale = os.path.getmtime(old) - snapshot.ABANDONED_CLAIM_SECONDS - 60
+    os.utime(old, (stale, stale))
+
+    assert snapshot.expire_snapshots(path, keep_last=1) == 1  # claims not counted
+    assert not os.path.exists(old)  # abandoned claim reclaimed
+    assert os.path.exists(young)  # live claim untouched
+    assert [m["snapshot_id"] for m in snapshot.list_snapshots(path)] == [2]

@@ -148,3 +148,38 @@ def test_mixing_weights(spark):
     assert abs(out["big"]["mix_weight"] - 0.75) < 0.01
     assert abs(out["small"]["mix_weight"] - 0.25) < 0.01
     assert abs(out["big"]["mix_weight"] + out["small"]["mix_weight"] - 1.0) < 1e-6
+
+
+def test_unigram_broadcast_knob(spark):
+    """broadcast_vocab: 'auto' (small vocab) and True plan a
+    BroadcastHashJoin for the token→frequency join; False keeps the shuffle
+    join for vocabularies beyond broadcast limits; results are identical.
+
+    The hint itself is asserted on the analyzed logical plan: at this toy
+    scale BOTH Catalyst's own autoBroadcastJoinThreshold (the persisted
+    vocab has exact size stats) and AQE would pick broadcast anyway, so the
+    physical plan can't distinguish the knob. The knob matters at 100 TB
+    where the vocab exceeds the 10 MB auto threshold but still fits in
+    executor memory (hint forces broadcast), or is known-huge (False forces
+    the shuffle join)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=f"alpha beta tok{i % 4}") for i in range(40)]
+    )
+
+    def hinted(**kw):
+        q = text.unigram_logprob_quality(df, **kw)._jdf.queryExecution()
+        return "ResolvedHint" in q.analyzed().toString()
+
+    assert hinted(broadcast_vocab=True)
+    assert hinted(broadcast_vocab="auto")
+    # auto with a tiny cap plants no hint (Catalyst still decides from real
+    # stats), and False never hints
+    assert not hinted(broadcast_vocab="auto", auto_broadcast_max_vocab=1)
+    assert not hinted(broadcast_vocab=False)
+
+    rows = lambda kw: sorted(
+        map(tuple, text.unigram_logprob_quality(df, **kw).collect())
+    )
+    assert rows({"broadcast_vocab": True}) == rows({"broadcast_vocab": False})
