@@ -52,6 +52,7 @@ def compact(
     rows_per_file: int | None = None,
     sort_by: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
+    rows_per_group: int | None = None,
 ) -> dict:
     """Compact every leaf directory of an SCBF dataset.
 
@@ -60,7 +61,13 @@ def compact(
     restoring tight min/max envelopes for stats pruning on that column;
     ``zorder_by`` instead clusters along the Morton curve of SEVERAL columns
     (Delta's ``OPTIMIZE ... ZORDER BY``) so box predicates on all of them
-    skip files — see operators/zorder.py."""
+    skip files — see operators/zorder.py.
+
+    ``rows_per_group`` (v2 datasets) writes the compacted files with
+    intra-file row groups: compaction is precisely what grows files past the
+    point where file-level stats stop pruning, and with a ``sort_by``/
+    ``zorder_by`` each group gets a tight key envelope, so pushed filters
+    keep skipping I/O inside the big files they produce."""
     if (target_files is None) == (rows_per_file is None):
         raise ValueError("pass exactly one of target_files / rows_per_file")
     if sort_by and zorder_by:
@@ -97,7 +104,12 @@ def compact(
             df = df.coalesce(n_out) if n_out < len(files) else df.repartition(n_out)
 
         staging = staging_path(d, ".compact-tmp")
-        df.write.format("scbf").option("version", version).mode("overwrite").save(staging)
+        w = df.write.format("scbf").option("version", version).mode("overwrite")
+        if rows_per_group:
+            if version != "2":
+                raise ValueError("rows_per_group requires a v2 dataset")
+            w = w.option("rows_per_group", str(rows_per_group))
+        w.save(staging)
 
         backup = staging_path(d, ".compact-old")
         shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash

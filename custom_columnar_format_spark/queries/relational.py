@@ -900,6 +900,47 @@ def q_scbf_v2_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scbf_rowgroup_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey BETWEEN 5000 AND 15000
+    GROUP BY o_orderpriority
+    """,
+    doc="writes orders sorted into ONE SCBF v2 file with intra-file row "
+    "groups (rows_per_group), reads back with a pushed range filter that "
+    "skips whole groups' blocks inside the file — the Parquet row-group "
+    "analogy for compacted multi-hundred-MB files, where file-level stats "
+    "stop helping. Oracle runs the same query on the original parquet.",
+)
+def q_scbf_rowgroup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.scbf_datasource import register
+
+    register(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"scbf_rg_{abs(hash(sf_dir)) % 10**8}")
+    # one sorted file → tight per-group key bands; the filter prunes groups,
+    # not files (there is only one file)
+    o.coalesce(1).sortWithinPartitions("o_orderkey").write.format("scbf").option(
+        "version", "2"
+    ).option("rows_per_group", "4096").mode("overwrite").save(out)
+    back = (
+        spark.read.format("scbf")
+        .load(out)
+        .filter(F.col("o_orderkey").between(5000, 15000))
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "q_scbf_partitioned_agg",
     """
     SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty

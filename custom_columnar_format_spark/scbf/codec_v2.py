@@ -25,6 +25,10 @@ for object stores and distributed writers from the start:
 - **Stats**: per-column min/max (nulls excluded) + null_count in metadata —
   used by the Spark DataSource for file-level skipping under pushed filters.
 - **Checksums**: crc32 of every compressed block, verified on read.
+- **Row groups** (optional, ``rows_per_group``): intra-file block sets with
+  their own stats/blooms, so selective reads of compacted multi-hundred-MB
+  files skip group I/O the way Parquet row-group pruning does; ungrouped
+  files keep the original byte layout exactly.
 
 Metadata is a zlib'd JSON document rather than v1's hand-packed binary
 records: footer size is irrelevant next to data blocks, and JSON keeps the
@@ -217,12 +221,149 @@ def bloom_contains(bloom: dict, value, type_name: str) -> bool:
     return all(bits[pos] for pos in _bloom_hashes(_bloom_value_bytes(value, type_name), k, m))
 
 
+def _encode_columns(bw: "_BlockWriter", table, bloom_set: set) -> List[dict]:
+    """Encode every column of ``table`` as blocks via ``bw``; returns the
+    per-column metadata entries (blocks, stats, optional bloom). One call per
+    row group — or per file for ungrouped files (the original v2 layout)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    columns_meta: List[dict] = []
+    for fld in table.schema:
+        col = table.column(fld.name).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], type=fld.type)
+        t = fld.type
+        null_count = col.null_count
+        valid_np = None
+        if null_count:
+            valid_np = np.asarray(col.is_valid())
+        blocks: Dict[str, BlockRef] = {}
+
+        if pa.types.is_boolean(t):
+            type_name = "bool"
+            vals = np.asarray(col.fill_null(False)).astype("u1")
+            blocks["data"] = bw.put(vals.tobytes())
+            stats = _stats_of(np.asarray(col.drop_null()).astype("u1"), "bool", None) if len(col) else None
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            if pa.types.is_floating(t):
+                type_name = "float64"
+                fill = 0.0
+            elif t.bit_width <= 32:
+                type_name = "int32"
+                fill = 0
+            else:
+                type_name = "int64"
+                fill = 0
+            vals = np.asarray(col.fill_null(fill)).astype(_NP_DTYPES[type_name])
+            blocks["data"] = bw.put(vals.tobytes())
+            stats = _stats_of(vals, type_name, valid_np)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            type_name = "utf8"
+            # Arrow-native path: dictionary_encode / offset-buffer reuse
+            # instead of a to_pylist round-trip + object-dtype np.unique
+            # (measured ~6× on the 200k bench column).
+            from .codec import _utf8_raw_from_arrow
+
+            filled = pc.fill_null(col, "")
+            dict_arr = filled.dictionary_encode()
+            uniq = dict_arr.dictionary
+            if len(filled) and len(uniq) / len(filled) <= DICT_RATIO:
+                # dictionary encoding: u32 indices + sorted dict offsets +
+                # dict blob (sorted per the format contract; remap the
+                # first-occurrence indices Arrow produces)
+                order = np.asarray(pc.sort_indices(uniq))
+                rank = np.empty(len(uniq), dtype=np.int64)
+                rank[order] = np.arange(len(uniq))
+                idx = rank[dict_arr.indices.to_numpy(zero_copy_only=False)]
+                d_off_raw, d_blob = _utf8_raw_from_arrow(uniq.take(pa.array(order)))
+                blocks["indices"] = bw.put(idx.astype("<u4").tobytes())
+                blocks["dict_offsets"] = bw.put(d_off_raw)
+                blocks["dict_blob"] = bw.put(d_blob)
+            else:
+                off_raw, blob = _utf8_raw_from_arrow(filled)
+                blocks["offsets"] = bw.put(off_raw)
+                blocks["blob"] = bw.put(blob)
+            nn = col.drop_null()
+            if len(nn):
+                mm = pc.min_max(nn)
+                stats = {"min": _trunc_min(str(mm["min"].as_py()))}
+                mx_t = _trunc_max(str(mm["max"].as_py()))
+                if mx_t is not None:
+                    stats["max"] = mx_t
+            else:
+                stats = None
+        else:
+            raise ScbfV2Error(
+                f"column {fld.name!r}: type {t} not representable in SCBF v2 "
+                "(int32/int64/float64/bool/utf8)"
+            )
+
+        if null_count:
+            bitmap = np.packbits(valid_np, bitorder="little")  # Arrow validity layout
+            blocks["validity"] = bw.put(bitmap.tobytes())
+
+        cm = {
+            "name": fld.name,
+            "type": type_name,
+            "nullable": bool(null_count),
+            "null_count": int(null_count),
+            "dict": "indices" in blocks,
+            "blocks": {k: v.to_json() for k, v in blocks.items()},
+            "stats": stats,
+        }
+        if fld.name in bloom_set:
+            if type_name not in ("int32", "int64", "utf8"):
+                raise ScbfV2Error(
+                    f"bloom filter on column {fld.name!r}: only int/string "
+                    f"columns are supported (got {type_name})"
+                )
+            nn = col.drop_null()
+            bloom = _bloom_of(
+                nn.to_pylist() if type_name == "utf8" else np.asarray(nn), type_name
+            )
+            if bloom is not None:
+                cm["bloom"] = bloom
+        columns_meta.append(cm)
+    return columns_meta
+
+
+def _merged_columns_meta(groups: List[dict]) -> List[dict]:
+    """File-level column metadata synthesized from per-group entries, so
+    grouped files keep the same footer shape consumers already read (schema
+    listing, null counts, min/max pruning). Mins/maxes fold conservatively
+    (a group whose string max was truncated away makes the file max unbounded
+    too); the merged entries carry no blocks — data lives in the groups."""
+    out: List[dict] = []
+    for i, c0 in enumerate(groups[0]["columns"]):
+        cols = [g["columns"][i] for g in groups]
+        present = [c["stats"] for c in cols if c["stats"]]
+        stats: Optional[dict] = None
+        if present:
+            stats = {"min": min(s["min"] for s in present)}
+            if all("max" in s for s in present):
+                stats["max"] = max(s["max"] for s in present)
+        out.append(
+            {
+                "name": c0["name"],
+                "type": c0["type"],
+                "nullable": any(c["nullable"] for c in cols),
+                "null_count": sum(c["null_count"] for c in cols),
+                "dict": False,
+                "blocks": {},
+                "stats": stats,
+            }
+        )
+    return out
+
+
 def write_arrow_table(
     path: str,
     table,
     level: int = DEFAULT_ZLIB_LEVEL,
     bloom_columns: Optional[Sequence[str]] = None,
     codec: str = "zlib",
+    rows_per_group: Optional[int] = None,
 ) -> None:
     """Write a ``pyarrow.Table`` as one SCBF v2 file (nulls allowed).
 
@@ -230,113 +371,40 @@ def write_arrow_table(
     filter in the footer: point-lookup (``=`` / ``IN``) predicates can then
     skip files whose key RANGE overlaps but which provably lack the value —
     the case min/max stats cannot prune (Parquet's column bloom filters,
-    SPARK-34562, solve exactly this)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    SPARK-34562, solve exactly this).
 
+    ``rows_per_group`` splits the file into intra-file **row groups** (the
+    Parquet analogy): each group carries its own blocks, min/max stats, and
+    blooms, so a selective read of one large file skips whole groups' I/O —
+    file-level stats can only skip ALL of a file, which stops helping once
+    compaction grows files to hundreds of MB. ``None`` (default) keeps the
+    original single-group layout BYTE-IDENTICAL (small files pay no footer
+    growth); files with one group's worth of rows likewise. The footer keeps
+    ``version: 2`` and file-level ``columns`` (merged stats, empty block
+    maps), so schema listing and file-level pruning work unchanged on
+    grouped files, and a pre-row-group reader fails loudly on the missing
+    block refs rather than returning wrong rows."""
     bloom_set = set(bloom_columns or ())
 
     with open(path, "wb") as f:
         bw = _BlockWriter(f, level, codec)
-        columns_meta: List[dict] = []
-        for fld in table.schema:
-            col = table.column(fld.name).combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = col.chunk(0) if col.num_chunks else pa.array([], type=fld.type)
-            t = fld.type
-            null_count = col.null_count
-            valid_np = None
-            if null_count:
-                valid_np = np.asarray(col.is_valid())
-            blocks: Dict[str, BlockRef] = {}
-
-            if pa.types.is_boolean(t):
-                type_name = "bool"
-                vals = np.asarray(col.fill_null(False)).astype("u1")
-                blocks["data"] = bw.put(vals.tobytes())
-                stats = _stats_of(np.asarray(col.drop_null()).astype("u1"), "bool", None) if len(col) else None
-            elif pa.types.is_integer(t) or pa.types.is_floating(t):
-                if pa.types.is_floating(t):
-                    type_name = "float64"
-                    fill = 0.0
-                elif t.bit_width <= 32:
-                    type_name = "int32"
-                    fill = 0
-                else:
-                    type_name = "int64"
-                    fill = 0
-                vals = np.asarray(col.fill_null(fill)).astype(_NP_DTYPES[type_name])
-                blocks["data"] = bw.put(vals.tobytes())
-                stats = _stats_of(vals, type_name, valid_np)
-            elif pa.types.is_string(t) or pa.types.is_large_string(t):
-                type_name = "utf8"
-                # Arrow-native path: dictionary_encode / offset-buffer reuse
-                # instead of a to_pylist round-trip + object-dtype np.unique
-                # (measured ~6× on the 200k bench column).
-                from .codec import _utf8_raw_from_arrow
-
-                filled = pc.fill_null(col, "")
-                dict_arr = filled.dictionary_encode()
-                uniq = dict_arr.dictionary
-                if len(filled) and len(uniq) / len(filled) <= DICT_RATIO:
-                    # dictionary encoding: u32 indices + sorted dict offsets +
-                    # dict blob (sorted per the format contract; remap the
-                    # first-occurrence indices Arrow produces)
-                    order = np.asarray(pc.sort_indices(uniq))
-                    rank = np.empty(len(uniq), dtype=np.int64)
-                    rank[order] = np.arange(len(uniq))
-                    idx = rank[dict_arr.indices.to_numpy(zero_copy_only=False)]
-                    d_off_raw, d_blob = _utf8_raw_from_arrow(uniq.take(pa.array(order)))
-                    blocks["indices"] = bw.put(idx.astype("<u4").tobytes())
-                    blocks["dict_offsets"] = bw.put(d_off_raw)
-                    blocks["dict_blob"] = bw.put(d_blob)
-                else:
-                    off_raw, blob = _utf8_raw_from_arrow(filled)
-                    blocks["offsets"] = bw.put(off_raw)
-                    blocks["blob"] = bw.put(blob)
-                nn = col.drop_null()
-                if len(nn):
-                    mm = pc.min_max(nn)
-                    stats = {"min": _trunc_min(str(mm["min"].as_py()))}
-                    mx_t = _trunc_max(str(mm["max"].as_py()))
-                    if mx_t is not None:
-                        stats["max"] = mx_t
-                else:
-                    stats = None
-            else:
-                raise ScbfV2Error(
-                    f"column {fld.name!r}: type {t} not representable in SCBF v2 "
-                    "(int32/int64/float64/bool/utf8)"
-                )
-
-            if null_count:
-                bitmap = np.packbits(valid_np, bitorder="little")  # Arrow validity layout
-                blocks["validity"] = bw.put(bitmap.tobytes())
-
-            cm = {
-                "name": fld.name,
-                "type": type_name,
-                "nullable": bool(null_count),
-                "null_count": int(null_count),
-                "dict": "indices" in blocks,
-                "blocks": {k: v.to_json() for k, v in blocks.items()},
-                "stats": stats,
+        if rows_per_group is not None and rows_per_group <= 0:
+            raise ScbfV2Error("rows_per_group must be positive (or None)")
+        if rows_per_group is None or table.num_rows <= rows_per_group:
+            columns_meta = _encode_columns(bw, table, bloom_set)
+            meta = {"version": 2, "rows": table.num_rows, "codec": codec, "columns": columns_meta}
+        else:
+            groups = []
+            for start in range(0, table.num_rows, rows_per_group):
+                sl = table.slice(start, rows_per_group)
+                groups.append({"rows": sl.num_rows, "columns": _encode_columns(bw, sl, bloom_set)})
+            meta = {
+                "version": 2,
+                "rows": table.num_rows,
+                "codec": codec,
+                "columns": _merged_columns_meta(groups),
+                "row_groups": groups,
             }
-            if fld.name in bloom_set:
-                if type_name not in ("int32", "int64", "utf8"):
-                    raise ScbfV2Error(
-                        f"bloom filter on column {fld.name!r}: only int/string "
-                        f"columns are supported (got {type_name})"
-                    )
-                nn = col.drop_null()
-                bloom = _bloom_of(
-                    nn.to_pylist() if type_name == "utf8" else np.asarray(nn), type_name
-                )
-                if bloom is not None:
-                    cm["bloom"] = bloom
-            columns_meta.append(cm)
-
-        meta = {"version": 2, "rows": table.num_rows, "codec": codec, "columns": columns_meta}
         meta_comp = zlib.compress(json.dumps(meta).encode("utf-8"), level)
         f.write(meta_comp)
         f.write(struct.pack("<Q", len(meta_comp)))
@@ -371,63 +439,110 @@ def _get_block(f: BinaryIO, ref: BlockRef, verify: bool = True, codec: str = "zl
 _PA_TYPES = {"int32": "int32", "int64": "int64", "float64": "float64", "bool": "bool_", "utf8": "string"}
 
 
-def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_crc: bool = True):
+def read_arrow_table(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    verify_crc: bool = True,
+    filters: Optional[Sequence[Any]] = None,
+):
     """Pruned Arrow read of a v2 file. Validity bitmaps and string buffers go
-    to Arrow as raw buffers (the on-disk layout IS Arrow's layout)."""
+    to Arrow as raw buffers (the on-disk layout IS Arrow's layout).
+
+    For row-grouped files, ``filters`` (pyspark.sql.datasource Filter
+    dataclasses) additionally skip whole groups whose stats/blooms prove no
+    match — those groups' data blocks are never read. The result is then a
+    SUPERSET of the matching rows (surviving groups come back whole); the
+    engine re-applies the row filter, exactly as with Parquet row-group
+    pruning. Ungrouped files ignore ``filters`` (file-level pruning is the
+    caller's job there, via ``file_may_match``)."""
     import pyarrow as pa
 
     meta = read_meta(path)
     codec = meta.get("codec", "zlib")  # absent in pre-codec files
     if codec not in BLOCK_CODECS:
         raise ScbfV2Error(f"file uses unknown codec {codec!r}; have {sorted(BLOCK_CODECS)}")
-    by_name = {c["name"]: c for c in meta["columns"]}
     selected = list(columns) if columns is not None else [c["name"] for c in meta["columns"]]
-    rows = meta["rows"]
 
-    arrays, fields = [], []
+    groups = meta.get("row_groups")
     with open(path, "rb") as f:
-        for name in selected:
-            if name not in by_name:
-                raise KeyError(f"Column {name} not found")
-            cm = by_name[name]
-            refs = {k: BlockRef.from_json(v) for k, v in cm["blocks"].items()}
-            validity_buf = None
-            if "validity" in refs:
-                validity_buf = pa.py_buffer(_get_block(f, refs["validity"], verify_crc, codec))
-            pa_type = getattr(pa, _PA_TYPES[cm["type"]])()
+        if groups is None:
+            return _read_group(f, codec, meta["columns"], meta["rows"], selected, verify_crc)
+        # per-group nullability can differ (one group has nulls, another
+        # doesn't); concat needs one schema, so force the file-level flags
+        nullable = {c["name"]: bool(c["nullable"]) for c in meta["columns"]}
+        tables = [
+            _read_group(f, codec, g["columns"], g["rows"], selected, verify_crc, nullable)
+            for g in groups
+            if not filters or _stats_may_match(g["columns"], g["rows"], filters)
+        ]
+    if not tables:
+        by_name = {c["name"]: c for c in meta["columns"]}
+        empty_fields = [
+            pa.field(n, getattr(pa, _PA_TYPES[by_name[n]["type"]])(), nullable=nullable[n])
+            for n in selected
+        ]
+        return pa.Table.from_arrays(
+            [pa.nulls(0, fl.type) for fl in empty_fields], schema=pa.schema(empty_fields)
+        )
+    return pa.concat_tables(tables)
 
-            if cm["type"] == "utf8":
-                if cm["dict"]:
-                    idx = np.frombuffer(_get_block(f, refs["indices"], verify_crc, codec), dtype="<u4", count=rows)
-                    d_offs = _get_block(f, refs["dict_offsets"], verify_crc, codec)
-                    d_blob = _get_block(f, refs["dict_blob"], verify_crc, codec)
-                    n_dict = len(d_offs) // 4 - 1
-                    dict_arr = pa.StringArray.from_buffers(
-                        n_dict, pa.py_buffer(d_offs), pa.py_buffer(d_blob)
-                    )
-                    indices = pa.Array.from_buffers(
-                        pa.int32(), rows, [validity_buf, pa.py_buffer(idx.astype("<i4").tobytes())]
-                    )
-                    arr = pa.DictionaryArray.from_arrays(indices, dict_arr).cast(pa.string())
-                else:
-                    offs = _get_block(f, refs["offsets"], verify_crc, codec)
-                    blob = _get_block(f, refs["blob"], verify_crc, codec)
-                    np_offs = np.frombuffer(offs, dtype="<u4", count=rows + 1)
-                    arr = pa.StringArray.from_buffers(
-                        rows, pa.py_buffer(np_offs.astype("<i4").tobytes()), pa.py_buffer(blob), validity_buf
-                    )
+
+def _read_group(
+    f: BinaryIO,
+    codec: str,
+    columns_meta: List[dict],
+    rows: int,
+    selected: Sequence[str],
+    verify_crc: bool,
+    nullable_override: Optional[Dict[str, bool]] = None,
+):
+    """Decode one block set (a row group, or a whole ungrouped file)."""
+    import pyarrow as pa
+
+    by_name = {c["name"]: c for c in columns_meta}
+    arrays, fields = [], []
+    for name in selected:
+        if name not in by_name:
+            raise KeyError(f"Column {name} not found")
+        cm = by_name[name]
+        refs = {k: BlockRef.from_json(v) for k, v in cm["blocks"].items()}
+        validity_buf = None
+        if "validity" in refs:
+            validity_buf = pa.py_buffer(_get_block(f, refs["validity"], verify_crc, codec))
+        pa_type = getattr(pa, _PA_TYPES[cm["type"]])()
+
+        if cm["type"] == "utf8":
+            if cm["dict"]:
+                idx = np.frombuffer(_get_block(f, refs["indices"], verify_crc, codec), dtype="<u4", count=rows)
+                d_offs = _get_block(f, refs["dict_offsets"], verify_crc, codec)
+                d_blob = _get_block(f, refs["dict_blob"], verify_crc, codec)
+                n_dict = len(d_offs) // 4 - 1
+                dict_arr = pa.StringArray.from_buffers(
+                    n_dict, pa.py_buffer(d_offs), pa.py_buffer(d_blob)
+                )
+                indices = pa.Array.from_buffers(
+                    pa.int32(), rows, [validity_buf, pa.py_buffer(idx.astype("<i4").tobytes())]
+                )
+                arr = pa.DictionaryArray.from_arrays(indices, dict_arr).cast(pa.string())
             else:
-                raw = _get_block(f, refs["data"], verify_crc, codec)
-                if cm["type"] == "bool":
-                    # stored as u1 bytes; Arrow wants bit-packed values
-                    vals = np.frombuffer(raw, dtype="u1", count=rows)
-                    data_buf = pa.py_buffer(np.packbits(vals.astype(bool), bitorder="little").tobytes())
-                else:
-                    data_buf = pa.py_buffer(raw)
-                arr = pa.Array.from_buffers(pa_type, rows, [validity_buf, data_buf])
+                offs = _get_block(f, refs["offsets"], verify_crc, codec)
+                blob = _get_block(f, refs["blob"], verify_crc, codec)
+                np_offs = np.frombuffer(offs, dtype="<u4", count=rows + 1)
+                arr = pa.StringArray.from_buffers(
+                    rows, pa.py_buffer(np_offs.astype("<i4").tobytes()), pa.py_buffer(blob), validity_buf
+                )
+        else:
+            raw = _get_block(f, refs["data"], verify_crc, codec)
+            if cm["type"] == "bool":
+                # stored as u1 bytes; Arrow wants bit-packed values
+                vals = np.frombuffer(raw, dtype="u1", count=rows)
+                data_buf = pa.py_buffer(np.packbits(vals.astype(bool), bitorder="little").tobytes())
+            else:
+                data_buf = pa.py_buffer(raw)
+            arr = pa.Array.from_buffers(pa_type, rows, [validity_buf, data_buf])
 
-            arrays.append(arr)
-            fields.append(pa.field(name, pa_type, nullable=bool(cm["nullable"])))
+        arrays.append(arr)
+        fields.append(pa.field(name, pa_type, nullable=bool(cm["nullable"])))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
@@ -439,7 +554,21 @@ def read_arrow_table(path: str, columns: Optional[Sequence[str]] = None, verify_
 def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
     """Conservative stats check: False only when some pushed filter PROVES the
     file has no matching rows. ``filters`` are pyspark.sql.datasource Filter
-    dataclasses; unknown filter shapes are ignored (treated as may-match)."""
+    dataclasses; unknown filter shapes are ignored (treated as may-match).
+
+    Row-grouped files match iff ANY group may match — per-group stats are
+    strictly tighter than the merged file-level stats, and per-group blooms
+    exist where the merged entry has none."""
+    if meta.get("row_groups"):
+        return any(
+            _stats_may_match(g["columns"], g["rows"], filters) for g in meta["row_groups"]
+        )
+    return _stats_may_match(meta["columns"], meta["rows"], filters)
+
+
+def _stats_may_match(columns_meta: Sequence[dict], rows: int, filters: Sequence[Any]) -> bool:
+    """``file_may_match`` core over one block set's column metadata — used
+    per file (ungrouped) and per row group (grouped)."""
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,
@@ -453,8 +582,7 @@ def file_may_match(meta: dict, filters: Sequence[Any]) -> bool:
     stats_by_col: Dict[str, dict] = {}
     nulls_by_col: Dict[str, int] = {}
     bloom_by_col: Dict[str, tuple] = {}
-    rows = meta["rows"]
-    for c in meta["columns"]:
+    for c in columns_meta:
         if c.get("stats"):
             stats_by_col[c["name"]] = c["stats"]
         if c.get("bloom"):

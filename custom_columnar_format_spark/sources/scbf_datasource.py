@@ -349,7 +349,15 @@ class ScbfReader(DataSourceReader):
         return parts or [ScbfFilePartition("")]
 
     def read(self, partition: ScbfFilePartition):
-        yield from _read_file_partition(partition, self.schema, self.verify_crc)
+        # Same filters that pruned whole files also prune row GROUPS inside
+        # each surviving v2 file (codec_v2.read_arrow_table skips groups
+        # whose stats/blooms prove no match — Parquet row-group pruning).
+        yield from _read_file_partition(
+            partition,
+            self.schema,
+            self.verify_crc,
+            self._filters if self.file_skipping else (),
+        )
 
 
 def _merged_schema(files: Sequence[str]) -> StructType:
@@ -403,7 +411,9 @@ def _pa_type_for_spark(dt):
     raise ValueError(f"no arrow type for spark type {dt}")
 
 
-def _read_file_partition(partition: ScbfFilePartition, schema: StructType, verify_crc: bool):
+def _read_file_partition(
+    partition: ScbfFilePartition, schema: StructType, verify_crc: bool, filters=()
+):
     """Decode one SCBF file partition to Arrow batches, attaching directory-
     encoded partition columns as constants and back-filling typed nulls for
     columns the file predates (schema evolution under merge_schemas). Shared
@@ -423,7 +433,8 @@ def _read_file_partition(partition: ScbfFilePartition, schema: StructType, verif
     if present:
         if is_v2:
             table = codec_v2.read_arrow_table(
-                partition.file_path, present, verify_crc=verify_crc
+                partition.file_path, present, verify_crc=verify_crc,
+                filters=list(filters) or None,
             )
         else:
             table = codec.read_arrow_table(partition.file_path, present)
@@ -478,6 +489,12 @@ class ScbfWriter(DataSourceArrowWriter):
         self.max_records_per_file = int(options.get("max_records_per_file", "0"))
         if self.max_records_per_file < 0:
             raise ValueError("max_records_per_file must be >= 0 (0 = unlimited)")
+        self.rows_per_group = int(options.get("rows_per_group", "0")) or None
+        if self.rows_per_group is not None:
+            if self.version != 2:
+                raise ValueError("rows_per_group requires .option('version', '2')")
+            if self.rows_per_group < 0:
+                raise ValueError("rows_per_group must be >= 0 (0 = one group per file)")
         self.codec = options.get("codec", "zlib")
         if self.codec != "zlib":
             if self.version != 2:
@@ -536,7 +553,8 @@ class ScbfWriter(DataSourceArrowWriter):
         final = os.path.join(directory, f"part-{file_id}.scbf")
         if self.version == 2:
             codec_v2.write_arrow_table(
-                tmp, table, self.level, bloom_columns=self.bloom_columns, codec=self.codec
+                tmp, table, self.level, bloom_columns=self.bloom_columns, codec=self.codec,
+                rows_per_group=self.rows_per_group,
             )
         else:
             codec.write_arrow_table(tmp, table, self.level)

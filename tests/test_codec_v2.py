@@ -352,3 +352,122 @@ def test_v2_truncated_and_garbage_files_fail_loudly(tmp_path):
     open(g, "wb").write(b"\x99" * 256)
     with pytest.raises(Exception):
         codec_v2.read_arrow_table(g)
+
+
+# ---------------------------------------------------------------------------
+# Intra-file row groups
+# ---------------------------------------------------------------------------
+
+
+def _grouped_table(n=1000):
+    return pa.table(
+        {
+            "id": pa.array(range(n), type=pa.int64()),
+            "name": pa.array([f"name_{i % 7}" for i in range(n)]),
+            "score": pa.array(
+                [float(i) if i % 5 else None for i in range(n)], type=pa.float64()
+            ),
+        }
+    )
+
+
+def test_row_groups_off_is_byte_identical(tmp_path):
+    """rows_per_group=None (and any value >= num_rows) writes the original
+    single-group layout byte for byte — small files pay nothing."""
+    t = _grouped_table()
+    a, b, c = (str(tmp_path / x) for x in ("a.scbf", "b.scbf", "c.scbf"))
+    codec_v2.write_arrow_table(a, t)
+    codec_v2.write_arrow_table(b, t, rows_per_group=10**6)
+    codec_v2.write_arrow_table(c, t, rows_per_group=t.num_rows)
+    raw = open(a, "rb").read()
+    assert open(b, "rb").read() == raw and open(c, "rb").read() == raw
+    assert "row_groups" not in codec_v2.read_meta(a)
+
+
+def test_row_groups_roundtrip_stats_and_blooms(tmp_path):
+    """Grouped write round-trips (values, nulls, dict strings), footer keeps
+    per-group AND merged file-level stats, and projection still prunes."""
+    t = _grouped_table()
+    p = str(tmp_path / "g.scbf")
+    codec_v2.write_arrow_table(p, t, rows_per_group=128, bloom_columns=["name"])
+    meta = codec_v2.read_meta(p)
+    groups = meta["row_groups"]
+    assert [g["rows"] for g in groups] == [128] * 7 + [104]
+    # per-group stats are tight ranges; merged file-level stats span them
+    g0_id = groups[0]["columns"][0]
+    assert g0_id["name"] == "id" and g0_id["stats"] == {"min": 0, "max": 127}
+    by = {c["name"]: c for c in meta["columns"]}
+    assert by["id"]["stats"] == {"min": 0, "max": 999}
+    assert by["score"]["null_count"] == sum(g["columns"][2]["null_count"] for g in groups)
+    assert all("bloom" in g["columns"][1] for g in groups)
+
+    assert codec_v2.read_arrow_table(p).to_pydict() == t.to_pydict()
+    sel = codec_v2.read_arrow_table(p, ["score", "id"])
+    assert sel.column_names == ["score", "id"] and sel.num_rows == 1000
+
+
+def test_row_group_skipping_proven_by_corruption(tmp_path):
+    """The Parquet-row-group-pruning proof, one level down from the file
+    test: corrupt every block of all groups but the one holding id=5; a
+    filtered read (CRC verification ON) succeeds and returns exactly that
+    group, so the reader demonstrably never touched the other groups'
+    bytes. The unfiltered read fails on the corruption."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    t = _grouped_table()
+    p = str(tmp_path / "skip.scbf")
+    codec_v2.write_arrow_table(p, t, rows_per_group=128)
+    meta = codec_v2.read_meta(p)
+    with open(p, "r+b") as f:
+        for g in meta["row_groups"][1:]:
+            for cm in g["columns"]:
+                for ref in cm["blocks"].values():
+                    f.seek(ref["offset"])
+                    f.write(b"\x00" * ref["comp"])
+
+    got = codec_v2.read_arrow_table(p, filters=[EqualTo(("id",), 5)])
+    assert got.column("id").to_pylist() == list(range(128))
+    with pytest.raises(codec_v2.ScbfV2Error):
+        codec_v2.read_arrow_table(p)
+    # all-groups-skipped: empty table, schema intact, no blocks touched
+    none = codec_v2.read_arrow_table(p, filters=[GreaterThan(("id",), 10**6)])
+    assert none.num_rows == 0 and none.column_names == ["id", "name", "score"]
+    # file_may_match consults per-group stats (file matches iff any group may)
+    assert codec_v2.file_may_match(meta, [EqualTo(("id",), 5)])
+    assert not codec_v2.file_may_match(meta, [GreaterThan(("id",), 10**6)])
+
+
+def test_spark_row_group_pruning_end_to_end(spark, tmp_path):
+    """DSv2 integration: one large sorted file written with rows_per_group;
+    corrupt the tail groups; a pushed id filter still answers (group pruning
+    skipped the corrupted bytes) while an unfiltered scan fails."""
+    out = str(tmp_path / "rg")
+    (
+        spark.range(30000)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.concat(F.lit("v"), (F.col("id") % 9).cast("string")).alias("v"),
+        )
+        .coalesce(1)
+        .sort("id")
+        .write.format("scbf")
+        .option("version", "2")
+        .option("rows_per_group", "4096")
+        .mode("overwrite")
+        .save(out)
+    )
+    fp = glob.glob(os.path.join(out, "*.scbf"))[0]
+    meta = codec_v2.read_meta(fp)
+    assert len(meta["row_groups"]) == 8
+    with open(fp, "r+b") as f:
+        for g in meta["row_groups"][2:]:
+            for cm in g["columns"]:
+                for ref in cm["blocks"].values():
+                    f.seek(ref["offset"])
+                    f.write(b"\x00" * ref["comp"])
+
+    got = spark.read.format("scbf").load(out).filter(F.col("id") < 1000)
+    assert got.count() == 1000
+    assert got.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+    with pytest.raises(Exception):
+        spark.read.format("scbf").load(out).count()

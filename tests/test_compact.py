@@ -143,3 +143,39 @@ def test_compact_zorder_by_enables_2d_skipping(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="at most one"):
         compact_op.compact(spark, path, target_files=4, sort_by=["l_orderkey"], zorder_by=["l_partkey"])
+
+
+def test_compact_writes_row_groups(spark, tmp_path):
+    """Compaction with rows_per_group + sort_by produces few big files whose
+    internal groups carry tight sorted key envelopes — the layout that keeps
+    pushed filters skipping I/O after small files merge into big ones."""
+    import os
+
+    out = str(tmp_path / "rg")
+    for lo in range(0, 8000, 1000):  # 8 small unsorted appends
+        (
+            spark.range(lo, lo + 1000)
+            .select(F.col("id").cast("long").alias("id"), (F.col("id") % 13).cast("int").alias("k"))
+            .coalesce(1)
+            .write.format("scbf")
+            .option("version", "2")
+            .mode("append")
+            .save(out)
+        )
+    stats = compact_op.compact(
+        spark, out, target_files=1, sort_by=["id"], rows_per_group=1024
+    )
+    assert stats["files_after"] == 1
+    fp = glob.glob(os.path.join(out, "*.scbf"))[0]
+    meta = codec_v2.read_meta(fp)
+    groups = meta["row_groups"]
+    assert len(groups) == 8 and sum(g["rows"] for g in groups) == 8000
+    # sorted write → non-overlapping per-group id envelopes
+    bounds = [
+        next(c for c in g["columns"] if c["name"] == "id")["stats"] for g in groups
+    ]
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["max"] < b["min"]
+    df = spark.read.format("scbf").load(out)
+    assert df.count() == 8000
+    assert df.filter(F.col("id") == 4321).count() == 1
