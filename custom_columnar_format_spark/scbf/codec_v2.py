@@ -542,7 +542,8 @@ def _read_group(
             arr = pa.Array.from_buffers(pa_type, rows, [validity_buf, data_buf])
 
         arrays.append(arr)
-        fields.append(pa.field(name, pa_type, nullable=bool(cm["nullable"])))
+        nullable = cm["nullable"] if nullable_override is None else nullable_override[name]
+        fields.append(pa.field(name, pa_type, nullable=bool(nullable)))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 

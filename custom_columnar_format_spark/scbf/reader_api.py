@@ -12,11 +12,13 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-from . import codec
+from . import codec, codec_v2
 
 
 class SCBFReader:
-    """Reader for a single SCBF file.
+    """Reader for a single SCBF file — v1 or v2, auto-detected from the
+    magic, same surface for both (the reference defines only v1; v2 files
+    come back with their richer types and nulls as ``None``).
 
     >>> r = SCBFReader("examples/sample.scbf")
     >>> r.list_columns()
@@ -27,27 +29,49 @@ class SCBFReader:
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as f:
-            self._info = codec.read_file_info(f)
+            magic = f.read(8)
+        if magic == codec_v2.MAGIC_V2:
+            self.version = 2
+            self._meta = codec_v2.read_meta(path)
+        else:
+            self.version = 1
+            with open(path, "rb") as f:
+                self._info = codec.read_file_info(f)
 
     # -- reference-README surface ------------------------------------------
     def list_columns(self) -> List[str]:
+        if self.version == 2:
+            return [c["name"] for c in self._meta["columns"]]
         return [m.name for m in self._info.columns]
 
     def schema(self) -> Dict[str, str]:
+        if self.version == 2:
+            return {c["name"]: c["type"] for c in self._meta["columns"]}
         return {m.name: m.type_name for m in self._info.columns}
 
     @property
     def num_rows(self) -> int:
-        return self._info.total_rows
+        return self._meta["rows"] if self.version == 2 else self._info.total_rows
 
     def read_all(self) -> Tuple[List[str], List[List]]:
+        if self.version == 2:
+            t = codec_v2.read_arrow_table(self.path)
+            cols = [t.column(n).to_pylist() for n in t.column_names]
+            rows = [list(r) for r in zip(*cols)] if cols and t.num_rows else []
+            return list(t.column_names), rows
         return codec.read_all(self.path)
 
     def read_columns(self, columns: Sequence[str]) -> Dict[str, list]:
+        if self.version == 2:
+            t = codec_v2.read_arrow_table(self.path, list(columns))
+            # duplicate request names collapse dict-style, like the reference
+            return {n: t.column(n).to_pylist() for n in t.column_names}
         return {k: list(v) for k, v in codec.read_columns(self.path, columns).items()}
 
     # -- engine extensions --------------------------------------------------
     def to_arrow(self, columns: Sequence[str] | None = None):
+        if self.version == 2:
+            return codec_v2.read_arrow_table(self.path, columns)
         return codec.read_arrow_table(self.path, columns)
 
     def to_pandas(self, columns: Sequence[str] | None = None):

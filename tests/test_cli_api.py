@@ -107,3 +107,31 @@ def test_cli_maintenance_surface(spark, sf_small, tmp_path, capsys):
     os.makedirs(path + ".merge-tmp")
     assert main(["vacuum", path, "--older-than", "0"]) == 0
     assert not os.path.exists(path + ".merge-tmp")
+
+
+def test_reader_class_api_v2(tmp_path):
+    """SCBFReader auto-detects v2 files: same README surface, richer types,
+    nulls as None — including a row-grouped file."""
+    import pyarrow as pa
+
+    from custom_columnar_format_spark.scbf import codec_v2
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, None, 4], type=pa.int64()),
+            "name": pa.array(["a", None, "c", "d"]),
+            "ok": pa.array([True, False, True, None]),
+        }
+    )
+    p = str(tmp_path / "v2.scbf")
+    codec_v2.write_arrow_table(p, t, rows_per_group=3)
+    r = SCBFReader(p)
+    assert r.version == 2
+    assert r.list_columns() == ["id", "name", "ok"]
+    assert r.schema() == {"id": "int64", "name": "utf8", "ok": "bool"}
+    assert r.num_rows == 4
+    names, rows = r.read_all()
+    assert names == ["id", "name", "ok"]
+    assert rows[1] == [2, None, False] and rows[2] == [None, "c", True]
+    assert r.read_columns(["ok"]) == {"ok": [True, False, True, None]}
+    assert r.to_arrow(["id"]).column("id").to_pylist() == [1, 2, None, 4]

@@ -331,6 +331,10 @@ def test_v2_random_table_roundtrip_property(tmp_path):
         codec_v2.write_arrow_table(p, t)
         back = codec_v2.read_arrow_table(p)
         assert back.to_pylist() == t.to_pylist()
+        # grouped layout round-trips identically (incl. per-group nullability
+        # divergence — group schemas unify to the file-level flags)
+        codec_v2.write_arrow_table(p, t, rows_per_group=7)
+        assert codec_v2.read_arrow_table(p).to_pylist() == t.to_pylist()
 
     check()
 
