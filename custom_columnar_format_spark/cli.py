@@ -152,6 +152,7 @@ def compact_cmd(args) -> None:
             rows_per_file=args.rows_per_file,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            rows_per_group=args.rows_per_group,
         )
         print(stats)
     finally:
@@ -217,6 +218,8 @@ def main(argv=None) -> int:
     cp.add_argument("--rows-per-file", type=int, default=None)
     cp.add_argument("--sort-by", default=None, help="comma-separated sort columns")
     cp.add_argument("--zorder-by", default=None, help="comma-separated Morton-cluster columns")
+    cp.add_argument("--rows-per-group", type=int, default=None,
+                    help="write v2 files with intra-file row groups of this many rows")
     cp.set_defaults(fn=compact_cmd)
 
     vc = sub.add_parser("vacuum", help="remove orphaned scratch; optionally heal crashed swaps")

@@ -66,12 +66,15 @@ def merge_into(
     key: str,
     out_path: str | None = None,
     n_files: int = 8,
+    rows_per_group: int | None = None,
 ) -> dict:
     """Merge ``source`` into the SCBF dataset at ``target_path`` on ``key``.
 
     Returns stats: files carried over untouched vs rewritten. When
     ``out_path`` is None the merge replaces ``target_path`` (write to a
-    sibling tmp dir, then swap)."""
+    sibling tmp dir, then swap). ``rows_per_group`` writes the rewritten
+    files with intra-file row groups (see scbf/codec_v2.py) — carried-over
+    files keep their existing layout."""
     _vacuum.recover(target_path)  # heal a swap a previous driver crashed in
     files = _target_files(target_path)
     if not files:
@@ -102,13 +105,15 @@ def merge_into(
     keys_df = source.select(key).distinct()
     kept = touched_df.join(F.broadcast(keys_df), key, "left_anti")
     rewritten = kept.unionByName(source.select(*[f.name for f in schema.fields]))
-    (
+    w = (
         rewritten.repartition(max(1, min(n_files, len(touched) or 1)))
         .write.format("scbf")
         .option("version", "2")
         .mode("overwrite")
-        .save(staging)
     )
+    if rows_per_group:
+        w = w.option("rows_per_group", str(rows_per_group))
+    w.save(staging)
     if touched:
         shutil.rmtree(staging_path(final_dest, ".merge-tmp") + ".touched", ignore_errors=True)
     for p in untouched:

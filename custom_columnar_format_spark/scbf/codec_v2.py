@@ -444,6 +444,7 @@ def read_arrow_table(
     columns: Optional[Sequence[str]] = None,
     verify_crc: bool = True,
     filters: Optional[Sequence[Any]] = None,
+    group_indices: Optional[Sequence[int]] = None,
 ):
     """Pruned Arrow read of a v2 file. Validity bitmaps and string buffers go
     to Arrow as raw buffers (the on-disk layout IS Arrow's layout).
@@ -454,7 +455,12 @@ def read_arrow_table(
     SUPERSET of the matching rows (surviving groups come back whole); the
     engine re-applies the row filter, exactly as with Parquet row-group
     pruning. Ungrouped files ignore ``filters`` (file-level pruning is the
-    caller's job there, via ``file_may_match``)."""
+    caller's job there, via ``file_may_match``).
+
+    ``group_indices`` restricts the read to those groups of a grouped file —
+    the SPLIT primitive: the DataSource plans one input partition per group
+    so executors scan a single large compacted file in parallel (Parquet's
+    row-group split model). Composes with ``filters`` (intersection)."""
     import pyarrow as pa
 
     meta = read_meta(path)
@@ -466,14 +472,22 @@ def read_arrow_table(
     groups = meta.get("row_groups")
     with open(path, "rb") as f:
         if groups is None:
+            if group_indices is not None and list(group_indices) != [0]:
+                raise ScbfV2Error(
+                    f"group_indices {list(group_indices)!r} on an ungrouped file "
+                    "(only [0] is valid)"
+                )
             return _read_group(f, codec, meta["columns"], meta["rows"], selected, verify_crc)
         # per-group nullability can differ (one group has nulls, another
         # doesn't); concat needs one schema, so force the file-level flags
         nullable = {c["name"]: bool(c["nullable"]) for c in meta["columns"]}
+        want = range(len(groups)) if group_indices is None else group_indices
         tables = [
-            _read_group(f, codec, g["columns"], g["rows"], selected, verify_crc, nullable)
-            for g in groups
-            if not filters or _stats_may_match(g["columns"], g["rows"], filters)
+            _read_group(
+                f, codec, groups[i]["columns"], groups[i]["rows"], selected, verify_crc, nullable
+            )
+            for i in want
+            if not filters or _stats_may_match(groups[i]["columns"], groups[i]["rows"], filters)
         ]
     if not tables:
         by_name = {c["name"]: c for c in meta["columns"]}

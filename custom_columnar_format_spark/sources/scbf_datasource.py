@@ -285,9 +285,19 @@ def _schema_of_file(path: str) -> StructType:
 
 
 class ScbfFilePartition(InputPartition):
-    def __init__(self, file_path: str, part_values: dict | None = None):
+    def __init__(
+        self,
+        file_path: str,
+        part_values: dict | None = None,
+        groups: list | None = None,
+        n_rows: int | None = None,
+    ):
         self.file_path = file_path
         self.part_values = part_values or {}
+        # groups: row-group indices this split covers (None = whole file);
+        # n_rows: their row count, so column-less projections need no re-read
+        self.groups = groups
+        self.n_rows = n_rows
 
 
 class ScbfReader(DataSourceReader):
@@ -312,6 +322,10 @@ class ScbfReader(DataSourceReader):
         self.columns: List[str] = [f.name for f in schema.fields]
         self.verify_crc = options.get("verify_crc", "true").lower() != "false"
         self.file_skipping = options.get("file_skipping", "true").lower() != "false"
+        # files at least this big are split into one input partition per row
+        # group (when grouped); below it, one partition per file and no
+        # planning-time footer read on unfiltered scans
+        self.split_bytes = int(options.get("split_bytes", str(32 * 1024 * 1024)))
         self.snapshot = options.get("snapshot")
         self.files_opt = options.get("files")
         self._filters: List = []
@@ -340,10 +354,26 @@ class ScbfReader(DataSourceReader):
             # v2 footer-stats pruning (one ranged footer read per file).
             if filters and spec and not _partition_may_match(spec, filters):
                 continue
-            if filters and _file_version(p) == 2:
-                if not codec_v2.file_may_match(codec_v2.read_meta(p), filters):
-                    continue
-            parts.append(ScbfFilePartition(p, spec))
+            meta = None
+            if (filters or os.path.getsize(p) >= self.split_bytes) and _file_version(p) == 2:
+                meta = codec_v2.read_meta(p)
+            if filters and meta is not None and not codec_v2.file_may_match(meta, filters):
+                continue
+            # Row-group SPLITTING: a big compacted file becomes one input
+            # partition per surviving group, so a single file scans in
+            # parallel across executors (Parquet's split model). Gated on
+            # file size so planning a many-small-files dataset stays one
+            # stat() per file with no footer reads.
+            groups = None if meta is None else meta.get("row_groups")
+            if groups and len(groups) > 1 and os.path.getsize(p) >= self.split_bytes:
+                for i, g in enumerate(groups):
+                    if filters and not codec_v2._stats_may_match(
+                        g["columns"], g["rows"], filters
+                    ):
+                        continue
+                    parts.append(ScbfFilePartition(p, spec, groups=[i], n_rows=g["rows"]))
+            else:
+                parts.append(ScbfFilePartition(p, spec))
         # An all-files-skipped scan still needs one (empty) partition so the
         # negotiated schema flows through.
         return parts or [ScbfFilePartition("")]
@@ -435,14 +465,18 @@ def _read_file_partition(
             table = codec_v2.read_arrow_table(
                 partition.file_path, present, verify_crc=verify_crc,
                 filters=list(filters) or None,
+                group_indices=partition.groups,
             )
         else:
             table = codec.read_arrow_table(partition.file_path, present)
         n = table.num_rows
     else:
         # No data blocks needed (partition-only / all-evolved projection):
-        # just the row count from the footer, already in hand.
+        # just the row count — the split's own count for a row-group
+        # partition, the footer total (already in hand) otherwise.
         table = None
+        if partition.groups is not None:
+            n = partition.n_rows
     if part_values or missing:
         # Assemble in negotiated column order: file data, constant partition
         # values, and typed nulls for evolved columns this file predates.

@@ -475,3 +475,74 @@ def test_spark_row_group_pruning_end_to_end(spark, tmp_path):
     assert got.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
     with pytest.raises(Exception):
         spark.read.format("scbf").load(out).count()
+
+
+def test_row_group_splits_scan_one_file_in_parallel(spark, tmp_path):
+    """Row groups are SPLIT points: above the split_bytes threshold a single
+    grouped file plans one input partition per group (intra-file read
+    parallelism — the Parquet split model), values identical to the unsplit
+    read; pushed filters drop non-matching groups at planning time, proven
+    by corrupting their bytes."""
+    out = str(tmp_path / "split")
+    (
+        spark.range(50000)
+        .select(F.col("id").cast("long").alias("id"), (F.col("id") % 7).cast("int").alias("k"))
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.format("scbf")
+        .option("version", "2")
+        .option("rows_per_group", "8192")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = spark.read.format("scbf").option("split_bytes", "1024").load(out)
+    assert df.rdd.getNumPartitions() == 7  # ceil(50000/8192)
+    assert df.count() == 50000
+    assert df.agg(F.sum("id")).first()[0] == 49999 * 50000 // 2
+    # below the threshold: whole file = one partition, no footer read at plan
+    assert spark.read.format("scbf").load(out).rdd.getNumPartitions() == 1
+
+    # corrupt every group except the first; a planned filter must produce
+    # only the surviving group's split and never touch corrupted bytes
+    fp = glob.glob(os.path.join(out, "*.scbf"))[0]
+    meta = codec_v2.read_meta(fp)
+    with open(fp, "r+b") as f:
+        for g in meta["row_groups"][1:]:
+            for cm in g["columns"]:
+                for ref in cm["blocks"].values():
+                    f.seek(ref["offset"])
+                    f.write(b"\x00" * ref["comp"])
+    got = (
+        spark.read.format("scbf")
+        .option("split_bytes", "1024")
+        .load(out)
+        .filter(F.col("id") < 8000)
+    )
+    assert got.rdd.getNumPartitions() == 1  # one surviving group-split
+    assert got.count() == 8000
+
+
+def test_row_group_splits_with_hive_partitions_and_columnless_count(spark, tmp_path):
+    """Splits compose with hive partitioning, and a projection that needs no
+    file columns (partition value + count) gets each split's OWN row count —
+    not the whole file's."""
+    out = str(tmp_path / "split_pt")
+    (
+        spark.range(20000)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pk"),
+        )
+        .repartition("pk")
+        .write.format("scbf")
+        .option("version", "2")
+        .option("rows_per_group", "2048")
+        .option("partition_by", "pk")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = spark.read.format("scbf").option("split_bytes", "1024").load(out)
+    assert df.rdd.getNumPartitions() == 10  # 2 dirs x ceil(10000/2048)
+    assert df.count() == 20000
+    per = {r["pk"]: r["n"] for r in df.groupBy("pk").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 10000, 1: 10000}

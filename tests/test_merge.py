@@ -158,3 +158,39 @@ def test_streaming_cdc_upsert_foreachbatch(spark, sf_small, tmp_path):
     assert [r.o_totalprice for r in overlap] == [222.0]
     only1 = final.filter(F.col("o_orderkey").between(0, 19)).select("o_totalprice").distinct().collect()
     assert [r.o_totalprice for r in only1] == [111.0]
+
+
+def test_merge_into_rows_per_group(spark, tmp_path):
+    """merge_into(rows_per_group=N) writes the rewritten files grouped;
+    carried-over files keep their layout; values unchanged."""
+    from custom_columnar_format_spark.scbf import codec_v2
+
+    out = str(tmp_path / "mrg")
+    (
+        spark.range(10000)
+        .select(F.col("id").cast("long").alias("id"), F.lit("old").alias("v"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+        .write.format("scbf")
+        .option("version", "2")
+        .mode("overwrite")
+        .save(out)
+    )
+    src = spark.range(100, 200).select(
+        F.col("id").cast("long").alias("id"), F.lit("new").alias("v")
+    )
+    stats = merge.merge_into(spark, out, src, key="id", rows_per_group=512)
+    assert stats["files_rewritten"] >= 1 and stats["files_carried_over"] >= 1
+
+    import glob as g
+    import os as o
+
+    grouped = [
+        p
+        for p in g.glob(o.path.join(out, "*.scbf"))
+        if "row_groups" in codec_v2.read_meta(p)
+    ]
+    assert grouped  # the rewritten output is grouped
+    df = spark.read.format("scbf").load(out)
+    assert df.count() == 10000
+    assert df.filter(F.col("v") == "new").count() == 100
