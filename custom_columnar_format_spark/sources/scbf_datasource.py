@@ -347,16 +347,33 @@ class ScbfReader(DataSourceReader):
         # skipping with .option("file_skipping", "false").
         filters = self._filters if self.file_skipping else []
         files, _keys, _types, specs = _dataset_layout(self.path, self.snapshot, self.files_opt)
-        parts = []
-        for p in files:
-            spec = specs[p]
-            # Partition pruning first (cheapest: no file I/O at all), then
-            # v2 footer-stats pruning (one ranged footer read per file).
-            if filters and spec and not _partition_may_match(spec, filters):
-                continue
-            meta = None
+        # Partition pruning first (cheapest: no file I/O at all).
+        candidates = [
+            p
+            for p in files
+            if not (filters and specs[p] and not _partition_may_match(specs[p], filters))
+        ]
+        # Footer reads (one ranged read per v2 file needing stats pruning or
+        # split planning) are I/O-bound and independent — fetch them with a
+        # thread pool, the way Parquet parallelizes driver-side footer reads.
+        # Serial, a filtered plan over 100k files is tens of seconds of
+        # planning; threaded it's bounded by storage round-trips / 16.
+        def _meta_of(p: str):
             if (filters or os.path.getsize(p) >= self.split_bytes) and _file_version(p) == 2:
-                meta = codec_v2.read_meta(p)
+                return codec_v2.read_meta(p)
+            return None
+
+        if len(candidates) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(candidates))) as pool:
+                metas = list(pool.map(_meta_of, candidates))
+        else:
+            metas = [_meta_of(p) for p in candidates]
+
+        parts = []
+        for p, meta in zip(candidates, metas):
+            spec = specs[p]
             if filters and meta is not None and not codec_v2.file_may_match(meta, filters):
                 continue
             # Row-group SPLITTING: a big compacted file becomes one input
