@@ -18,7 +18,6 @@ never move the raw bytes.
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import pandas as pd

@@ -521,6 +521,35 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orc_roundtrip_agg",
+    """
+    SELECT l_linestatus, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_linestatus
+    """,
+    doc="ORC source/sink round-trip (Spark's second native columnar format "
+    "beside parquet — vectorized reader, predicate pushdown): filtered "
+    "lineitem written as ORC, read back, aggregated; values must equal the "
+    "parquet-direct oracle.",
+)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "scbf_orc_rt", "lineitem")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_linestatus"
+    )
+    src.write.mode("overwrite").orc(path)
+    li = spark.read.orc(path).filter(F.col("l_quantity") >= 30)
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "q_udtf_token_positions",
     """
     SELECT doc_id, u.token AS token, u.pos AS pos FROM (
