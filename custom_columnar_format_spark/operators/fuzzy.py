@@ -1,0 +1,54 @@
+"""Fuzzy (approximate-string) matching via blocking + edit distance — the
+record-linkage shape: never all-pairs, always block-then-verify.
+
+Scale design: candidate pairs come from a blocking key (here: a cheap
+deterministic feature of the string, e.g. its last token), expanded
+in-bucket with the same ONE-shuffle collect-and-expand used by the LSH
+dedup operators (``dedup._pairs_within``) — no self-join, no re-evaluation
+of the upstream pipeline per side. Oversized blocks are capped (degenerate
+keys; production routes them to a finer second blocking key, exactly like
+``dedup.minhash_neardup_pairs``'s second pass). Verification is
+``levenshtein`` on the pair — standard Wagner-Fischer in the JVM, identical
+semantics in DuckDB, so the whole operator is oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _pairs_within
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_expr: F.Column,
+    max_dist: int = 3,
+    max_block: int = 5000,
+) -> DataFrame:
+    """(id_a, id_b, dist) for id_a < id_b whose names share a blocking key
+    and are within ``max_dist`` edits. ``block_expr`` is the blocking key
+    expression over the input columns (e.g. last word of the name)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name"), block_expr.alias("blk")
+    )
+    grouped = (
+        keyed.groupBy("blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "name"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_block))
+    )
+    cand = (
+        grouped.select("ms")  # plain attribute — see dedup._pairs_within
+        .select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.name").alias("name_a"),
+            F.col("p.b.name").alias("name_b"),
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

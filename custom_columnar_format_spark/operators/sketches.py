@@ -1,0 +1,106 @@
+"""Count-min sketch: fixed-size frequency summaries for heavy-hitter
+detection over unbounded key domains.
+
+Scale design (why a sketch at 100 TB):
+- The sketch is a FIXED ``depth × width`` grid of counters regardless of
+  corpus size. Each row hashes every item into one of ``width`` buckets;
+  an item's estimate is the MIN of its ``depth`` counters — overestimates
+  only, bounded by ε = e/width with probability 1 − (1/e)^depth.
+- Per-partition partial aggregation collapses the explode to at most
+  ``depth × width`` rows per map task before the exchange, so the shuffle is
+  O(depth × width × partitions) — independent of row count. Merging two
+  sketches is cell-wise SUM (the aggregation does it for free), which is
+  what makes the sketch streamable and cluster-mergeable.
+- Hashing is md5-prefix arithmetic (48-bit, exact in int64) rather than
+  xxhash64 so any SQL engine can replay every counter — the DuckDB oracle
+  value-checks the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 256
+
+
+def _bucket(item: F.Column, row: int, width: int) -> F.Column:
+    """Row ``row``'s bucket for ``item``: first 12 hex chars of
+    md5("<row>:" + item) parsed as a 48-bit int, mod width. Exact integer
+    arithmetic — replayable in any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), item))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % width).alias("bucket")
+
+
+def cms_build(
+    items: DataFrame, item_col: str, depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) with one counter per non-empty
+    cell. Each input item lands in exactly one bucket per row; the groupBy
+    partial-aggregates map-side, so the exchange carries at most
+    depth × width rows per partition whatever the input size."""
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(F.col(item_col), r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: est = min over rows of
+    the item's cell counter. The candidate set is small by construction
+    (heavy-hitter candidates), so its depth-fold expansion broadcasts into
+    the join against the fixed-size sketch."""
+    probes = candidates.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(F.col(item_col), r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(item_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    topk: int = 10,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Top-k items by CMS-estimated frequency, deterministic tiebreak on the
+    item value. Candidates here are the distinct items (the test corpus has a
+    small vocabulary); a production pipeline feeds a cheap pre-filter (e.g.
+    items seen in a sample) so the candidate side stays broadcast-sized while
+    the sketch absorbs the full stream."""
+    sketch = cms_build(items, item_col, depth, width)
+    est = cms_estimate(sketch, items.select(item_col).distinct(), item_col, depth, width)
+    return est.orderBy(F.desc("est"), item_col).limit(topk)

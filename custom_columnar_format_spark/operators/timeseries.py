@@ -1,0 +1,145 @@
+"""Time-series resampling: gap-filling a sparse event stream onto a dense
+calendar spine, with forward-fill — the hypertable `time_bucket_gapfill` /
+`locf` shape (TimescaleDB) re-expressed as DataFrame ops.
+
+Scale design:
+- The observed data is aggregated ONCE per (key, bucket) — the only shuffle
+  of raw rows. At 100 TB the agg partial-combines map-side, so the exchange
+  carries one row per (key, bucket) per input partition.
+- The dense spine is GENERATED, not shuffled: a one-row global min/max agg
+  (broadcast) cross-joined with the distinct key set and exploded via
+  ``sequence()`` — |keys| × |buckets| rows materialize straight into the
+  join stage, never touching the raw table again.
+- Forward-fill is one window per key (``last(..., ignorenulls=True)``), which
+  shuffles only the spine-sized table, partitioned by key — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def gapfill_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Resample ``df`` to one row per (key, day) over the table's full
+    [min_day, max_day] range, summing ``value_col`` per cell and
+    forward-filling empty days from the key's last observed value.
+
+    Returns (grp, day, revenue_filled, is_gap): ``revenue_filled`` is the
+    day's sum, or the most recent earlier day's sum for gap days (null before
+    a key's first observation — nothing to carry); ``is_gap`` marks the
+    filled rows. Sums are rounded to 6 decimals BEFORE the fill so the
+    carried value is exactly the value a reader saw on the source day.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.round(F.sum("v"), 6).alias("rev"))
+    )
+    bounds = df.select(
+        F.min(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("lo"),
+        F.max(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("hi"),
+    )
+    keys = df.select(F.col(key_col).alias("grp")).distinct()
+    # spine = keys × days: the 1-row bounds table broadcasts, sequence()
+    # generates the day range JVM-side, explode fans it out — no shuffle.
+    spine = (
+        keys.join(F.broadcast(bounds))
+        .select(
+            "grp",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(cells, ["grp", "day"], "left")
+        .select(
+            "grp",
+            "day",
+            F.last("rev", ignorenulls=True).over(w).alias("revenue_filled"),
+            F.when(F.col("rev").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        )
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Like :func:`gapfill_ffill` but gap days are LINEARLY interpolated
+    between the key's previous and next observed days (ends stay null /
+    carry nothing). Classic sensor-series resampling.
+
+    Implementation: the filled spine carries, per row, the last observed
+    (day, value) at-or-before it and the first observed (day, value)
+    at-or-after it — four ``last/first(..., ignorenulls)`` windows over the
+    same key partition (one shuffle total) — then the interpolation is plain
+    arithmetic: v_prev + (v_next − v_prev) × elapsed/spanned.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.round(F.sum("v"), 6).alias("rev"))
+    )
+    bounds = df.select(
+        F.min(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("lo"),
+        F.max(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("hi"),
+    )
+    keys = df.select(F.col(key_col).alias("grp")).distinct()
+    spine = keys.join(F.broadcast(bounds)).select(
+        "grp", F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    j = spine.join(cells, ["grp", "day"], "left")
+    back = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = j.select(
+        "grp",
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(back).alias("v_prev"),
+        F.last(F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(back)
+        .alias("d_prev"),
+        F.first("rev", ignorenulls=True).over(fwd).alias("v_next"),
+        F.first(F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(fwd)
+        .alias("d_next"),
+    )
+    span = F.datediff("d_next", "d_prev")
+    elapsed = F.datediff("day", "d_prev")
+    interp = F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(
+        F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * elapsed / span
+    )
+    return j.select(
+        "grp",
+        "day",
+        F.round(interp, 6).alias("value_interp"),
+        F.when(F.col("rev").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )

@@ -1,0 +1,327 @@
+"""Advanced-analytics query catalog: time-series gap-filling/interpolation,
+BM25 ranking, count-min-sketch heavy hitters, fuzzy record linkage, skyline
+(Pareto) queries, and statistical outlier detection.
+
+Every query here is DuckDB-oracled: hashes are md5-prefix arithmetic,
+floating sums are fixed-order, dates are rendered as ISO strings, so the
+driver value-checks each pipeline end to end (same policy as llm_ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import fuzzy, ranking, sketches, skyline, timeseries
+from .registry import query
+from .tables import load
+
+
+def _hexparse_sql(expr: str, offset: int, nchars: int) -> str:
+    """Hex-substring → BIGINT, digit-by-digit (DuckDB has no conv()) — same
+    idiom as llm_ops's km-md5 oracles."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {offset + i}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    return f"({terms})"
+
+
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'), "
+    "'[ \\t\\n]+', ' ', 'g')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill / interpolation
+# ---------------------------------------------------------------------------
+
+_GAPFILL_CTES = """
+    WITH p AS (
+      SELECT user_id % 20 AS grp, CAST(date_trunc('day', ts) AS DATE) AS day, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (SELECT grp, day, ROUND(SUM(value), 6) AS rev FROM p GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p),
+    spine AS (
+      SELECT g.grp, d.day
+      FROM (SELECT DISTINCT grp FROM p) g
+      CROSS JOIN (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+      ) d
+    ),
+    j AS (SELECT s.grp, s.day, c.rev FROM spine s LEFT JOIN cells c USING (grp, day))
+"""
+
+
+@query(
+    "q_gapfill_ffill",
+    _GAPFILL_CTES
+    + """
+    SELECT grp, strftime(day, '%Y-%m-%d') AS day,
+           last_value(rev IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled,
+           CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+    doc="time-series resample: daily purchase revenue per user-cohort on a "
+    "generated dense calendar spine, gaps forward-filled (time_bucket_gapfill"
+    "+locf shape; spine is generated, never shuffled).",
+)
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn("grp", F.col("user_id") % 20)
+    out = timeseries.gapfill_ffill(ev, "ts", "grp", "value")
+    return out.select(
+        "grp", F.date_format("day", "yyyy-MM-dd").alias("day"), "revenue_filled", "is_gap"
+    )
+
+
+@query(
+    "q_interpolate_linear",
+    _GAPFILL_CTES
+    + """
+    , w AS (
+      SELECT grp, day, rev,
+             last_value(rev IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+             last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+             first_value(rev IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+             first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+      FROM j
+    )
+    SELECT grp, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CASE WHEN rev IS NOT NULL THEN rev
+                      ELSE v_prev + (v_next - v_prev)
+                           * date_diff('day', d_prev, day) / date_diff('day', d_prev, d_next)
+                 END, 6) AS value_interp,
+           CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM w
+    """,
+    doc="time-series resample with LINEAR interpolation between a cohort's "
+    "neighboring observed days (sensor-series shape; four ignorenulls windows "
+    "over one key partition — a single shuffle of the spine-sized table).",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn("grp", F.col("user_id") % 20)
+    out = timeseries.interpolate_linear(ev, "ts", "grp", "value")
+    return out.select(
+        "grp", F.date_format("day", "yyyy-MM-dd").alias("day"), "value_interp", "is_gap"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "merge", "window", "scan"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 15
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_BM25_TERMS))
+    )
+    # Fixed-order sum, matching operators/ranking.py term for term: the
+    # engine folds contributions left to right starting from 0.0, so the
+    # oracle nests the additions the same way for bit-identical doubles.
+    score = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        denom = f"(tf_{i} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * dl / avgdl))"
+        score = f"({score} + {idf} * (tf_{i} * {_BM25_K1 + 1}) / {denom})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl,
+             {tf_cols}
+      FROM toks
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM tf)
+    SELECT doc_id, score FROM (
+      SELECT doc_id, ROUND({score}, 6) AS score FROM tf CROSS JOIN stats
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query(
+    "q_bm25_search",
+    _bm25_oracle_sql(),
+    doc="BM25 top-k document ranking for a query-term set: per-row array-"
+    "expression term frequencies (no explode/shuffle), one broadcast stats "
+    "row, fixed-order float sum (bit-identical cross-engine), "
+    "TakeOrderedAndProject top-k.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranking.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        topk=_BM25_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 256, 10
+
+
+def _cms_oracle_sql() -> str:
+    bucket = (
+        _hexparse_sql("md5(CAST(r.row AS VARCHAR) || ':' || tok)", 1, 12) + f" % {_CMS_WIDTH}"
+    )
+    rows_values = ", ".join(f"({r})" for r in range(_CMS_DEPTH))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r.row AS row, {bucket} AS bucket
+      FROM toks CROSS JOIN (VALUES {rows_values}) r(row)
+    ),
+    sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT tok FROM toks),
+    probes AS (
+      SELECT tok, r.row AS row, {bucket} AS bucket
+      FROM cand CROSS JOIN (VALUES {rows_values}) r(row)
+    ),
+    est AS (
+      SELECT tok, MIN(cnt) AS est
+      FROM probes JOIN sketch USING (row, bucket) GROUP BY tok
+    )
+    SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT {_CMS_TOPK}
+    """
+
+
+@query(
+    "q_cms_heavy_hitters",
+    _cms_oracle_sql(),
+    doc="count-min sketch heavy hitters over document tokens: fixed 4×256 "
+    "counter grid (shuffle size independent of corpus size, cell-wise-SUM "
+    "mergeable), md5-prefix bucket hashing so the oracle replays every "
+    "counter exactly.",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    return sketches.cms_heavy_hitters(
+        items, "tok", topk=_CMS_TOPK, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_match_parts",
+    """
+    WITH d AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM d a JOIN d b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.id < b.id
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="fuzzy record linkage at the DICTIONARY level: distinct part names "
+    "(linking rows directly is quadratic in duplicate names — the name "
+    "dictionary is orders of magnitude smaller and row application is a "
+    "broadcast join afterward), blocked on the noun token, in-block pairs "
+    "via the one-shuffle collect-and-expand, verified with levenshtein ≤ 3.",
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("rep_id"))
+    return fuzzy.fuzzy_name_pairs(
+        names,
+        "p_name",
+        "rep_id",
+        F.element_at(F.split(F.col("p_name"), " "), 2),
+        max_dist=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline_parts",
+    """
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    doc="skyline query (Pareto frontier: minimize price, maximize size) via "
+    "the O(n log n) sort-scan algorithm — distinct-value agg, running max "
+    "over the group table, semi-join back; the oracle is the quadratic "
+    "NOT EXISTS the engine refuses to run.",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return skyline.skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_outliers_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS m, stddev_samp(value) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND((e.value - s.m) / s.s, 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.m) / s.s) > 3
+    """,
+    doc="per-group z-score outlier detection (data-quality monitoring): "
+    "5-row stats table broadcast back onto the stream — the raw side never "
+    "shuffles.",
+)
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

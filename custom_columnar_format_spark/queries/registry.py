@@ -38,7 +38,7 @@ def query(name: str, sql: Optional[str], doc: str = ""):
 
 def _load_modules() -> None:
     # Import for side effect of @query registration.
-    from . import extras, llm_ops, relational, streaming_queries, tpch  # noqa: F401
+    from . import analytics, extras, llm_ops, relational, streaming_queries, tpch  # noqa: F401
 
 
 def all_queries() -> Dict[str, QueryDef]:

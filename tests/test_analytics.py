@@ -1,0 +1,186 @@
+"""Semantics pins for the advanced-analytics operators (timeseries, sketches,
+skyline, fuzzy, ranking) against hand-computed / brute-force baselines.
+Cross-engine value checks live in test_queries_oracle.py via the registry."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from custom_columnar_format_spark.operators import (
+    fuzzy,
+    ranking,
+    sketches,
+    skyline,
+    timeseries,
+)
+
+
+def ts(day: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+
+class TestGapfill:
+    def _toy(self, spark):
+        # key "a": days 1, 4 observed; key "b": day 2 only
+        return spark.createDataFrame(
+            [
+                Row(k="a", t=ts(1), v=10.0),
+                Row(k="a", t=ts(1), v=5.0),
+                Row(k="a", t=ts(4), v=7.0),
+                Row(k="b", t=ts(2), v=1.0),
+            ]
+        )
+
+    def test_ffill_carries_last_observed(self, spark):
+        out = timeseries.gapfill_ffill(self._toy(spark), "t", "k", "v")
+        rows = {(r["grp"], str(r["day"])): r for r in out.collect()}
+        # full spine: both keys × days 1..4
+        assert len(rows) == 8
+        assert rows[("a", "2024-01-01")]["revenue_filled"] == 15.0
+        assert rows[("a", "2024-01-02")]["revenue_filled"] == 15.0  # filled
+        assert rows[("a", "2024-01-02")]["is_gap"] == 1
+        assert rows[("a", "2024-01-04")]["revenue_filled"] == 7.0
+        assert rows[("b", "2024-01-01")]["revenue_filled"] is None  # before first obs
+        assert rows[("b", "2024-01-04")]["revenue_filled"] == 1.0
+
+    def test_interpolation_is_linear_between_neighbors(self, spark):
+        out = timeseries.interpolate_linear(self._toy(spark), "t", "k", "v")
+        rows = {(r["grp"], str(r["day"])): r for r in out.collect()}
+        # a: 15.0 on day1, 7.0 on day4 → day2 = 15 + (7-15)*1/3, day3 = 15 + (7-15)*2/3
+        assert rows[("a", "2024-01-02")]["value_interp"] == pytest.approx(15 - 8 / 3, abs=1e-6)
+        assert rows[("a", "2024-01-03")]["value_interp"] == pytest.approx(15 - 16 / 3, abs=1e-6)
+        assert rows[("a", "2024-01-01")]["is_gap"] == 0
+        # b has no right neighbor after day2 → ends stay null
+        assert rows[("b", "2024-01-04")]["value_interp"] is None
+
+
+class TestCountMinSketch:
+    def test_exact_when_no_collisions_and_overestimate_always(self, spark):
+        import collections
+
+        items = [f"item_{i}" for i in range(50) for _ in range(i % 5 + 1)]
+        truth = collections.Counter(items)
+        df = spark.createDataFrame([Row(tok=t) for t in items])
+        est = {
+            r["tok"]: r["est"]
+            for r in sketches.cms_estimate(
+                sketches.cms_build(df, "tok"), df.select("tok").distinct(), "tok"
+            ).collect()
+        }
+        assert set(est) == set(truth)
+        for t, c in truth.items():
+            assert est[t] >= c  # CMS never underestimates
+        # with 50 distinct items in 4×256 cells, min-of-rows is exact w.h.p.
+        assert sum(est[t] == c for t, c in truth.items()) >= 48
+
+    def test_heavy_hitters_order_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [Row(tok=t) for t in ["x"] * 5 + ["y"] * 5 + ["z"] * 9]
+        )
+        top = sketches.cms_heavy_hitters(df, "tok", topk=2).collect()
+        assert [r["tok"] for r in top] == ["z", "x"]  # tie x/y broken by value
+
+
+class TestSkyline:
+    def test_matches_bruteforce_dominance(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pts = [(i, rng.randint(0, 50) / 2.0, rng.randint(1, 40)) for i in range(300)]
+        # inject exact duplicates — both must survive if on the frontier
+        pts += [(1000, pts[0][1], pts[0][2]), (1001, pts[1][1], pts[1][2])]
+        df = spark.createDataFrame(pts, ["id", "price", "size"])
+        got = sorted(r["id"] for r in skyline.skyline_2d(df, "price", "size").collect())
+        want = sorted(
+            i
+            for i, p, s in pts
+            if not any(
+                (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for _, p2, s2 in pts
+            )
+        )
+        assert got == want
+
+
+class TestFuzzy:
+    def test_pairs_match_bruteforce_levenshtein(self, spark):
+        names = [
+            (1, "red bolt"),
+            (2, "hot bolt"),
+            (3, "blue bolt"),
+            (4, "red widget"),
+            (5, "rad bolt"),
+        ]
+        df = spark.createDataFrame(names, ["id", "name"])
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy.fuzzy_name_pairs(
+                df, "name", "id", F.element_at(F.split(F.col("name"), " "), 2), max_dist=3
+            ).collect()
+        }
+
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    d(i - 1, j) + 1,
+                    d(i, j - 1) + 1,
+                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            return d(len(a), len(b))
+
+        want = {
+            (i1, i2): lev(n1, n2)
+            for i1, n1 in names
+            for i2, n2 in names
+            if i1 < i2 and n1.split()[-1] == n2.split()[-1] and lev(n1, n2) <= 3
+        }
+        assert got == want
+        assert (1, 4) not in got  # different block, never compared
+
+    def test_oversized_block_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"v{i} same") for i in range(10)], ["id", "name"]
+        )
+        out = fuzzy.fuzzy_name_pairs(
+            df, "name", "id", F.lit("same"), max_dist=99, max_block=5
+        )
+        assert out.count() == 0  # block of 10 > cap 5
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry cherry"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["score"]
+            for r in ranking.bm25_topk(docs, ["apple"], topk=3).collect()
+        }
+        # only doc 1 contains 'apple': tf=2, dl=3, N=3, avgdl=3, df=1
+        k1, b = 1.2, 0.75
+        idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+        want = idf * (2 * (k1 + 1)) / (2 + k1 * (1 - b + b * 3 / 3))
+        assert out == {1: pytest.approx(round(want, 6), abs=1e-6)}
+
+    def test_ranking_prefers_rarer_terms_and_breaks_ties_by_id(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "rare word"), (2, "common word"), (3, "common word"), (4, "common filler")],
+            ["doc_id", "text"],
+        )
+        got = [r["doc_id"] for r in ranking.bm25_topk(docs, ["rare", "common"], topk=4).collect()]
+        assert got[0] == 1  # 'rare' has higher idf
+        assert got[1:] == [2, 3, 4]  # equal-score docs tie-broken by id
