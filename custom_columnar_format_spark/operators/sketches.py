@@ -32,14 +32,15 @@ def _bucket(item: F.Column, row: int, width: int) -> F.Column:
     return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % width).alias("bucket")
 
 
-def cms_build(
+def cms_cells(
     items: DataFrame, item_col: str, depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH
 ) -> DataFrame:
-    """Build the sketch: (row, bucket, cnt) with one counter per non-empty
-    cell. Each input item lands in exactly one bucket per row; the groupBy
-    partial-aggregates map-side, so the exchange carries at most
-    depth × width rows per partition whatever the input size."""
-    cells = items.select(
+    """(row, bucket) cell coordinates, one per input item per sketch row —
+    the pre-aggregation projection. Streaming-safe (stateless explode), so a
+    readStream can pipe it straight into a streaming groupBy: the micro-batch
+    engine then maintains the merged sketch incrementally — cell-wise
+    mergeability for free."""
+    return items.select(
         F.explode(
             F.array(
                 *[
@@ -50,9 +51,18 @@ def cms_build(
                 ]
             )
         ).alias("c")
-    )
+    ).select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+
+
+def cms_build(
+    items: DataFrame, item_col: str, depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) with one counter per non-empty
+    cell. Each input item lands in exactly one bucket per row; the groupBy
+    partial-aggregates map-side, so the exchange carries at most
+    depth × width rows per partition whatever the input size."""
     return (
-        cells.select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        cms_cells(items, item_col, depth, width)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

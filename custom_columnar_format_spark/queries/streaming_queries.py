@@ -266,3 +266,58 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         ev.stream_stream_click_attribution(s1, s2), output_mode="append"
     )
+
+
+def _cms_users_oracle_sql() -> str:
+    """Batch CMS replay over event user ids: same md5-prefix bucket hashing
+    as operators/sketches.py, 4×256 grid, top-10 by estimate then uid."""
+    from .analytics import _hexparse_sql
+
+    bucket = _hexparse_sql("md5(CAST(r.row AS VARCHAR) || ':' || uid)", 1, 12) + " % 256"
+    rows_values = ", ".join(f"({r})" for r in range(4))
+    return f"""
+    WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+    cells AS (
+      SELECT r.row AS row, {bucket} AS bucket
+      FROM toks CROSS JOIN (VALUES {rows_values}) r(row)
+    ),
+    sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT uid FROM toks),
+    probes AS (
+      SELECT uid, r.row AS row, {bucket} AS bucket
+      FROM cand CROSS JOIN (VALUES {rows_values}) r(row)
+    )
+    SELECT uid, MIN(cnt) AS est
+    FROM probes JOIN sketch USING (row, bucket) GROUP BY uid
+    ORDER BY est DESC, uid LIMIT 10
+    """
+
+
+@query(
+    "q_stream_cms_users",
+    _cms_users_oracle_sql(),
+    doc="STREAMING count-min sketch: the 4×256 counter grid is maintained "
+    "incrementally by a streaming groupBy over the stateless cell projection "
+    "— cell-wise mergeability is exactly what makes the sketch streamable; "
+    "the drained sketch is probed batch-side for top-10 heavy-hitter users. "
+    "Oracle: the batch CMS over the same backlog (merged micro-batch "
+    "sketches == one-shot sketch).",
+)
+def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+    from .tables import load
+
+    stream = ev.read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sketch = _drain(
+        sketches.cms_cells(stream, "uid")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        output_mode="complete",
+    )
+    cand = (
+        load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("uid")).distinct()
+    )
+    est = sketches.cms_estimate(sketch, cand, "uid")
+    return est.orderBy(F.desc("est"), "uid").limit(10)

@@ -184,3 +184,28 @@ class TestBM25:
         got = [r["doc_id"] for r in ranking.bm25_topk(docs, ["rare", "common"], topk=4).collect()]
         assert got[0] == 1  # 'rare' has higher idf
         assert got[1:] == [2, 3, 4]  # equal-score docs tie-broken by id
+
+
+class TestTriangles:
+    def test_matches_bruteforce_enumeration(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(3)
+        nodes = list(range(12))
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+        )
+        df = spark.createDataFrame(edges, ["a", "b"])
+        from custom_columnar_format_spark.operators import graph
+
+        got = sorted(
+            (r["na"], r["nb"], r["nc"]) for r in graph.triangles(df).collect()
+        )
+        es = set(edges)
+        want = sorted(
+            (x, y, z)
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+        assert got == want
