@@ -380,3 +380,84 @@ def q_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return graph.triangles(edges)
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median / deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_median_7d",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(SUM(value), 6) AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(median(CAST(rev AS DOUBLE)) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM d
+    """,
+    doc="7-day rolling EXACT median of daily revenue per event type: Spark "
+    "has no percentile window function, so the bounded frame (≤7 values) is "
+    "collected per row and the median read off the sorted array — O(frame) "
+    "per row, fine for small frames; the same even-count midpoint-average "
+    "convention as DuckDB's interpolating median.",
+)
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 6).alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("rev").over(w))
+    d = d.withColumn("a", arr).withColumn("n", F.size("a"))
+    lo = F.element_at("a", F.floor((F.col("n") + 1) / 2).cast("int"))
+    hi = F.element_at("a", F.floor(F.col("n") / 2).cast("int") + 1)
+    med = F.when(F.col("n") % 2 == 1, lo).otherwise((lo + hi) / 2)
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(med, 6).alias("med7"),
+    )
+
+
+_WS_K = 20
+
+
+@query(
+    "q_weighted_sample_ares",
+    f"""
+    WITH pri AS (
+      SELECT doc_id,
+             pow(
+               ({_hexparse_sql("md5('ws:' || CAST(doc_id AS VARCHAR))", 1, 12)} + 1.0)
+                 / {(1 << 48) + 1}.0,
+               1.0 / n_chars) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, ROUND(priority, 6) AS priority
+    FROM pri ORDER BY priority DESC, doc_id LIMIT {_WS_K}
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "priority u^(1/w) with u a deterministic md5-derived uniform — the same "
+    "rows win at any cluster size or partitioning, no driver-side RNG state; "
+    "top-k by priority is TakeOrderedAndProject. Weight = document length.",
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", _WS_K)
+    return out.select("doc_id", F.round("priority", 6).alias("priority"))

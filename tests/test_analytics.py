@@ -209,3 +209,55 @@ class TestTriangles:
             if (x, y) in es and (y, z) in es and (x, z) in es
         )
         assert got == want
+
+
+class TestRollingMedianAndWeightedSample:
+    def test_rolling_median_matches_numpy(self, spark, sf_small):
+        import numpy as np
+
+        from custom_columnar_format_spark.queries.analytics import q_rolling_median_7d
+        from custom_columnar_format_spark.queries.tables import load
+        from pyspark.sql import functions as F
+
+        got = {
+            (r["event_type"], r["day"]): r["med7"]
+            for r in q_rolling_median_7d(spark, sf_small).collect()
+        }
+        daily = (
+            load(spark, sf_small, "events")
+            .select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"), "value")
+            .groupBy("event_type", "day")
+            .agg(F.round(F.sum("value"), 6).alias("rev"))
+            .collect()
+        )
+        series = {}
+        for r in sorted(daily, key=lambda r: (r["event_type"], r["day"])):
+            series.setdefault(r["event_type"], []).append((str(r["day"]), r["rev"]))
+        for et, pts in series.items():
+            for i, (day, _) in enumerate(pts):
+                frame = [v for _, v in pts[max(0, i - 6) : i + 1]]
+                assert got[(et, day)] == pytest.approx(
+                    round(float(np.median(frame)), 6), abs=1e-6
+                )
+
+    def test_weighted_sample_partition_invariant_and_biased_to_weight(self, spark, sf_small):
+        from custom_columnar_format_spark.queries.analytics import q_weighted_sample_ares
+
+        a = [r["doc_id"] for r in q_weighted_sample_ares(spark, sf_small).collect()]
+        b = [
+            r["doc_id"]
+            for r in q_weighted_sample_ares(spark, sf_small).collect()
+        ]
+        assert a == b  # deterministic
+
+    def test_weighted_sample_biased_to_weight_and_excludes_nonpositive(self, spark):
+        from custom_columnar_format_spark.operators import sampling
+
+        # 100 heavy docs (w=5000) among 400 light (w=5): a top-50 A-ES draw
+        # should be dominated by heavy ids, and w<=0 rows must never appear
+        rows = [(i, 5000 if i < 100 else 5) for i in range(500)] + [(900, 0), (901, -3)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        got = [r["id"] for r in sampling.weighted_sample(df, "id", "w", 50).collect()]
+        assert len(got) == 50
+        assert not {900, 901} & set(got)
+        assert sum(1 for i in got if i < 100) >= 40  # heavy ids dominate
