@@ -121,6 +121,26 @@ def main():
         rows=n_docs,
     )
 
+    # analytics tier at corpus width: CMS sketch (fixed-grid shuffle must not
+    # grow with n), BM25 (per-row tf arithmetic + one stats row), weighted
+    # sample (one scan + TakeOrderedAndProject)
+    from custom_columnar_format_spark.operators import ranking, sampling, sketches
+
+    toks_flat = docs.select(F.explode(F.split("text", " ", -1)).alias("tok"))
+    timed("cms_heavy_hitters", sketches.cms_heavy_hitters(toks_flat, "tok", topk=10), rows=n_docs)
+    timed(
+        "bm25_topk",
+        ranking.bm25_topk(docs, ["w1", "w17", "w333"], topk=10),
+        rows=n_docs,
+    )
+    timed(
+        "weighted_sample",
+        sampling.weighted_sample(
+            docs.select("doc_id", F.length("text").alias("w")), "doc_id", "w", 1000
+        ),
+        rows=n_docs,
+    )
+
     emb = synth_embeddings(spark, n_vecs)
     emb.write.mode("overwrite").format("noop").save()
     qv = [((hash(("q", i)) % 2000) / 1000.0 - 1.0) for i in range(DIM)]
