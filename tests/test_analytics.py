@@ -261,3 +261,66 @@ class TestRollingMedianAndWeightedSample:
         assert len(got) == 50
         assert not {900, 901} & set(got)
         assert sum(1 for i in got if i < 100) >= 40  # heavy ids dominate
+
+
+class TestEmptyInputs:
+    """The analytics tier must degrade to empty outputs, not crash, when the
+    filtered input is empty (a real pipeline hits this on a quiet partition)."""
+
+    def test_all_operators_empty_safe(self, spark):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        from custom_columnar_format_spark.operators import graph, sampling
+
+        empty_ts = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("k", StringType()),
+                    StructField("t", TimestampType()),
+                    StructField("v", DoubleType()),
+                ]
+            ),
+        )
+        assert timeseries.gapfill_ffill(empty_ts, "t", "k", "v").count() == 0
+        assert timeseries.interpolate_linear(empty_ts, "t", "k", "v").count() == 0
+
+        empty_docs = spark.createDataFrame(
+            [], StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+        )
+        assert ranking.bm25_topk(empty_docs, ["x"], topk=5).count() == 0
+
+        empty_tok = spark.createDataFrame([], StructType([StructField("tok", StringType())]))
+        assert sketches.cms_heavy_hitters(empty_tok, "tok").count() == 0
+
+        empty_pts = spark.createDataFrame(
+            [], StructType([StructField("p", DoubleType()), StructField("s", LongType())])
+        )
+        assert skyline.skyline_2d(empty_pts, "p", "s").count() == 0
+
+        empty_named = spark.createDataFrame(
+            [], StructType([StructField("id", LongType()), StructField("name", StringType())])
+        )
+        assert (
+            fuzzy.fuzzy_name_pairs(
+                empty_named, "name", "id", F.element_at(F.split(F.col("name"), " "), 1)
+            ).count()
+            == 0
+        )
+
+        empty_edges = spark.createDataFrame(
+            [], StructType([StructField("a", LongType()), StructField("b", LongType())])
+        )
+        assert graph.triangles(empty_edges).count() == 0
+
+        empty_w = spark.createDataFrame(
+            [], StructType([StructField("id", LongType()), StructField("w", LongType())])
+        )
+        assert sampling.weighted_sample(empty_w, "id", "w", 5).count() == 0
