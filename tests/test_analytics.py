@@ -324,3 +324,55 @@ class TestEmptyInputs:
             [], StructType([StructField("id", LongType()), StructField("w", LongType())])
         )
         assert sampling.weighted_sample(empty_w, "id", "w", 5).count() == 0
+
+
+class TestGapfillProperty:
+    def test_gapfill_matches_python_reference_on_random_series(self, spark):
+        """Property-style pin (fixed seeds, many shapes): gapfill_ffill over
+        random sparse (key, day, value) observations equals a pure-Python
+        forward-fill over the same dense spine."""
+        import random as _random
+
+        for seed in range(8):
+            rng = _random.Random(seed)
+            n_keys = rng.randint(1, 4)
+            obs = []
+            for k in range(n_keys):
+                for _ in range(rng.randint(1, 6)):
+                    obs.append(
+                        (f"k{k}", ts(rng.randint(1, 12)), float(rng.randint(-5, 50)))
+                    )
+            df = spark.createDataFrame(obs, ["k", "t", "v"])
+            got = {
+                (r["grp"], str(r["day"])): (r["revenue_filled"], r["is_gap"])
+                for r in timeseries.gapfill_ffill(df, "t", "k", "v").collect()
+            }
+
+            days = sorted({t.date() for _, t, _ in obs})
+            lo, hi = days[0], days[-1]
+            spine = []
+            d = lo
+            while d <= hi:
+                spine.append(d)
+                d += datetime.timedelta(days=1)
+            cells = {}
+            for k, t, v in obs:
+                cells[(k, t.date())] = round(cells.get((k, t.date()), 0.0) + v, 6)
+            want = {}
+            for k in {k for k, _, _ in obs}:
+                last = None
+                for d in spine:
+                    if (k, d) in cells:
+                        last = cells[(k, d)]
+                        want[(k, str(d))] = (last, 0)
+                    else:
+                        want[(k, str(d))] = (last, 1)
+            assert got.keys() == want.keys(), f"seed {seed}: spine mismatch"
+            for key in want:
+                gv, gg = got[key]
+                wv, wg = want[key]
+                assert gg == wg, f"seed {seed} {key}: is_gap"
+                if wv is None:
+                    assert gv is None, f"seed {seed} {key}"
+                else:
+                    assert gv == pytest.approx(wv, abs=1e-6), f"seed {seed} {key}"
