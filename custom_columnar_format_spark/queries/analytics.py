@@ -461,3 +461,97 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = sampling.weighted_sample(docs, "doc_id", "n_chars", _WS_K)
     return out.select("doc_id", F.round("priority", 6).alias("priority"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning / mutual information
+# ---------------------------------------------------------------------------
+
+_NBINS = 10
+_DECILES = [i / _NBINS for i in range(1, _NBINS)]
+
+
+def _equidepth_oracle_sql() -> str:
+    qs = ", ".join(str(q) for q in _DECILES)
+    cmp_sum = " + ".join(
+        f"CASE WHEN l_extendedprice > b[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(len(_DECILES))
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice, [{qs}]) AS b FROM lineitem
+    ),
+    binned AS (
+      SELECT 1 + {cmp_sum} AS bin, l_extendedprice AS x
+      FROM lineitem CROSS JOIN bounds
+    )
+    SELECT bin, COUNT(*) AS n, ROUND(MIN(x), 4) AS lo, ROUND(MAX(x), 4) AS hi
+    FROM binned GROUP BY bin
+    """
+
+
+@query(
+    "q_equidepth_bins",
+    _equidepth_oracle_sql(),
+    doc="equi-depth feature binning WITHOUT a global-ordering window: decile "
+    "boundaries from one exact-percentile aggregate (small row, broadcast), "
+    "bin assignment is per-row comparison arithmetic — fully distributed, no "
+    "single-partition ntile sort (the 100 TB cliff the naive formulation "
+    "hits); per-bin count/lo/hi for monotonic-binning diagnostics.",
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in _DECILES])).alias("b")
+    )
+    binned = li.join(F.broadcast(bounds)).select(  # 1-row build side
+        (
+            F.lit(1)
+            + sum(
+                F.when(F.col("l_extendedprice") > F.element_at("b", i + 1), 1).otherwise(0)
+                for i in range(len(_DECILES))
+            )
+        ).alias("bin"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("x"), 4).alias("lo"),
+        F.round(F.max("x"), 4).alias("hi"),
+    )
+
+
+@query(
+    "q_mutual_info_lang_source",
+    """
+    WITH joint AS (
+      SELECT lang, source, COUNT(*) AS nxy FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, SUM(nxy) AS nx FROM joint GROUP BY lang),
+    my AS (SELECT source, SUM(nxy) AS ny FROM joint GROUP BY source),
+    tot AS (SELECT SUM(nxy) AS n FROM joint)
+    SELECT ROUND(SUM(
+             (CAST(nxy AS DOUBLE) / n) * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))
+           ), 6) AS mutual_info
+    FROM joint JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+    """,
+    doc="mutual information between two categorical columns (feature-"
+    "relevance / drift diagnostics): one (x,y) count aggregation, marginals "
+    "derived FROM the joint table (no rescan), broadcast back — all counts "
+    "exact integers, one rounded float at the very end.",
+)
+def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        (F.col("nxy").cast("double") * F.col("n")) / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .join(F.broadcast(tot))  # 1-row build side
+        .agg(F.round(F.sum(term), 6).alias("mutual_info"))
+    )

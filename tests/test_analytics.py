@@ -376,3 +376,39 @@ class TestGapfillProperty:
                     assert gv is None, f"seed {seed} {key}"
                 else:
                     assert gv == pytest.approx(wv, abs=1e-6), f"seed {seed} {key}"
+
+
+class TestBinsAndMI:
+    def test_equidepth_bins_are_depth_balanced(self, spark, sf_small):
+        from custom_columnar_format_spark.queries.analytics import q_equidepth_bins
+
+        rows = q_equidepth_bins(spark, sf_small).collect()
+        assert len(rows) == 10
+        total = sum(r["n"] for r in rows)
+        for r in rows:
+            # equi-depth: every decile within 2% of total/10 (ties can shift rows)
+            assert abs(r["n"] - total / 10) <= max(2, total * 0.02)
+        # bins are ordered, contiguous value ranges
+        srt = sorted(rows, key=lambda r: r["bin"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["hi"] <= b["lo"]
+
+    def test_mutual_info_zero_for_independent_and_positive_for_dependent(self, spark):
+        from pyspark.sql import functions as F
+
+        # perfectly dependent: y == x → MI = H(x) = ln(2) for a fair binary x
+        dep = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(100)], ["i", "x"])
+        dep = dep.select("x", F.col("x").alias("y"))
+        joint = dep.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+        my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+        tot = joint.agg(F.sum("nxy").alias("n"))
+        term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+            (F.col("nxy").cast("double") * F.col("n")) / (F.col("nx").cast("double") * F.col("ny"))
+        )
+        mi = (
+            joint.join(mx, "x").join(my, "y").join(F.broadcast(tot))
+            .agg(F.sum(term).alias("mi"))
+            .first()["mi"]
+        )
+        assert mi == pytest.approx(math.log(2), abs=1e-9)

@@ -163,6 +163,8 @@ def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
         "q_bm25_search",           # BM25 stats row (N, avgdl, dfs) — 1-row build
         "q_gapfill_ffill",         # spine = keys × 1-row min/max bounds (1-row build)
         "q_interpolate_linear",    # same generated-spine shape (1-row build)
+        "q_equidepth_bins",        # decile-boundary row broadcast (1-row build)
+        "q_mutual_info_lang_source",  # scalar total-count row (1-row build)
         "q_mix_weights",           # scalar normalizer over a 20-row group table
         # exact-quadratic tier ON PURPOSE: it is the oracle-checkable answer;
         # the production path is the LSH-bucketed tier (equi-join on lsh_sig,
