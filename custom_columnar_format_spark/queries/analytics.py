@@ -555,3 +555,44 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))  # 1-row build side
         .agg(F.round(F.sum(term), 6).alias("mutual_info"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-step funnel with conversion lags
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+def _funnel4_oracle_sql() -> str:
+    ctes = ["s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1)"]
+    for k in range(2, len(_FUNNEL_STEPS) + 1):
+        step = _FUNNEL_STEPS[k - 1]
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{step}' AND e.ts > p.t "
+            f"AND e.ts <= p.t + INTERVAL 24 HOURS GROUP BY 1)"
+        )
+    sels = ["(SELECT COUNT(*) FROM s1) AS stage_1"]
+    for k in range(2, len(_FUNNEL_STEPS) + 1):
+        sels.append(f"(SELECT COUNT(*) FROM s{k}) AS stage_{k}")
+        sels.append(
+            f"(SELECT ROUND(AVG((epoch(c.t) - epoch(p.t)) / 3600.0), 6) "
+            f"FROM s{k} c JOIN s{k - 1} p ON c.user_id = p.user_id) AS lag_h_{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT " + ", ".join(sels)
+
+
+@query(
+    "q_funnel_4step_lags",
+    _funnel4_oracle_sql(),
+    doc="generalized K-step funnel (view→click→signup→purchase, 24h steps) "
+    "with average conversion lag per transition: one filtered min-agg per "
+    "stage, every stage shuffled on user_id so co-partitioned joins elide "
+    "k-1 exchanges; summary row joins single-row aggregates.",
+)
+def q_funnel_4step_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel
+
+    return funnel.funnel_summary(load(spark, sf_dir, "events"), _FUNNEL_STEPS)

@@ -412,3 +412,29 @@ class TestBinsAndMI:
             .first()["mi"]
         )
         assert mi == pytest.approx(math.log(2), abs=1e-9)
+
+
+class TestFunnelK:
+    def test_window_gating_and_lags(self, spark):
+        from custom_columnar_format_spark.operators import funnel
+
+        def t(h):
+            return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(hours=h)
+
+        rows = [
+            # u1 completes all four stages; click 2h after view, signup 3h
+            # after click, purchase 1h after signup
+            (1, t(0), "view"), (1, t(2), "click"), (1, t(5), "signup"), (1, t(6), "purchase"),
+            # u2: click arrives 30h after view — outside the 24h step window
+            (2, t(0), "view"), (2, t(30), "click"),
+            # u3: signup BEFORE the click → doesn't qualify as stage 3
+            (3, t(0), "view"), (3, t(1), "signup"), (3, t(2), "click"),
+            # u4 never views; later events can't start a chain
+            (4, t(0), "click"), (4, t(1), "signup"),
+        ]
+        ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = funnel.funnel_summary(ev, ["view", "click", "signup", "purchase"]).first()
+        assert (out["stage_1"], out["stage_2"], out["stage_3"], out["stage_4"]) == (3, 2, 1, 1)
+        assert out["lag_h_2"] == pytest.approx(2.0)  # only u1's click qualifies... plus u3's
+        assert out["lag_h_3"] == pytest.approx(3.0)
+        assert out["lag_h_4"] == pytest.approx(1.0)

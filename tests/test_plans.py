@@ -165,6 +165,7 @@ def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
         "q_interpolate_linear",    # same generated-spine shape (1-row build)
         "q_equidepth_bins",        # decile-boundary row broadcast (1-row build)
         "q_mutual_info_lang_source",  # scalar total-count row (1-row build)
+        "q_funnel_4step_lags",     # summary row joins k single-row aggregates
         "q_mix_weights",           # scalar normalizer over a 20-row group table
         # exact-quadratic tier ON PURPOSE: it is the oracle-checkable answer;
         # the production path is the LSH-bucketed tier (equi-join on lsh_sig,
