@@ -321,3 +321,51 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketches.cms_estimate(sketch, cand, "uid")
     return est.orderBy(F.desc("est"), "uid").limit(10)
+
+
+@query(
+    "q_stream_stream_left_join",
+    """
+    WITH m AS (
+      SELECT least(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click')) AS mx
+    ),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    CROSS JOIN m
+    WHERE v.ts <= m.mx - INTERVAL 4 HOURS
+    """,
+    doc="STREAM-STREAM **left outer** join: unmatched views emit null "
+    "click_id once the watermark proves no match can arrive. Outer emission "
+    "lags the watermark — and the global watermark is the MIN over both "
+    "streams' (max event time − delay), so a drained backlog flushes "
+    "unmatched rows only up to min(max_view, max_click) − watermark − "
+    "window. Query and oracle both evaluate to a 4h horizon below that min, "
+    "safely inside the flushed region, where streaming == batch left join "
+    "exactly (boundary-eviction timing cancels out).",
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load
+
+    s1 = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    s2 = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = _drain(
+        ev.stream_stream_click_attribution_outer(s1, s2), output_mode="append"
+    )
+    evb = load(spark, sf_dir, "events")
+    mx = (
+        evb.filter(F.col("event_type") == "view")
+        .agg(F.max("ts").alias("mxv"))
+        .join(evb.filter(F.col("event_type") == "click").agg(F.max("ts").alias("mxc")))
+        .select(F.least("mxv", "mxc").alias("mx"))
+    )
+    return (
+        out.join(F.broadcast(mx))  # 1-row horizon build
+        .filter(F.col("view_ts") <= F.col("mx") - F.expr("INTERVAL 4 HOURS"))
+        .select("user_id", "view_id", "click_id")
+    )

@@ -417,6 +417,38 @@ def stream_stream_click_attribution(
     )
 
 
+def stream_stream_click_attribution_outer(
+    views: DataFrame, clicks: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM **left outer** join: like the inner variant, but views
+    with no qualifying click ALSO emit (click_id null) — once the watermark
+    proves no match can still arrive. Same bounded-state contract; the
+    difference is emission timing: unmatched rows are held back until
+    ``view_ts + within`` falls behind the watermark, so on a drained finite
+    backlog the LAST (watermark + within) of views never flush (nothing ever
+    advances the watermark past them). Consumers — and the driver oracle —
+    therefore evaluate outer results only up to a horizon safely inside the
+    flushed region; see queries/streaming_queries.py:q_stream_stream_left_join.
+    Returns (user_id, view_id, view_ts, click_id[nullable])."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "view_ts", "click_id")
+
+
 def tws_user_lifetime_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Per-user lifetime aggregates via ``transformWithStateInPandas`` —
     Spark 4's arbitrary-state API (SPARK-49564, successor to
