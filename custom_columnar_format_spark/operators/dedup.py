@@ -404,7 +404,11 @@ def minhash_neardup_pairs(
         .distinct()
     )
     over_groups = (
-        sigs.join(over_ids, "id", "left_semi")
+        # shuffle_hash: over_ids is USUALLY tiny, but it is exactly the
+        # degenerate-boilerplate tail — in the worst case a large fraction of
+        # the corpus — so its size must never gate on a stats estimate; SHJ
+        # builds it per-partition instead of broadcasting.
+        sigs.join(over_ids.hint("shuffle_hash"), "id", "left_semi")
         .select("id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("full_sig"))
         .groupBy("full_sig")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -417,8 +421,18 @@ def minhash_neardup_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification re-attaches shingle sets to each candidate pair. The
+    # shingle side is corpus-width by definition, so neither join may EVER
+    # become a broadcast — but Catalyst's size estimates for this deep a
+    # pipeline can be arbitrarily wrong (measured: a range()-synthesized 1M-doc
+    # corpus estimates "small", plans three BroadcastExchanges, and OOMs the
+    # driver building a GB-scale hash relation). The shuffle_hash hint pins
+    # the strategy independent of stats: SHJ building the (smaller) pair side
+    # per-partition, corpus side streamed.
     jac = (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        cand.hint("shuffle_hash")
+        .join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .hint("shuffle_hash")
         .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
         .withColumn(
             "jaccard",
@@ -518,9 +532,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is corpus-width (one row per doc) — an explicit broadcast here
+    # was a latent 100 TB bug (it only looked cheap because the test corpus
+    # is small). SHJ with the pair side as build keeps both joins
+    # shuffle-partitioned at any corpus size.
     return (
-        pairs.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        pairs.hint("shuffle_hash")
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .hint("shuffle_hash")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
