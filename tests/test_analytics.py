@@ -438,3 +438,29 @@ class TestFunnelK:
         assert out["lag_h_2"] == pytest.approx(2.0)  # only u1's click qualifies... plus u3's
         assert out["lag_h_3"] == pytest.approx(3.0)
         assert out["lag_h_4"] == pytest.approx(1.0)
+
+
+class TestCMSScheme:
+    def test_xxhash64_fast_path_same_guarantees(self, spark):
+        import collections
+
+        # distinct counts (1..40) so the true heavy hitter is unambiguous
+        items = [f"k{i}" for i in range(40) for _ in range(i + 1)]
+        truth = collections.Counter(items)
+        df = spark.createDataFrame([(t,) for t in items], ["tok"])
+        est = {
+            r["tok"]: r["est"]
+            for r in sketches.cms_estimate(
+                sketches.cms_build(df, "tok", scheme="xxhash64"),
+                df.select("tok").distinct(),
+                "tok",
+                scheme="xxhash64",
+            ).collect()
+        }
+        assert set(est) == set(truth)
+        for t, c in truth.items():
+            assert est[t] >= c  # overestimate invariant holds for any scheme
+        top = sketches.cms_heavy_hitters(df, "tok", topk=1, scheme="xxhash64").first()
+        # the true heaviest key must win (40 keys in 4×256 cells: a key would
+        # need a colliding heavier partner in ALL 4 rows to be displaced)
+        assert truth[top["tok"]] == max(truth.values())
