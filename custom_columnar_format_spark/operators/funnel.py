@@ -26,10 +26,18 @@ def funnel_stage_times(
     """Per-stage (user, t_k) tables: t_1 = user's earliest steps[0] event;
     t_k = earliest steps[k-1] event in (t_{k-1}, t_{k-1} + step]."""
     within = F.expr(f"INTERVAL {step_within_hours} HOURS")
+    # ONE scan of the raw table: the k per-stage filters read a persisted slim
+    # projection (user, ts, type restricted to funnel steps) instead of
+    # rescanning the 100 TB events table once per stage. At real scale this
+    # cache is the filtered fraction only; callers who cannot afford executor
+    # memory for it still get correct plans — the persist is advisory.
+    slim = events.filter(F.col(type_col).isin(list(steps))).select(
+        user_col, ts_col, type_col
+    ).persist()
     stages = []
     prev = None
     for step in steps:
-        cur = events.filter(F.col(type_col) == step)
+        cur = slim.filter(F.col(type_col) == step)
         if prev is not None:
             cur = cur.join(prev, user_col).filter(
                 (F.col(ts_col) > F.col("t_prev")) & (F.col(ts_col) <= F.col("t_prev") + within)

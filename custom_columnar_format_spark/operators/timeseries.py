@@ -36,6 +36,10 @@ def gapfill_ffill(
     filled rows. Sums are rounded to 6 decimals BEFORE the fill so the
     carried value is exactly the value a reader saw on the source day.
     """
+    # ONE scan of the raw table: bounds and the key set derive from the
+    # aggregated cells (|keys|×|observed days| rows), not from re-reading the
+    # 100 TB side. cells is persisted because it feeds three branches
+    # (bounds, keys, the spine join) — it is spine-sized, not corpus-sized.
     cells = (
         df.select(
             F.col(key_col).alias("grp"),
@@ -44,12 +48,10 @@ def gapfill_ffill(
         )
         .groupBy("grp", "day")
         .agg(F.round(F.sum("v"), 6).alias("rev"))
+        .persist()
     )
-    bounds = df.select(
-        F.min(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("lo"),
-        F.max(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("hi"),
-    )
-    keys = df.select(F.col(key_col).alias("grp")).distinct()
+    bounds = cells.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    keys = cells.select("grp").distinct()
     # spine = keys × days: the 1-row bounds table broadcasts, sequence()
     # generates the day range JVM-side, explode fans it out — no shuffle.
     spine = (
@@ -91,6 +93,8 @@ def interpolate_linear(
     same key partition (one shuffle total) — then the interpolation is plain
     arithmetic: v_prev + (v_next − v_prev) × elapsed/spanned.
     """
+    # same one-raw-scan discipline as gapfill_ffill: bounds/keys come from
+    # the persisted spine-sized cells table
     cells = (
         df.select(
             F.col(key_col).alias("grp"),
@@ -99,12 +103,10 @@ def interpolate_linear(
         )
         .groupBy("grp", "day")
         .agg(F.round(F.sum("v"), 6).alias("rev"))
+        .persist()
     )
-    bounds = df.select(
-        F.min(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("lo"),
-        F.max(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("hi"),
-    )
-    keys = df.select(F.col(key_col).alias("grp")).distinct()
+    bounds = cells.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    keys = cells.select("grp").distinct()
     spine = keys.join(F.broadcast(bounds)).select(
         "grp", F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
     )
