@@ -11,8 +11,11 @@ Scale design (what Delta/Iceberg/Hudi do, expressed over SCBF v2):
   matching key are **carried over without being read or rewritten** — at
   100 TB with a narrow update set, that's almost all of them.
 - Only the possibly-touched files are read, anti-joined against the source
-  keys (digest-small broadcast when the update set is small), unioned with
-  the full source, and rewritten.
+  keys, unioned with the full source, and rewritten. The anti-join strategy
+  is STATS-DRIVEN by default (broadcast when Catalyst can prove the key set
+  small, shuffle otherwise); ``broadcast_keys`` forces it either way — pass
+  False for merge sources whose size estimates cannot be trusted (never
+  lets a wrong estimate broadcast a huge key set onto the driver).
 - The output is written to a fresh directory and the swap is last, so a
   failed merge leaves the target untouched (the caller can also merge to a
   new path and swap atomically at the catalog level).
@@ -67,6 +70,7 @@ def merge_into(
     out_path: str | None = None,
     n_files: int = 8,
     rows_per_group: int | None = None,
+    broadcast_keys: bool | None = None,
 ) -> dict:
     """Merge ``source`` into the SCBF dataset at ``target_path`` on ``key``.
 
@@ -103,7 +107,11 @@ def merge_into(
     else:
         touched_df = spark.createDataFrame([], schema)
     keys_df = source.select(key).distinct()
-    kept = touched_df.join(F.broadcast(keys_df), key, "left_anti")
+    if broadcast_keys is True:
+        keys_df = F.broadcast(keys_df)
+    elif broadcast_keys is False:
+        keys_df = keys_df.hint("shuffle_hash")  # never driver-built
+    kept = touched_df.join(keys_df, key, "left_anti")
     rewritten = kept.unionByName(source.select(*[f.name for f in schema.fields]))
     w = (
         rewritten.repartition(max(1, min(n_files, len(touched) or 1)))
