@@ -35,10 +35,17 @@ MASK48 = (1 << 48) - 1
 
 def normalize_text(text: F.Column) -> F.Column:
     """Canonical form for content comparison: lowercase, collapse whitespace,
-    strip non-alphanumerics (keeps spaces)."""
+    strip non-alphanumerics (keeps spaces).
+
+    The whitespace class is the EXPLICIT ``[ \\t\\n]`` — not ``\\s`` — so the
+    Spark expression and the registry oracles' `_NORM_SQL` are the same
+    character class on every input: Java's ``\\s`` also covers ``\\r \\f
+    \\x0B``, which would tokenize "foo\\rbar" as two words here but one word
+    in the oracle. With the explicit class, a stray carriage return is
+    stripped (joining the words) identically in both engines."""
     t = F.lower(F.trim(text))
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
-    return F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, r"[^a-z0-9 \t\n]", "")
+    return F.regexp_replace(t, r"[ \t\n]+", " ")
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

@@ -5,9 +5,13 @@ Scale design: candidate pairs come from a blocking key (here: a cheap
 deterministic feature of the string, e.g. its last token), expanded
 in-bucket with the same ONE-shuffle collect-and-expand used by the LSH
 dedup operators (``dedup._pairs_within``) — no self-join, no re-evaluation
-of the upstream pipeline per side. Oversized blocks are capped (degenerate
-keys; production routes them to a finer second blocking key, exactly like
-``dedup.minhash_neardup_pairs``'s second pass). Verification is
+of the upstream pipeline per side. Blocks above ``max_block`` are EXCLUDED
+(a degenerate blocking key would otherwise cost O(block²)); the exclusion is
+part of the operator's contract — the registered query's oracle mirrors the
+cap with the same HAVING bound, so a cap that starts biting shows up as a
+row-count change on both sides, never as a silent engine/oracle divergence.
+Callers with oversized blocks should pick a finer ``block_expr`` (the
+record-linkage analogue of LSH's finer second pass). Verification is
 ``levenshtein`` on the pair — standard Wagner-Fischer in the JVM, identical
 semantics in DuckDB, so the whole operator is oracle-checkable."""
 

@@ -39,9 +39,13 @@ def weighted_sample(
     deterministic tiebreak on id. Rows with non-positive weight are
     excluded (their 1/w key is undefined)."""
     pri = ares_priority(F.col(id_col), F.col(weight_col), salt)
+    # Sort on the ROUNDED priority: pow() is not bit-identical across
+    # engines/libms, and the oracle's ORDER BY binds to its rounded alias —
+    # ranking on the 6-decimal value (ties broken by id in both engines)
+    # keeps the selected set replayable anywhere.
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("priority", pri)
+        .withColumn("priority", F.round(pri, 6))
         .orderBy(F.desc("priority"), id_col)
         .limit(k)
     )

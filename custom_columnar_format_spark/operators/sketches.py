@@ -110,8 +110,13 @@ def cms_estimate(
             )
         ).alias("c"),
     ).select(item_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    # LEFT join from the probes: a candidate whose cell is empty has counter
+    # 0 (coalesce), so an item the sketch never saw estimates 0 instead of
+    # being dropped or overestimated from only its non-empty cells.
     return (
-        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        # the sketch is bounded by design (≤ depth×width rows) — broadcast it
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .select(item_col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
         .groupBy(item_col)
         .agg(F.min("cnt").alias("est"))
     )

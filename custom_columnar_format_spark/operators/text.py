@@ -38,7 +38,7 @@ def token_count(text: Column) -> Column:
 
 
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    return F.size(F.split(F.trim(text), r"[ \t\n]+")).cast("bigint")
 
 
 def char_count(text: Column) -> Column:
@@ -97,7 +97,7 @@ def lang_id(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
     text. Stable across engines (oracle uses the same normalization)."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n]+", " ")
     return F.md5(normalized.cast("binary"))
 
 
@@ -110,7 +110,7 @@ def fingerprint_winnow(text: Column, k: int = 8, num_bands: int = 4) -> Column:
     it, so the driver oracle value-checks this op (xxhash64, the previous
     hash, exists in no other engine). Spark-native (sequence + transform +
     array_min), no Python in the loop."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n]+", " ")
     n = F.length(normalized)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -135,7 +135,7 @@ def winnow_table(
     the nested normalization inside every lambda element — O(chars²) per
     document (same pathology as ``dedup.shingle_table``, measured 26× there)."""
     nt = df.select(
-        F.col(id_col), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("nt")
+        F.col(id_col), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n]+", " ").alias("nt")
     )
     grams = nt.select(
         id_col,
@@ -254,7 +254,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != F.lit("")
     )
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n]+", " "), " ")
     # all (overlapping) word 2-grams, NOT deduped — the dup fraction needs
     # the multiset; hash pairs directly (no joined strings)
     grams = F.transform(

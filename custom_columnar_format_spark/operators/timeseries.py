@@ -20,6 +20,37 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _daily_cells_and_spine(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Shared resampling base: (cells, spine).
+
+    ONE scan of the raw table: bounds and the key set derive from the
+    aggregated cells (|keys|×|observed days| rows), not from re-reading the
+    100 TB side. ``persist`` (advisory, default on) caches cells because it
+    feeds three branches (bounds, keys, the spine join) — it is spine-sized,
+    not corpus-sized. The spine is GENERATED: keys × a broadcast 1-row
+    min/max bounds row, fanned out by ``sequence()`` + explode — no shuffle,
+    no second scan."""
+    cells = (
+        df.select(
+            F.col(key_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.round(F.sum("v"), 6).alias("rev"))
+    )
+    if persist:
+        cells = cells.persist()
+    bounds = cells.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    keys = cells.select("grp").distinct()
+    spine = keys.join(F.broadcast(bounds)).select(
+        "grp", F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return cells, spine
+
+
 def gapfill_ffill(
     df: DataFrame,
     ts_col: str,
@@ -36,31 +67,7 @@ def gapfill_ffill(
     filled rows. Sums are rounded to 6 decimals BEFORE the fill so the
     carried value is exactly the value a reader saw on the source day.
     """
-    # ONE scan of the raw table: bounds and the key set derive from the
-    # aggregated cells (|keys|×|observed days| rows), not from re-reading the
-    # 100 TB side. cells is persisted because it feeds three branches
-    # (bounds, keys, the spine join) — it is spine-sized, not corpus-sized.
-    cells = (
-        df.select(
-            F.col(key_col).alias("grp"),
-            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
-            F.col(value_col).alias("v"),
-        )
-        .groupBy("grp", "day")
-        .agg(F.round(F.sum("v"), 6).alias("rev"))
-        .persist()
-    )
-    bounds = cells.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    keys = cells.select("grp").distinct()
-    # spine = keys × days: the 1-row bounds table broadcasts, sequence()
-    # generates the day range JVM-side, explode fans it out — no shuffle.
-    spine = (
-        keys.join(F.broadcast(bounds))
-        .select(
-            "grp",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
-        )
-    )
+    cells, spine = _daily_cells_and_spine(df, ts_col, key_col, value_col)
     w = (
         Window.partitionBy("grp")
         .orderBy("day")
@@ -93,23 +100,7 @@ def interpolate_linear(
     same key partition (one shuffle total) — then the interpolation is plain
     arithmetic: v_prev + (v_next − v_prev) × elapsed/spanned.
     """
-    # same one-raw-scan discipline as gapfill_ffill: bounds/keys come from
-    # the persisted spine-sized cells table
-    cells = (
-        df.select(
-            F.col(key_col).alias("grp"),
-            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
-            F.col(value_col).alias("v"),
-        )
-        .groupBy("grp", "day")
-        .agg(F.round(F.sum("v"), 6).alias("rev"))
-        .persist()
-    )
-    bounds = cells.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    keys = cells.select("grp").distinct()
-    spine = keys.join(F.broadcast(bounds)).select(
-        "grp", F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-    )
+    cells, spine = _daily_cells_and_spine(df, ts_col, key_col, value_col)
     j = spine.join(cells, ["grp", "day"], "left")
     back = (
         Window.partitionBy("grp")

@@ -16,20 +16,10 @@ from .registry import query
 from .tables import load
 
 
-def _hexparse_sql(expr: str, offset: int, nchars: int) -> str:
-    """Hex-substring → BIGINT, digit-by-digit (DuckDB has no conv()) — same
-    idiom as llm_ops's km-md5 oracles."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {offset + i}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
-        for i in range(nchars)
-    )
-    return f"({terms})"
-
-
-_NORM_SQL = (
-    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \\t\\n]', '', 'g'), "
-    "'[ \\t\\n]+', ' ', 'g')"
-)
+# The oracle-critical hashing/normalization idioms are shared with the
+# km-md5 dedup oracles — ONE definition, so a fix there can never leave
+# these oracles silently divergent.
+from .llm_ops import _NORM_SQL, _hexparse_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -240,12 +230,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fuzzy_match_parts",
     """
-    WITH d AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name)
+    WITH d AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name),
+    ok AS (
+      SELECT split_part(p_name, ' ', 2) AS blk
+      FROM d GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 5000
+    )
     SELECT a.id AS id_a, b.id AS id_b,
            levenshtein(a.p_name, b.p_name) AS dist
     FROM d a JOIN d b
       ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
      AND a.id < b.id
+    JOIN ok ON ok.blk = split_part(a.p_name, ' ', 2)
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
     doc="fuzzy record linkage at the DICTIONARY level: distinct part names "

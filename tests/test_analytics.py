@@ -464,3 +464,17 @@ class TestCMSScheme:
         # the true heaviest key must win (40 keys in 4×256 cells: a key would
         # need a colliding heavier partner in ALL 4 rows to be displaced)
         assert truth[top["tok"]] == max(truth.values())
+
+
+class TestCMSAbsentCandidate:
+    def test_absent_candidate_estimates_zero(self, spark):
+        from pyspark.sql import Row
+
+        build = spark.createDataFrame([Row(tok=t) for t in ["a"] * 3 + ["b"] * 2])
+        cand = spark.createDataFrame([Row(tok=t) for t in ["a", "zzz_never_seen"]])
+        est = {
+            r["tok"]: r["est"]
+            for r in sketches.cms_estimate(sketches.cms_build(build, "tok"), cand, "tok").collect()
+        }
+        assert est["a"] >= 3
+        assert est["zzz_never_seen"] == 0  # absent item: 0, not dropped/overestimated
