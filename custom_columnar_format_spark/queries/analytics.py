@@ -591,3 +591,48 @@ def q_funnel_4step_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import funnel
 
     return funnel.funnel_summary(load(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Journey / path mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_paths_topk",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n
+    FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    doc="journey mining: each user-day's chronologically ordered event-type "
+    "sequence as a path string, top-10 most common journeys. One (user, day) "
+    "aggregation collects the day's events (bounded by events-per-user-day, "
+    "never corpus-wide), array_sort on (ts, event_id) structs makes the "
+    "order deterministic under ties, and the path count is a second "
+    "partial-combining agg; top-k is TakeOrderedAndProject.",
+)
+def q_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            F.concat_ws(">", F.transform("arr", lambda x: x["event_type"])).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
