@@ -17,6 +17,17 @@ The result is independent of where the range boundaries fall; with a
 within-group order matters. Order keys must be unique per group (any window
 cumsum is ambiguous under ties).
 
+Determinism: the sliced+pid table is materialized exactly ONCE
+(``localCheckpoint``) before fanning out to the two consuming branches.
+Without that, each branch plans its own ``rangepartitioning`` Exchange, and
+Spark's RangePartitioner seeds its boundary-sampling reservoir from the RDD
+id — which differs per exchange and per session history. Two exchanges can
+therefore pick DIFFERENT boundaries, making a row's slice id in the
+local-cumsum branch disagree with the slice the offsets aggregate counted it
+in → silently wrong offsets (row count intact). The checkpoint pins one set
+of boundaries for both branches; its blocks are freed by the ContextCleaner
+when the RDD is garbage collected, so no explicit unpersist is needed.
+
 The reference has no windowing at all (SURVEY.md §2.2 — storage-only);
 this is part of the new engine's extended surface.
 """
@@ -47,8 +58,13 @@ def cumulative_sum(
     ocols = list(order_cols)
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
 
-    sliced = df.repartitionByRange(n, *pcols, *ocols).withColumn(
-        _PID, F.spark_partition_id()
+    # Materialize ONCE: both branches below must see the SAME range
+    # boundaries / slice ids (see module docstring). eager=False defers the
+    # checkpoint to first use, so planning stays lazy.
+    sliced = (
+        df.repartitionByRange(n, *pcols, *ocols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     w_local = (

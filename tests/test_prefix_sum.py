@@ -48,6 +48,43 @@ def test_grouped_cumsum_restarts_per_group(spark, sf_small):
     assert bad == 0
 
 
+@pytest.mark.parametrize("aqe", ["true", "false"])
+@pytest.mark.parametrize("n_parts", [3, 7])
+def test_deterministic_in_dirtied_session(spark, sf_small, aqe, n_parts):
+    """Regression guard for the r4 driver hash mismatch: the sliced+pid
+    table used to be evaluated by TWO independent rangepartitioning
+    Exchanges, each sampling its own boundaries (seeded from the RDD id,
+    which shifts with session history) — so results could differ run to
+    run. The operator must now be bit-identical across repeated runs in a
+    session whose RDD-id counter keeps moving."""
+    o = load(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    try:
+        results = []
+        for i in range(5):
+            # Dirty the session: burn RDD ids so each construction of the
+            # operator's plan starts from a different id counter.
+            spark.sparkContext.parallelize(range(10 * (i + 1)), 2).count()
+            got = prefix_sum.cumulative_sum(
+                o,
+                ["o_orderkey"],
+                "o_totalprice",
+                partition_cols=["o_orderpriority"],
+                n_partitions=n_parts,
+            )
+            rows = sorted(
+                (r["o_orderkey"], r["o_orderpriority"], round(r["cum"], 6))
+                for r in got.collect()
+            )
+            results.append(rows)
+        assert all(r == results[0] for r in results[1:])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def test_no_single_global_window_partition(spark, sf_small):
     """The plan must not contain a window over an empty partition spec
     (the single-task global sort the operator exists to avoid)."""
