@@ -188,6 +188,12 @@ def main() -> None:
             t0 = time.time()
             _force(qs[name].fn(spark, SF_DIR))
             queries[name] = round(time.time() - t0, 4)
+            # Several operators persist() intermediates consumed by multiple
+            # plan branches (funnel stages, minhash signatures, gap-fill
+            # cells); the harness owns the cache lifecycle, so drop those
+            # blocks between queries to keep one query's cache from
+            # squeezing the next one's executor memory.
+            spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

@@ -35,7 +35,13 @@ def funnel_stage_times(
     without the cache stage 1's aggregation re-executes inside every later
     stage's subtree — O(k²) recomputations of the heaviest input. Callers
     who cannot afford executor memory pass ``persist=False`` and pay the
-    recompute (same trade as ``dedup.minhash_neardup_pairs``)."""
+    recompute (same trade as ``dedup.minhash_neardup_pairs``).
+
+    Cache lifecycle is owned by the CALLER: the returned DataFrames are
+    lazy, so this operator cannot unpersist without defeating the cache.
+    Long-lived sessions running many queries should
+    ``spark.catalog.clearCache()`` after materializing each result (the
+    bench and oracle harnesses do)."""
     within = F.expr(f"INTERVAL {step_within_hours} HOURS")
     # ONE scan of the raw table: the k per-stage filters read a slim
     # projection (user, ts, type restricted to funnel steps) instead of

@@ -111,8 +111,10 @@ def cms_estimate(
         ).alias("c"),
     ).select(item_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
     # LEFT join from the probes: a candidate whose cell is empty has counter
-    # 0 (coalesce), so an item the sketch never saw estimates 0 instead of
-    # being dropped or overestimated from only its non-empty cells.
+    # 0 (coalesce), so an unseen item estimates 0 when ANY of its depth
+    # cells is empty, instead of being dropped; in a saturated sketch an
+    # absent item can still draw a positive overestimate from hash
+    # collisions — the standard CMS one-sided error, not avoidable here.
     return (
         # the sketch is bounded by design (≤ depth×width rows) — broadcast it
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")

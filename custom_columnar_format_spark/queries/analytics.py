@@ -256,7 +256,10 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         names,
         "p_name",
         "rep_id",
-        F.element_at(F.split(F.col("p_name"), " "), 2),
+        # coalesce to '': for single-token names Spark's element_at yields
+        # NULL (rows would drop from the block join) while the oracle's
+        # split_part yields '' — '' on both sides keeps the engines aligned
+        F.coalesce(F.element_at(F.split(F.col("p_name"), " "), 2), F.lit("")),
         max_dist=3,
     )
 
@@ -303,11 +306,13 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, ROUND((e.value - s.m) / s.s, 6) AS z
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.m) / s.s) > 3
+    WHERE s.s > 0 AND abs((e.value - s.m) / s.s) > 3
     """,
     doc="per-group z-score outlier detection (data-quality monitoring): "
     "5-row stats table broadcast back onto the stream — the raw side never "
-    "shuffles.",
+    "shuffles. Degenerate all-identical groups (stddev 0) are excluded "
+    "explicitly: Spark's 0/0 yields NULL while DuckDB yields inf/NaN, so "
+    "without the s > 0 guard the engines diverge.",
 )
 def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -317,7 +322,7 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("m")) / F.col("s")
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 3)
+        .filter((F.col("s") > 0) & (F.abs(z) > 3))
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
 
@@ -436,26 +441,28 @@ _WS_K = 20
     f"""
     WITH pri AS (
       SELECT doc_id,
-             pow(
-               ({_hexparse_sql("md5('ws:' || CAST(doc_id AS VARCHAR))", 1, 12)} + 1.0)
-                 / {(1 << 48) + 1}.0,
-               1.0 / n_chars) AS priority
+             ROUND(
+               -ln(({_hexparse_sql("md5('ws:' || CAST(doc_id AS VARCHAR))", 1, 12)} + 1.0)
+                     / {(1 << 48) + 1}.0)
+                 / n_chars, 12) AS k12
       FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, ROUND(priority, 6) AS priority
-    FROM pri ORDER BY priority DESC, doc_id LIMIT {_WS_K}
+    SELECT doc_id, ROUND(k12, 9) AS ares_key
+    FROM pri ORDER BY k12, doc_id LIMIT {_WS_K}
     """,
     doc="weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
-    "priority u^(1/w) with u a deterministic md5-derived uniform — the same "
-    "rows win at any cluster size or partitioning, no driver-side RNG state; "
-    "top-k by priority is TakeOrderedAndProject. Weight = document length.",
+    "exponential key -ln(u)/w with u a deterministic md5-derived uniform — "
+    "order-equivalent to top-k by u^(1/w) but without the rounding-tie "
+    "low-id skew at large weights; the same rows win at any cluster size or "
+    "partitioning, no driver-side RNG state; bottom-k by key is "
+    "TakeOrderedAndProject. Weight = document length.",
 )
 def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
     docs = load(spark, sf_dir, "documents")
     out = sampling.weighted_sample(docs, "doc_id", "n_chars", _WS_K)
-    return out.select("doc_id", F.round("priority", 6).alias("priority"))
+    return out.select("doc_id", F.round("ares_key", 9).alias("ares_key"))
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qd.fn(spark, sf_dir).toPandas()
+            # operators persist() multi-branch intermediates; the harness
+            # owns cache lifecycle across a 150+-query sweep
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
