@@ -38,7 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus",
     )
-    out = os.path.join(tempfile.gettempdir(), "scbf_entry_roundtrip")
+    # per-run scratch dir: a fixed path would collide if two drivers run
+    # entry() concurrently on one machine
+    out = os.path.join(tempfile.mkdtemp(prefix="scbf_entry_"), "roundtrip")
     sub.write.format("scbf").mode("overwrite").save(out)
     back = spark.read.format("scbf").load(out)
     return (

@@ -184,6 +184,21 @@ def main() -> None:
     queries: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
         queries.update(bench_scbf(spark, tmpdir))
+        # A/B twin of q_dedup_minhash: same pipeline with the all-JVM
+        # xxhash64 hash family instead of the oracle-replayable km-md5
+        # default, so the md5 tax (~1.2 s at sf0.1, accepted in r4 for the
+        # driver's end-to-end value check) stays visible and tracked.
+        from custom_columnar_format_spark.operators.dedup import minhash_neardup_pairs
+        from custom_columnar_format_spark.queries.tables import load as _load
+
+        t0 = time.time()
+        _force(
+            minhash_neardup_pairs(
+                _load(spark, SF_DIR, "documents"), "text", "doc_id", scheme="xxhash64"
+            )
+        )
+        queries["q_dedup_minhash_xxh"] = round(time.time() - t0, 4)
+        spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.time()
             _force(qs[name].fn(spark, SF_DIR))

@@ -72,6 +72,68 @@ def asof_join(
     return out.withColumnsRenamed(renames)
 
 
+def auto_bucket_seconds(
+    intervals: DataFrame, start_col: str, end_col: str, quantile: float = 0.9
+) -> int:
+    """Derive a sane bucket width for ``interval_point_join`` from the data:
+    the ``quantile`` (default p90) of interval lengths, so at least that
+    share of intervals explodes into ≤2 buckets while buckets stay as fine
+    as possible for in-bucket selectivity. With skewed interval widths a
+    fixed guess is always wrong for one side of the skew: keying on the
+    median would make the long tail explode into hundreds of bucket rows,
+    keying on the max would dump everything into a handful of giant buckets.
+
+    ``approxQuantile`` is a bounded driver-side call (Greenwald-Khanna
+    sketch, one pass, no collect of rows) — the same justified-driver-call
+    category as the merge stats row. Clamped to ≥ 1 second."""
+    lens = intervals.select(
+        (F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col)))
+        .cast("double")
+        .alias("_len")
+    )
+    q = lens.approxQuantile("_len", [quantile], 0.01)
+    if not q or q[0] is None:
+        return 1
+    return max(1, int(q[0]))
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    extra_on: list[str] | None = None,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Join interval rows to point rows with ``start <= ts <= end`` (and
+    equality on ``extra_on``) via the bucketed equi-join plan: each interval
+    explodes into the time buckets it spans, each point maps to its single
+    bucket, the join is an equi-join on (extra_on, bucket), and the exact
+    containment predicate filters residuals. A point spanning-bucket pair is
+    produced at most once (a point lives in exactly one bucket).
+
+    ``bucket_seconds`` is the manual knob; when omitted the width is derived
+    from the interval-length distribution by ``auto_bucket_seconds`` (p90 —
+    see its docstring for why a data-driven width beats any fixed guess
+    under skewed interval lengths)."""
+    on = extra_on or []
+    bucket = bucket_seconds or auto_bucket_seconds(intervals, start_col, end_col)
+    sb = F.floor(F.unix_timestamp(F.col(start_col)) / bucket).cast("bigint")
+    eb = F.floor(F.unix_timestamp(F.col(end_col)) / bucket).cast("bigint")
+    pb = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket).cast("bigint")
+
+    # drop inverted intervals BEFORE the explode: sequence(a, b) with b < a
+    # silently steps backwards in Spark, which would fabricate buckets for
+    # rows the containment predicate rejects anyway
+    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_bk", F.explode(F.sequence(sb, eb))
+    )
+    pt = points.withColumn("_bk", pb)
+    cond = F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    return iv.join(pt, on + ["_bk"]).filter(cond).drop("_bk")
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

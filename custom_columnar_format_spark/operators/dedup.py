@@ -189,7 +189,17 @@ def km_hash_table(grams_df: DataFrame, grams_col: str = "grams") -> DataFrame:
 
     Each stage is its own projection so no ``transform`` lambda references a
     compound expression (the measured quadratic re-inlining pathology — see
-    ``shingle_table``)."""
+    ``shingle_table``).
+
+    Cost breakdown (signature pass, sf0.1, min of 5 warm runs via
+    ``tools/exp_minhash_cost.py``): this scheme 1.09 s vs 0.54 s for the
+    all-JVM xxhash64 path — the oracle-replayability tax. Rejected cuts:
+    hashing each CORPUS-distinct gram once and joining back (1.68 s — the
+    explode+distinct+join shuffles cost more than recomputing md5 per
+    doc-gram occurrence); deriving h2 arithmetically from h1 (one conv
+    parse, 0.98 s) or parsing h2 from 6 hex chars + odd-multiplier spread
+    (0.98 s) — both only ~10%, under the 15% adoption bar, and not worth
+    weakening h1/h2 independence or churning every replaying oracle."""
     m = grams_df.select("id", grams_col, F.transform(grams_col, F.md5).alias("m"))
     return m.select(
         "id",

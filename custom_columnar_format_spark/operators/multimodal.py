@@ -3,11 +3,14 @@
 ``mapInPandas`` pipelines.
 
 The Spark-side architecture is fully real — schemas, partition-preserving
-batch UDFs, metadata extraction, frame-sampling fan-out — while the actual
-media decoding is STUBBED (``decode_stub``) because image/audio libraries are
-not available in this environment. Swapping the stub for PIL/ffmpeg is a
-one-function change; everything around it (batch shapes, schema contracts,
-memory behavior) is what matters at scale and is tested.
+batch UDFs, metadata extraction, frame-sampling fan-out. Decoding goes
+through a single-function seam with three implementations: the default
+deterministic ``decode_stub`` (oracle-replayable, works everywhere), a real
+Pillow image decoder (``decode_pil``, gated on PIL being importable), and a
+real WAV audio decoder (``decode_wav``, stdlib ``wave`` + numpy — no
+optional dependency). Video keyframe decode remains stubbed (ffmpeg not in
+this container); everything around the seam (batch shapes, schema
+contracts, memory behavior) is what matters at scale and is tested.
 
 Scale notes: payloads stay in executor memory only for the lifetime of one
 Arrow batch; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
@@ -120,6 +123,54 @@ def decode_pil(payload: bytes, kind: str):
         total = float(sum(hist)) or 1.0
         feat = [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
         return w, h, feat
+    except Exception:
+        return decode_stub(payload, kind)
+
+
+def decode_wav(payload: bytes, kind: str):
+    """Real AUDIO decoder for WAV payloads — stdlib ``wave`` + numpy, so it
+    needs no optional dependency (unlike the Pillow image path). Drop-in for
+    ``decode_stub`` with the same (width, height, feature[8]) contract:
+
+    - width/height stay NULL (image-only fields);
+    - feature[8] = per-segment RMS loudness: samples are split into 8 equal
+      time segments and each segment's root-mean-square amplitude is
+      normalized to [0, 1] by the sample format's full-scale value — the
+      classic cheap audio fingerprint (silence ≈ 0, clipping ≈ 0.7 for a
+      full-scale sine).
+
+    Non-audio kinds, non-WAV payloads, and exotic sample widths (24-bit)
+    fall back to the deterministic stub so a mixed media table never fails
+    mid-batch — the same policy as ``decode_pil``."""
+    if kind != "audio":
+        return decode_stub(payload, kind)
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sampwidth = wf.getsampwidth()
+            n_frames = wf.getnframes()
+            n_channels = wf.getnchannels()
+            raw = wf.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+        if dtype is None or n_frames == 0:
+            return decode_stub(payload, kind)
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sampwidth == 1:  # 8-bit WAV is unsigned, midpoint 128
+            samples -= 128.0
+        full_scale = float(2 ** (8 * sampwidth - 1))
+        # mix channels down before segmenting (loudness, not stereo field)
+        if n_channels > 1:
+            samples = samples[: (len(samples) // n_channels) * n_channels]
+            samples = samples.reshape(-1, n_channels).mean(axis=1)
+        seg = np.array_split(samples, 8)
+        feat = [
+            float(np.sqrt(np.mean(s * s)) / full_scale) if len(s) else 0.0 for s in seg
+        ]
+        return None, None, feat
     except Exception:
         return decode_stub(payload, kind)
 

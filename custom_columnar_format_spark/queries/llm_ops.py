@@ -867,6 +867,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id AS err_id, user_id, floor(epoch(ts)) AS s,
+             floor(epoch(ts)) + 3600 + CAST(floor(abs(value)) AS BIGINT) % 43200 AS f
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, floor(epoch(ts)) AS t
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.err_id, c.click_id
+    FROM e JOIN c ON e.user_id = c.user_id AND c.t BETWEEN e.s AND e.f
+    """,
+    doc="interval join with VARIABLE-width windows: each error opens a "
+    "per-event incident window of 1..13 h (width derived from its value), "
+    "clicks of the same user inside the window attach to it. Unlike "
+    "q_range_join's fixed gap, the widths are data-dependent — the bucketed "
+    "equi-join's width comes from operators/asof.py:auto_bucket_seconds "
+    "(p90 of interval lengths via one approxQuantile sketch pass), so the "
+    "bulk of intervals explodes into ≤2 buckets and no theta-join is ever "
+    "planned.",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    win_len = F.lit(3600) + F.pmod(F.floor(F.abs(F.col("value"))).cast("bigint"), F.lit(43200))
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.timestamp_seconds(sec).alias("w_start"),
+        F.timestamp_seconds(sec + win_len).alias("w_end"),
+    )
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.timestamp_seconds(sec).alias("c_ts"),
+    )
+    joined = asof.interval_point_join(
+        intervals, points, "w_start", "w_end", "c_ts", extra_on=["user_id"]
+    )
+    return joined.select("err_id", "click_id")
+
+
+@query(
     "q_sessionize",
     """
     WITH g AS (

@@ -69,3 +69,79 @@ def test_range_join_matches_theta(spark, frames):
         .collect()
     }
     assert bucketed == theta and (1, 100) in bucketed
+
+
+def test_interval_point_join_skewed_auto_bucket(spark):
+    """Skewed interval widths: 40 short (~10 s) + 3 long (~3600 s) windows.
+    auto_bucket_seconds must land near the p90 of the SHORT mass (so the
+    bulk explodes into <=2 buckets) instead of the long tail's width, and
+    the join must match a naive theta-join exactly."""
+    import datetime as _dt
+
+    from custom_columnar_format_spark.operators.asof import (
+        auto_bucket_seconds,
+        interval_point_join,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):  # short maintenance windows
+        s = t0 + _dt.timedelta(seconds=100 * i)
+        rows.append((i, f"u{i % 5}", s, s + _dt.timedelta(seconds=8 + i % 5)))
+    for i in range(3):  # rare hour-long windows
+        s = t0 + _dt.timedelta(seconds=5000 * i)
+        rows.append((100 + i, f"u{i}", s, s + _dt.timedelta(seconds=3600)))
+    iv = spark.createDataFrame(rows, ["win_id", "user_id", "start", "end"])
+
+    b = auto_bucket_seconds(iv, "start", "end")
+    assert 8 <= b <= 3600 and b < 100, f"auto bucket {b} should track the short mass"
+
+    pts = spark.createDataFrame(
+        [
+            (j, f"u{j % 5}", t0 + _dt.timedelta(seconds=37 * j))
+            for j in range(120)
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        (x.win_id, x.event_id)
+        for x in interval_point_join(
+            iv, pts, "start", "end", "ts", extra_on=["user_id"]
+        ).collect()
+    }
+    want = {
+        (x.win_id, x.event_id)
+        for x in iv.join(pts, "user_id")
+        .filter(F.col("ts").between(F.col("start"), F.col("end")))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_interval_point_join_manual_knob_and_inverted(spark):
+    """The manual bucket_seconds knob gives identical results, and inverted
+    intervals (end < start) are dropped, not exploded backwards."""
+    import datetime as _dt
+
+    from custom_columnar_format_spark.operators.asof import interval_point_join
+
+    t0 = _dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [
+            (1, t0, t0 + _dt.timedelta(seconds=30)),
+            (2, t0 + _dt.timedelta(seconds=60), t0),  # inverted
+        ],
+        ["win_id", "start", "end"],
+    )
+    pts = spark.createDataFrame(
+        [(j, t0 + _dt.timedelta(seconds=10 * j)) for j in range(10)],
+        ["event_id", "ts"],
+    )
+    for bucket in (None, 7, 1000):
+        got = {
+            (x.win_id, x.event_id)
+            for x in interval_point_join(
+                iv, pts, "start", "end", "ts", bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == {(1, 0), (1, 1), (1, 2), (1, 3)}

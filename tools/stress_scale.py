@@ -107,6 +107,41 @@ def main():
                       "seconds": round(time.time() - t0, 2)}), flush=True)
     pairs.unpersist()
 
+    # Oversized-bucket second pass AT SCALE (regression guard for the r3
+    # silent-drop bug, beyond the unit test): overwrite every 500th doc with
+    # identical boilerplate — n/500 identical docs (2000 at 1M) flood all 16
+    # band buckets past max_bucket (1000), so the quadratic in-bucket
+    # expansion is skipped for them and ONLY the full-signature star pass
+    # can pair them. Every planted member must appear in a verified pair.
+    mod_b = max(2, n_docs // 2001)  # ensure the planted group EXCEEDS the
+    # 1000-doc bucket cap at any corpus size, so the star pass (not the
+    # normal in-bucket expansion) is what must pair the members
+    boiler = F.col("doc_id") % mod_b == 1
+    docs_b = docs.withColumn(
+        "text",
+        F.when(boiler, F.lit(" ".join(["legal boilerplate notice"] * 20))).otherwise(
+            F.col("text")
+        ),
+    )
+    n_boiler = (n_docs - 1) // mod_b + 1
+    t0 = time.time()
+    pairs_b = dedup.minhash_neardup_pairs(docs_b, jaccard_threshold=0.5).cache()
+    n_pairs_b = pairs_b.count()
+    boiler_found = (
+        pairs_b.select(F.col("id_a").alias("i"))
+        .unionAll(pairs_b.select(F.col("id_b").alias("i")))
+        .filter(F.col("i") % mod_b == 1)
+        .distinct()
+        .count()
+    )
+    print(json.dumps({"stage": "oversized_second_pass", "rows": n_pairs_b,
+                      "seconds": round(time.time() - t0, 2),
+                      "planted_members": n_boiler,
+                      "members_paired": boiler_found,
+                      "planted_recall": round(boiler_found / n_boiler, 4) if n_boiler else None}),
+          flush=True)
+    pairs_b.unpersist()
+
     # distributed prefix sum at full corpus width: running token count over
     # ALL docs (no partition_cols → the single-window formulation this
     # operator replaces would sort 1M rows in ONE task)
