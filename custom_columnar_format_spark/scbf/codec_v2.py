@@ -23,7 +23,10 @@ for object stores and distributed writers from the start:
 - **Dictionary encoding**: utf8 columns with repetition ratio ≤ 0.5 store a
   sorted unique dictionary + u32 indices (auto; per-column flag in metadata).
 - **Stats**: per-column min/max (nulls excluded) + null_count in metadata —
-  used by the Spark DataSource for file-level skipping under pushed filters.
+  used by the Spark DataSource for file-level skipping under pushed filters;
+  low-NDV utf8 columns (≤ ``DVS_MAX`` distinct short values) additionally
+  store their EXACT distinct-value set, turning ``=`` / ``IN`` pruning into
+  a membership proof where Bloom filters are only probabilistic.
 - **Checksums**: crc32 of every compressed block, verified on read.
 - **Row groups** (optional, ``rows_per_group``): intra-file block sets with
   their own stats/blooms, so selective reads of compacted multi-hundred-MB
@@ -53,6 +56,12 @@ _NP_DTYPES = {"int32": "<i4", "int64": "<i8", "float64": "<f8", "bool": "u1"}
 DEFAULT_ZLIB_LEVEL = 6
 DICT_RATIO = 0.5
 MAX_STAT_STR = 64
+#: distinct-value-set stats: a utf8 column whose block set has ≤ this many
+#: distinct non-null values (each ≤ MAX_STAT_STR chars) stores the EXACT
+#: value set in its metadata — `=` / `IN` pruning becomes a set-membership
+#: proof where Bloom filters are only probabilistic and min/max only bounds
+#: the range. 32 short strings cost ~the same footer bytes as one Bloom.
+DVS_MAX = 32
 
 
 def _c_zlib(raw, level): return zlib.compress(raw, level)
@@ -239,6 +248,7 @@ def _encode_columns(bw: "_BlockWriter", table, bloom_set: set) -> List[dict]:
         if null_count:
             valid_np = np.asarray(col.is_valid())
         blocks: Dict[str, BlockRef] = {}
+        dvs: Optional[List[str]] = None  # set only by the utf8 branch
 
         if pa.types.is_boolean(t):
             type_name = "bool"
@@ -291,6 +301,14 @@ def _encode_columns(bw: "_BlockWriter", table, bloom_set: set) -> List[dict]:
                 mx_t = _trunc_max(str(mm["max"].as_py()))
                 if mx_t is not None:
                     stats["max"] = mx_t
+                # distinct-value-set stats for low-NDV columns (exact IN/=
+                # pruning — see DVS_MAX). An optional JSON footer key: pre-dvs
+                # readers ignore it, the format version stays 2.
+                uniq_nn = pc.unique(nn)
+                if len(uniq_nn) <= DVS_MAX:
+                    vals_py = [str(v) for v in uniq_nn.to_pylist()]
+                    if all(len(v) <= MAX_STAT_STR for v in vals_py):
+                        dvs = sorted(vals_py)
             else:
                 stats = None
         else:
@@ -312,6 +330,8 @@ def _encode_columns(bw: "_BlockWriter", table, bloom_set: set) -> List[dict]:
             "blocks": {k: v.to_json() for k, v in blocks.items()},
             "stats": stats,
         }
+        if dvs is not None:
+            cm["dvs"] = dvs
         if fld.name in bloom_set:
             if type_name not in ("int32", "int64", "utf8"):
                 raise ScbfV2Error(
@@ -343,17 +363,24 @@ def _merged_columns_meta(groups: List[dict]) -> List[dict]:
             stats = {"min": min(s["min"] for s in present)}
             if all("max" in s for s in present):
                 stats["max"] = max(s["max"] for s in present)
-        out.append(
-            {
-                "name": c0["name"],
-                "type": c0["type"],
-                "nullable": any(c["nullable"] for c in cols),
-                "null_count": sum(c["null_count"] for c in cols),
-                "dict": False,
-                "blocks": {},
-                "stats": stats,
-            }
-        )
+        merged = {
+            "name": c0["name"],
+            "type": c0["type"],
+            "nullable": any(c["nullable"] for c in cols),
+            "null_count": sum(c["null_count"] for c in cols),
+            "dict": False,
+            "blocks": {},
+            "stats": stats,
+        }
+        # file-level distinct-value set = union of per-group sets, kept only
+        # while every group has one and the union stays within DVS_MAX (the
+        # same bound as per-group sets — footer growth stays capped)
+        group_dvs = [c.get("dvs") for c in cols]
+        if all(d is not None for d in group_dvs):
+            union = sorted(set().union(*[set(d) for d in group_dvs]))
+            if len(union) <= DVS_MAX:
+                merged["dvs"] = union
+        out.append(merged)
     return out
 
 
@@ -597,11 +624,14 @@ def _stats_may_match(columns_meta: Sequence[dict], rows: int, filters: Sequence[
     stats_by_col: Dict[str, dict] = {}
     nulls_by_col: Dict[str, int] = {}
     bloom_by_col: Dict[str, tuple] = {}
+    dvs_by_col: Dict[str, set] = {}
     for c in columns_meta:
         if c.get("stats"):
             stats_by_col[c["name"]] = c["stats"]
         if c.get("bloom"):
             bloom_by_col[c["name"]] = (c["bloom"], c["type"])
+        if c.get("dvs") is not None:
+            dvs_by_col[c["name"]] = set(c["dvs"])
         nulls_by_col[c["name"]] = c.get("null_count", 0)
 
     for flt in filters:
@@ -613,6 +643,19 @@ def _stats_may_match(columns_meta: Sequence[dict], rows: int, filters: Sequence[
             if rows and nulls_by_col.get(col, 0) == rows:
                 return False
             continue
+        # Distinct-value-set check first: EXACT membership proof for = / IN
+        # on low-NDV string columns — prunes where the Bloom check below can
+        # only say "probably present" (its false positives keep the group)
+        # and min/max only bounds the range. String probes only: a non-string
+        # probe on a utf8 column can't have been pushed from a typed plan.
+        dv = dvs_by_col.get(col)
+        if dv is not None:
+            if isinstance(flt, EqualTo) and isinstance(flt.value, str) and flt.value not in dv:
+                return False
+            if isinstance(flt, In):
+                str_probes = [v for v in flt.value if isinstance(v, str)]
+                if len(str_probes) == len(flt.value) and not (set(str_probes) & dv):
+                    return False
         # Bloom check for point lookups: skips files whose key RANGE overlaps
         # but which provably lack the value — the case min/max can't prune.
         bl = bloom_by_col.get(col)

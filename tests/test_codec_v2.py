@@ -546,3 +546,93 @@ def test_row_group_splits_with_hive_partitions_and_columnless_count(spark, tmp_p
     assert df.count() == 20000
     per = {r["pk"]: r["n"] for r in df.groupBy("pk").agg(F.count("*").alias("n")).collect()}
     assert per == {0: 10000, 1: 10000}
+
+
+def test_dvs_recorded_for_low_ndv_only(tmp_path):
+    """utf8 columns with <= DVS_MAX distinct short values record the exact
+    value set; high-NDV and long-valued columns do not."""
+    p = str(tmp_path / "dvs.scbf")
+    t = pa.table(
+        {
+            "cat": pa.array(["red", "blue", "red", None, "green"] * 20),
+            "uid": pa.array([f"user_{i:05d}" for i in range(100)]),
+            "long": pa.array((["x" * 200] * 100)),
+        }
+    )
+    codec_v2.write_arrow_table(p, t)
+    meta = codec_v2.read_meta(p)
+    by = {c["name"]: c for c in meta["columns"]}
+    assert by["cat"]["dvs"] == ["blue", "green", "red"]  # sorted, nulls excluded
+    assert "dvs" not in by["uid"]  # 100 distinct > DVS_MAX
+    assert "dvs" not in by["long"]  # value longer than MAX_STAT_STR
+
+
+def test_dvs_prunes_group_minmax_cannot(tmp_path):
+    """A probe INSIDE a group's [min, max] range but absent from its distinct
+    set: min/max keeps the group, the dvs proves it away. Skip is proven by
+    corrupting the pruned group's data bytes — the filtered read must still
+    succeed (blocks never touched)."""
+    from pyspark.sql.datasource import EqualTo
+
+    p = str(tmp_path / "dvs_groups.scbf")
+    # group 0: alpha..delta (range spans 'beta'); group 1: actually has beta
+    g0 = ["alpha", "delta"] * 50
+    g1 = ["beta", "zeta"] * 50
+    t = pa.table({"cat": pa.array(g0 + g1), "v": pa.array(list(range(200)), type=pa.int64())})
+    codec_v2.write_arrow_table(p, t, rows_per_group=100)
+    meta = codec_v2.read_meta(p)
+    gcols = [dict((c["name"], c) for c in g["columns"]) for g in meta["row_groups"]]
+    assert gcols[0]["cat"]["dvs"] == ["alpha", "delta"]
+    # sanity: the probe is inside group 0's min/max range
+    assert gcols[0]["cat"]["stats"]["min"] < "beta" < gcols[0]["cat"]["stats"]["max"]
+    assert not codec_v2._stats_may_match(
+        meta["row_groups"][0]["columns"], 100, [EqualTo(("cat",), "beta")]
+    )
+    # corrupt group 0's data region; the pruned read must never touch it
+    refs = [codec_v2.BlockRef.from_json(b) for b in gcols[0]["cat"]["blocks"].values()]
+    with open(p, "r+b") as f:
+        for r in refs:
+            f.seek(r.offset)
+            f.write(b"\xff" * min(8, r.comp))
+    got = codec_v2.read_arrow_table(p, filters=[EqualTo(("cat",), "beta")])
+    assert got.num_rows == 100 and set(got.column("cat").to_pylist()) == {"beta", "zeta"}
+
+
+def test_dvs_exact_where_bloom_false_positive(tmp_path):
+    """Hunt a Bloom false positive among absent probes: the probabilistic
+    filter says may-contain, the exact distinct-value set still prunes."""
+    from pyspark.sql.datasource import EqualTo
+
+    p = str(tmp_path / "dvs_vs_bloom.scbf")
+    t = pa.table({"cat": pa.array(["only_a", "only_b"] * 50)})
+    codec_v2.write_arrow_table(p, t, bloom_columns=["cat"])
+    meta = codec_v2.read_meta(p)
+    cm = meta["columns"][0]
+    fp = next(
+        (
+            f"probe_{i}"
+            for i in range(200_000)
+            if codec_v2.bloom_contains(cm["bloom"], f"probe_{i}", "utf8")
+        ),
+        None,
+    )
+    if fp is None:
+        pytest.skip("no bloom false positive found in 200k probes (tiny filter)")
+    # bloom alone would keep the file; dvs proves it away
+    assert not codec_v2._stats_may_match(meta["columns"], 100, [EqualTo(("cat",), fp)])
+
+
+def test_dvs_in_filter_and_merged_file_level(tmp_path):
+    """IN pruning via dvs, and the merged file-level entry carries the union
+    of per-group sets."""
+    from pyspark.sql.datasource import In
+
+    p = str(tmp_path / "dvs_in.scbf")
+    t = pa.table({"cat": pa.array(["aa", "bb"] * 50 + ["cc", "dd"] * 50)})
+    codec_v2.write_arrow_table(p, t, rows_per_group=100)
+    meta = codec_v2.read_meta(p)
+    assert meta["columns"][0]["dvs"] == ["aa", "bb", "cc", "dd"]  # file-level union
+    assert not codec_v2.file_may_match(meta, [In(("cat",), ("xx", "yy"))])
+    assert codec_v2.file_may_match(meta, [In(("cat",), ("xx", "cc"))])
+    # mixed-type probe list must NOT prune (unpushable shape, stay safe)
+    assert codec_v2.file_may_match(meta, [In(("cat",), (b"zz", 5))])
