@@ -22,6 +22,8 @@ Scale design (the point — these must work at 100 TB):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_NUM_HASHES = 64
@@ -174,6 +176,44 @@ def gram_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
                 ),
             )
         ).alias("grams"),
+    )
+
+
+def chunk_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, [keep_cols...], chunks) with the normalized text split into
+    consecutive fixed-``chunk_words``-word chunks (space-joined strings, the
+    last chunk possibly shorter) — the unit for PARAGRAPH-level dedup
+    (RefinedWeb-style: a doc's quality signal is what fraction of its
+    passages also appear in other docs). Chunks keep their positions and are
+    NOT deduplicated per doc: a doc repeating its own boilerplate contributes
+    each occurrence to the fraction.
+
+    Same staging discipline as ``gram_table`` (words materialized before the
+    ``transform`` lambda references them — the re-inlining pathology), same
+    empty-doc scan filter, same parallelism widening."""
+    df = df.filter(F.trim(F.col(text_col)) != "")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    w = df.select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    n = chunk_words
+    return w.select(
+        "id",
+        *keep_cols,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / n).cast("bigint")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * n + 1, n)),
+        ).alias("chunks"),
     )
 
 

@@ -1,0 +1,281 @@
+"""Corpus-curation query catalog (round-5 additions): passage-level dedup
+signals, boilerplate detection, tokenizer induction, embedding quantization
+calibration, and contrastive hard-negative mining — the operations a
+training-data pipeline runs between raw crawl and training batches, beyond
+the document-level dedup/similarity tier in ``llm_ops``.
+
+Every query here is DuckDB-oracled; the hash-free designs make the oracles
+plain relational SQL (no md5 replay needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine, lit_vector
+from ..operators import dedup
+from .llm_ops import _NORM_SQL, _cos_sql, _docs_spread, _emb_spread
+from .registry import query
+from .tables import load
+
+_CHUNK_WORDS = 10
+
+
+@query(
+    "q_paragraph_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm),
+    ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(w)-1)/{_CHUNK_WORDS}) AS BIGINT)),
+               i -> array_to_string(w[i*{_CHUNK_WORDS}+1:i*{_CHUNK_WORDS}+{_CHUNK_WORDS}], ' '))) AS chunk
+      FROM w
+    ),
+    freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+    per_doc AS (
+      SELECT ch.doc_id, ch.source,
+             AVG(CASE WHEN f.df >= 2 THEN 1.0 ELSE 0.0 END) AS dup_frac
+      FROM ch JOIN freq f USING (chunk) GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           floor(AVG(dup_frac)*1e4+0.5)/1e4 AS avg_dup_frac,
+           SUM(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS n_boilerplate_docs
+    FROM per_doc GROUP BY source
+    """,
+    doc="PARAGRAPH-level dedup signal (RefinedWeb-style): docs split into "
+    f"{_CHUNK_WORDS}-word passages; a passage is duplicated when it appears "
+    "in ≥2 distinct docs; per-source report of the average duplicated-"
+    "passage fraction and the count of boilerplate-heavy docs (>50% "
+    "duplicated). Scale shape: passages shuffle once on their text for the "
+    "corpus-wide frequency count (partial+final hash agg), rejoin the "
+    "passage stream co-partitioned on the same key, then two tiny rollups — "
+    "document bodies never travel, only passage strings.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    ch = (
+        dedup.chunk_table(
+            docs, "text", "doc_id", chunk_words=_CHUNK_WORDS, keep_cols=["source"]
+        )
+        .select("id", "source", F.explode("chunks").alias("chunk"))
+        # feeds BOTH the frequency aggregate and the rejoin stream — persist
+        # so normalize+split+chunk runs once, not twice (caller/harness owns
+        # cache lifecycle, same policy as the minhash shingle table). The
+        # frequency side stays a groupBy (partial+final agg), NOT a window
+        # over chunk: a boilerplate chunk in 10^9 docs would pin a window
+        # partition to one task, while partial aggregation combines map-side.
+        .persist()
+    )
+    freq = ch.groupBy("chunk").agg(F.countDistinct("id").alias("df"))
+    per_doc = (
+        ch.join(freq, "chunk")
+        .groupBy("id", "source")
+        .agg(F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)).alias("dup_frac"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.avg("dup_frac") * 1e4 + 0.5) / 1e4).alias("avg_dup_frac"),
+        F.sum(F.when(F.col("dup_frac") >= 0.5, 1).otherwise(0)).alias("n_boilerplate_docs"),
+    )
+
+
+_BOILER_MIN_DF = 3
+_BOILER_TOPK = 20
+
+
+@query(
+    "q_boilerplate_ngrams",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''),
+    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - 1, 1)),
+          i -> array_to_string(w[i:i+1], ' ')))) AS gram
+      FROM w
+    )
+    SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
+    HAVING COUNT(*) >= {_BOILER_MIN_DF}
+    ORDER BY doc_freq DESC, gram LIMIT {_BOILER_TOPK}
+    """,
+    doc="corpus-wide boilerplate n-gram detection: word bigrams ranked by "
+    "DOCUMENT frequency (distinct grams per doc, so a doc repeating a "
+    "phrase counts once) — the candidate list for template/boilerplate "
+    "stripping. One shuffle on the gram (partial+final count), top-k is "
+    "TakeOrderedAndProject; reuses the dedup tier's gram_table staging so "
+    "the normalize+split work is never re-inlined per gram.",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    g = dedup.gram_table(docs, "text", "doc_id", k=2).select(
+        F.explode("grams").alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= _BOILER_MIN_DF)
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(_BOILER_TOPK)
+    )
+
+
+_BPE_TOPK = 20
+
+
+@query(
+    "q_bpe_top_pairs",
+    f"""
+    WITH norm AS (SELECT {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''),
+    wd AS (SELECT unnest(string_split(t, ' ')) AS w FROM norm),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, length(w)-1),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM wd WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+    """,
+    doc="tokenizer induction, step one: the first BPE merge iteration — "
+    "count adjacent character pairs inside words across the corpus and "
+    "rank the merge candidates. (A full BPE trainer iterates this count "
+    "with the previous winner merged; each iteration is exactly this "
+    "aggregate.) The pair table is 2-char strings — the shuffle is a "
+    "fixed-size alphabet², independent of corpus size after partial "
+    "aggregation; pair extraction is a codegen'd transform, no UDF.",
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    wd = docs.filter(F.trim(F.col("text")) != "").select(
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("w")
+    )
+    pairs = (
+        wd.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+@query(
+    "q_embedding_quant_calib",
+    """
+    WITH d AS (
+      SELECT unnest(list_transform(range(1, len(embedding)+1),
+                    i -> {'dim': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+      FROM embeddings
+    )
+    SELECT CAST(u.dim AS INT) AS dim,
+           floor(MIN(u.val)*1e6+0.5)/1e6 AS lo,
+           floor(MAX(u.val)*1e6+0.5)/1e6 AS hi,
+           floor((MAX(u.val)-MIN(u.val))/255*1e6+0.5)/1e6 AS scale
+    FROM d GROUP BY u.dim ORDER BY dim
+    """,
+    doc="int8 quantization calibration for embedding serving: per-dimension "
+    "min/max over the corpus and the resulting affine scale ((hi-lo)/255) — "
+    "the stats an IVF/PQ index build precomputes before quantizing vectors. "
+    "posexplode fans each vector into (dim, value) rows; the aggregate is "
+    "partial+final min/max per dim, so the shuffle carries at most "
+    "n_partitions × dim rows regardless of corpus size.",
+)
+def q_embedding_quant_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    d = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), F.col("v").cast("double").alias("val")
+    )
+    return (
+        d.groupBy("dim")
+        .agg(
+            (F.floor(F.min("val") * 1e6 + 0.5) / 1e6).alias("lo"),
+            (F.floor(F.max("val") * 1e6 + 0.5) / 1e6).alias("hi"),
+            (F.floor((F.max("val") - F.min("val")) / 255 * 1e6 + 0.5) / 1e6).alias("scale"),
+        )
+        .orderBy("dim")
+    )
+
+
+_HN_PROBES = 4
+_HN_K = 3
+
+
+@query(
+    "q_hard_negatives",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS qv, label AS plabel
+      FROM embeddings WHERE vec_id < {_HN_PROBES}
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id, e.label,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_cos_sql('e.embedding', 'p.qv')} DESC, e.vec_id) AS rn,
+             floor({_cos_sql('e.embedding', 'p.qv')}*1e4+0.5)/1e4 AS cos_sim
+      FROM probes p CROSS JOIN embeddings e WHERE e.label <> p.plabel
+    )
+    SELECT probe_id, vec_id, label, cos_sim FROM scored WHERE rn <= {_HN_K}
+    """,
+    doc="contrastive hard-negative mining: for each probe vector, the top-3 "
+    "most cosine-similar vectors with a DIFFERENT label — the negatives "
+    "that teach an embedding model the most. The probe set rides the scan "
+    "as a literal struct array (explode, not a join — no BNLJ/cartesian "
+    "ever planned); per-probe top-k is a bounded window. The driver-side "
+    f"probe collect is {_HN_PROBES} rows — the same bounded-and-justified "
+    "category as the IVF probe set.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    probes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _HN_PROBES)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    probe_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("probe_id"),
+                F.lit(int(r["label"])).alias("plabel"),
+                lit_vector(r["embedding"]).alias("qv"),
+            )
+            for r in probes
+        ]
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding", F.explode(probe_arr).alias("p"))
+        .filter(F.col("label") != F.col("p.plabel"))
+        .select(
+            F.col("p.probe_id").alias("probe_id"),
+            "vec_id",
+            "label",
+            # rank on the RAW cosine (the oracle's ORDER BY does too — ranking
+            # on the rounded value could pick different rows at a rounding
+            # tie), emit the floor-rounded value (cross-engine half-case safe)
+            cosine(F.col("embedding"), F.col("p.qv")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
+        )
+    )

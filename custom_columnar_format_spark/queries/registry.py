@@ -38,7 +38,15 @@ def query(name: str, sql: Optional[str], doc: str = ""):
 
 def _load_modules() -> None:
     # Import for side effect of @query registration.
-    from . import analytics, extras, llm_ops, relational, streaming_queries, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        corpus_ops,
+        extras,
+        llm_ops,
+        relational,
+        streaming_queries,
+        tpch,
+    )
 
 
 def all_queries() -> Dict[str, QueryDef]:

@@ -102,3 +102,25 @@ def test_incremental_dedup(spark):
     )
     out = sorted(r["doc_id"] for r in dedup.incremental_dedup(new, hist).collect())
     assert out == [11, 13]
+
+
+def test_chunk_table_shapes(spark):
+    """Fixed-word chunking: exact multiples, ragged tails, short docs, and
+    the keep_cols passthrough."""
+    from custom_columnar_format_spark.operators.dedup import chunk_table
+
+    rows = [
+        (1, "a b c d e f", "s1"),        # 6 words / 3 -> 2 full chunks
+        (2, "a b c d e f g", "s1"),      # 7 words -> 2 full + 1-word tail
+        (3, "solo", "s2"),               # shorter than a chunk -> 1 chunk
+        (4, "   ", "s2"),                # whitespace-only -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["id"]: (r["chunks"], r["source"])
+        for r in chunk_table(df, "text", "doc_id", chunk_words=3, keep_cols=["source"]).collect()
+    }
+    assert got[1] == (["a b c", "d e f"], "s1")
+    assert got[2] == (["a b c", "d e f", "g"], "s1")
+    assert got[3] == (["solo"], "s2")
+    assert 4 not in got
