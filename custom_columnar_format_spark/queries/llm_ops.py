@@ -434,6 +434,162 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4, centroids=cent)
 
 
+def _pq_oracle_sql(k: int = 10, n_sub: int = 8, ksub: int = 16, sub_dim: int = 8) -> str:
+    """Replay of pq_adc_topk with seed-vector codebooks (subspace m's
+    codeword j = dims [m·sub_dim+1 .. (m+1)·sub_dim] of vec_id=j's raw
+    embedding): assign each vector's subspace to its min-L2 codeword (ties →
+    smaller codeword id, matching array_position's first-match), build the
+    query-to-codeword lookup table, approximate distance = ordered sum of
+    the M looked-up entries (list_sum over list(... ORDER BY m) = the same
+    left-fold in subspace order as the engine's chained adds)."""
+
+    def sub_d2(vec: str, m: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub_dim} + 1), "
+            f"i -> (CAST({vec}[{m}*{sub_dim}+i] AS DOUBLE) - CAST(c.cv[{m}*{sub_dim}+i] AS DOUBLE))"
+            f" * (CAST({vec}[{m}*{sub_dim}+i] AS DOUBLE) - CAST(c.cv[{m}*{sub_dim}+i] AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH cw AS (SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < {ksub}),
+    sub AS (SELECT unnest(range(0, {n_sub})) AS m),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    a AS (
+      SELECT e.vec_id, sub.m, c.j, {sub_d2('e.embedding', 'sub.m')} AS d2
+      FROM embeddings e CROSS JOIN cw c CROSS JOIN sub
+    ),
+    codes AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM a
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.m, c.j, {sub_d2('q.qv', 'sub.m')} AS d2
+      FROM cw c CROSS JOIN sub CROSS JOIN q
+    ),
+    dist AS (
+      SELECT codes.vec_id, list_sum(list(lut.d2 ORDER BY codes.m)) AS d
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.j = lut.j
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, floor(d*1e4+0.5)/1e4 AS pq_dist FROM dist
+    ORDER BY d ASC, vec_id LIMIT {k}
+    """
+
+
+def _ivf_pq_oracle_sql(
+    k: int = 10, nlist: int = 16, nprobe: int = 4, n_sub: int = 8, ksub: int = 16, sub_dim: int = 8
+) -> str:
+    """Replay of ivf_pq_topk: the _ivf_oracle_sql probe/assignment CTEs
+    restrict the candidate set, then the _pq_oracle_sql code/LUT/distance
+    CTEs rank it — both quantizers are seed vectors, so the whole composed
+    index is deterministic cosine/L2 math either engine replays."""
+
+    def sub_d2(vec: str, m: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub_dim} + 1), "
+            f"i -> (CAST({vec}[{m}*{sub_dim}+i] AS DOUBLE) - CAST(c.cv[{m}*{sub_dim}+i] AS DOUBLE))"
+            f" * (CAST({vec}[{m}*{sub_dim}+i] AS DOUBLE) - CAST(c.cv[{m}*{sub_dim}+i] AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent c, q ORDER BY {_cos_sql('c.cv', 'qv')} DESC, cid LIMIT {nprobe}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM a JOIN probe USING (cid) WHERE rn = 1
+    ),
+    cw AS (SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < {ksub}),
+    sub AS (SELECT unnest(range(0, {n_sub})) AS m),
+    asn AS (
+      SELECT e.vec_id, sub.m, c.j, {sub_d2('e.embedding', 'sub.m')} AS d2
+      FROM cand e CROSS JOIN cw c CROSS JOIN sub
+    ),
+    codes AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM asn
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.m, c.j, {sub_d2('q.qv', 'sub.m')} AS d2
+      FROM cw c CROSS JOIN sub CROSS JOIN q
+    ),
+    dist AS (
+      SELECT codes.vec_id, list_sum(list(lut.d2 ORDER BY codes.m)) AS d
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.j = lut.j
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, floor(d*1e4+0.5)/1e4 AS pq_dist FROM dist
+    ORDER BY d ASC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "q_sim_ivf_pq_topk",
+    # fully value-checked: both quantizer levels are seed vectors (coarse =
+    # normalized vec_id<16 cosine argmax; fine = raw vec_id<16 subvector
+    # L2 argmin), so the composed index replays as pure SQL; k-means
+    # training for both levels is covered by the unit recall tests
+    _ivf_pq_oracle_sql(),
+    doc="composed IVF-PQ approximate top-10 — probe the query's 4 nearest "
+    "inverted lists (directory pruning on a partitioned corpus), rank "
+    "members by PQ/ADC distance (M-byte codes + a literal lookup table "
+    "instead of full-width vectors). Per-query I/O at scale ≈ "
+    "nprobe/nlist × M/(4·dim) of the corpus — the standard billion-scale "
+    "ANN serving layout.",
+)
+def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    raw = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
+    books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
+    return similarity.ivf_pq_topk(emb, seeds[0], cent, books, k=10, nprobe=4)
+
+
+@query(
+    "q_sim_pq_adc_topk",
+    # fully value-checked: seed-vector codebooks (raw subvectors of
+    # vec_id < 16) make assignment + the ADC table pure deterministic L2
+    # math both engines replay in subspace order; k-means-trained codebooks
+    # (pq_train) are covered by the recall/roundtrip unit tests
+    _pq_oracle_sql(),
+    doc="product-quantization ADC top-10: vectors compressed to 8 one-byte "
+    "subspace codes, ranked by the sum of driver-precomputed query-to-"
+    "codeword distances (asymmetric distance). The 100 TB memory-bound ANN "
+    "tier — the scan reads M-byte code arrays instead of 4·dim-byte "
+    "vectors, distance is M element_at lookups + adds in codegen; compose "
+    "with IVF probing for the standard IVF-PQ index.",
+)
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    cw = np.stack([np.asarray(seeds[j], dtype=np.float64) for j in sorted(seeds)])
+    # (n_sub, ksub, sub_dim): codeword j of subspace m = vec j's m-th slice
+    books = np.stack([cw[:, m * 8 : (m + 1) * 8] for m in range(8)])
+    return similarity.pq_adc_topk(emb, seeds[0], books, k=10)
+
+
 @query(
     "q_embedding_norms",
     """

@@ -162,3 +162,76 @@ def test_group_centroids(spark):
     )
     rows = {(r["label"], r["pos"]): r["centroid_val"] for r in group_centroids(df).collect()}
     assert rows == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+def test_pq_train_shapes_and_determinism(vecs):
+    books1 = similarity.pq_train(vecs, n_subspaces=4, ksub=8, seed=3)
+    books2 = similarity.pq_train(vecs, n_subspaces=4, ksub=8, seed=3)
+    assert books1.shape == (4, 8, DIM // 4)
+    assert np.array_equal(books1, books2)
+    with pytest.raises(ValueError):
+        similarity.pq_train(vecs, n_subspaces=5)
+
+
+def test_pq_codes_exact_on_codewords(spark, vecs):
+    """A vector that IS codeword j in every subspace must encode to code j+1
+    (1-based) everywhere, and its ADC distance to itself as the query must
+    be ~the quantization floor (0 when query == its own reconstruction)."""
+    books = similarity.pq_train(vecs, n_subspaces=4, ksub=8, seed=3)
+    # synthesize a vector from codeword 2 of each subspace
+    v = np.concatenate([books[m][2] for m in range(4)])
+    df = spark.createDataFrame([(0, [float(x) for x in v])], "vec_id: long, embedding: array<double>")
+    codes = df.select(similarity.pq_codes_col(books).alias("c")).first()["c"]
+    assert codes == [3, 3, 3, 3]
+    got = similarity.pq_adc_topk(df, v, books, k=1).first()
+    assert got["vec_id"] == 0 and got["pq_dist"] == 0.0
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """On cluster-structured data (where PQ's codebooks capture the
+    geometry), ADC top-10 must recover most of the exact L2 top-10."""
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, DIM)) * 5
+    x = np.stack([centers[i % 8] + 0.3 * rng.standard_normal(DIM) for i in range(N)])
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(N)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    books = similarity.pq_train(x, n_subspaces=4, ksub=16, seed=5)
+    q = x[0].astype(np.float32).astype(np.float64)
+    approx = [r["vec_id"] for r in similarity.pq_adc_topk(df, q, books, k=10).collect()]
+    x32 = x.astype(np.float32).astype(np.float64)
+    exact = sorted(range(N), key=lambda i: (float(((x32[i] - q) ** 2).sum()), i))[:10]
+    assert len(set(approx) & set(exact)) >= 6
+    assert approx[0] == 0  # the query itself must rank first
+
+
+def test_ivf_pq_topk_composes(spark):
+    """IVF-PQ: candidates outside the probed lists must never appear, the
+    query's own cluster must be probed, and recall vs exact L2 stays high
+    on cluster-structured data."""
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((6, DIM)) * 5
+    x = np.stack([centers[i % 6] + 0.3 * rng.standard_normal(DIM) for i in range(N)])
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(N)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = similarity._spherical_kmeans(x.copy(), 6, seed=9)
+    # 8 subspaces of 2 dims, 16 codewords each — fine enough quantization
+    # that ADC ranking tracks exact L2 on this cluster structure
+    books = similarity.pq_train(x, n_subspaces=8, ksub=16, seed=9)
+    q = x[0].astype(np.float32).astype(np.float64)
+
+    got = [r["vec_id"] for r in similarity.ivf_pq_topk(df, q, cent, books, k=10, nprobe=2).collect()]
+    assert got[0] == 0  # the query vector itself survives both quantizers
+    x32 = x.astype(np.float32).astype(np.float64)
+    exact = sorted(range(N), key=lambda i: (float(((x32[i] - q) ** 2).sum()), i))[:10]
+    assert len(set(got) & set(exact)) >= 6
+
+    # nprobe=0-adjacent sanity: with all lists probed the result equals plain ADC
+    all_probe = similarity.ivf_pq_topk(df, q, cent, books, k=10, nprobe=6)
+    plain = similarity.pq_adc_topk(df, q, books, k=10)
+    assert [r["vec_id"] for r in all_probe.collect()] == [r["vec_id"] for r in plain.collect()]
