@@ -765,3 +765,91 @@ def incremental_dedup(
         .join(hist_d, "content_hash", "left_anti")  # vs history
     )
     return survivors.select(id_col, "content_hash")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """WORD-ALIGNED containment pairs: (id_inner, id_outer) where the inner
+    doc's normalized word sequence occurs contiguously inside the outer
+    doc's — the quote/mirror/page-of-site duplication exact dedup misses
+    (texts differ) and MinHash underweights (Jaccard penalizes the length
+    gap). Word alignment (verified as ``instr(' '+t_out+' ', ' '+t_in+' ')``
+    over single-space-normalized text) is what makes gram blocking EXACT:
+    a char-level substring can start mid-word, which no word-gram of the
+    container would witness.
+
+    Scale shape — never all-pairs, and no silent false negatives (the r3
+    lesson):
+    1. word ``k``-gram postings per doc (``gram_table``, distinct per doc)
+       plus corpus-wide doc-frequency per gram (one partial+final agg);
+    2. inner docs with ≥ ``k`` words block on their RAREST gram (min df,
+       gram tiebreak): containment implies EVERY inner k-gram appears among
+       the outer's k-grams, so the rarest-gram join is exhaustive while
+       generating the fewest candidates any single-gram block can;
+    3. inner docs with < ``k`` words (whose whole-text gram can never equal
+       a k-gram) block on their FIRST WORD against unigram postings —
+       exhaustive under word alignment, and the short-doc side is a
+       vanishing fraction of a real corpus;
+    4. the unioned candidates rejoin the normalized texts co-partitioned on
+       doc id (``shuffle_hash``-pinned — the text sides are corpus-scale
+       and must never broadcast on bad stats) and verify with one padded
+       ``instr``.
+
+    Equal-text docs are mutual containments and appear in both directions,
+    matching the SQL definition."""
+    from pyspark.sql.window import Window
+
+    norm = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+    )
+    nwords = F.size(F.split(F.col("t"), " "))
+
+    g = gram_table(df, text_col, id_col, k).select("id", F.explode("grams").alias("gram"))
+    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "gram")
+    long_ids = norm.filter(nwords >= k).select("id")
+    # every gram-keyed join below pairs two corpus-scale tables (postings,
+    # df counts, block grams) — shuffle_hash-pinned so a bad size estimate
+    # can never broadcast a corpus side (the fleet-wide join policy)
+    blk = (
+        g.join(long_ids.hint("shuffle_hash"), "id", "left_semi")
+        .hint("shuffle_hash")
+        .join(gdf.hint("shuffle_hash"), "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("id_inner"), "gram")
+    )
+    cand_long = (
+        blk.hint("shuffle_hash")
+        .join(g.select(F.col("id").alias("id_outer"), "gram").hint("shuffle_hash"), "gram")
+        .filter(F.col("id_inner") != F.col("id_outer"))
+        .select("id_inner", "id_outer")
+    )
+
+    uni = gram_table(df, text_col, id_col, k=1).select(
+        F.col("id").alias("id_outer"), F.explode("grams").alias("word")
+    )
+    short_blk = norm.filter(nwords < k).select(
+        F.col("id").alias("id_inner"), F.element_at(F.split(F.col("t"), " "), 1).alias("word")
+    )
+    cand_short = (
+        short_blk.hint("shuffle_hash")
+        .join(uni.hint("shuffle_hash"), "word")
+        .filter(F.col("id_inner") != F.col("id_outer"))
+        .select("id_inner", "id_outer")
+    )
+
+    cand = cand_long.unionByName(cand_short)
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(norm.select(F.col("id").alias("id_inner"), F.col("t").alias("t_in")), "id_inner")
+        .hint("shuffle_hash")
+        .join(norm.select(F.col("id").alias("id_outer"), F.col("t").alias("t_out")), "id_outer")
+        .filter(F.instr(pad(F.col("t_out")), pad(F.col("t_in"))) > 0)
+    )
+    return verified.select("id_inner", "id_outer")

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import cosine, lit_vector
 from ..operators import dedup
-from .llm_ops import _NORM_SQL, _cos_sql, _docs_spread, _emb_spread
+from .llm_ops import _NORM_SQL, _cos_sql, _docs_spread, _emb_spread, _hexparse_sql
 from .registry import query
 from .tables import load
 
@@ -74,7 +74,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = ch.groupBy("chunk").agg(F.countDistinct("id").alias("df"))
     per_doc = (
-        ch.join(freq, "chunk")
+        # chunk-keyed rejoin of two corpus-scale tables — shuffle_hash-pinned
+        # so a bad estimate for the aggregated freq side can never broadcast
+        # it (fleet-wide join policy; freq is O(distinct passages))
+        ch.hint("shuffle_hash")
+        .join(freq.hint("shuffle_hash"), "chunk")
         .groupBy("id", "source")
         .agg(F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)).alias("dup_frac"))
     )
@@ -279,3 +283,152 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
         )
     )
+
+
+_OVERLAP_TOPK = 15
+
+
+@query(
+    "q_source_overlap",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm),
+    ch AS (
+      SELECT source,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(w)-1)/{_CHUNK_WORDS}) AS BIGINT)),
+               i -> array_to_string(w[i*{_CHUNK_WORDS}+1:i*{_CHUNK_WORDS}+{_CHUNK_WORDS}], ' '))) AS chunk
+      FROM w
+    ),
+    d AS (SELECT DISTINCT chunk, source FROM ch)
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_passages
+    FROM d a JOIN d b ON a.chunk = b.chunk AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY n_shared_passages DESC, source_a, source_b LIMIT {_OVERLAP_TOPK}
+    """,
+    doc="cross-source contamination matrix: for each pair of sources, how "
+    f"many distinct {_CHUNK_WORDS}-word passages they share — the signal "
+    "that tells a curation pipeline which crawls/datasets overlap before "
+    "mixing them. Scale shape: (passage, source) is distinct-ed in one "
+    "hash aggregate, the self-join is co-partitioned on the passage key "
+    "(never on documents), and the pair matrix is at most |sources|² rows. "
+    "Document-level exact-digest overlap is the degenerate chunk_words=∞ "
+    "case of the same plan.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    d = (
+        dedup.chunk_table(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS, keep_cols=["source"])
+        .select("source", F.explode("chunks").alias("chunk"))
+        .distinct()
+    )
+    a = d.select(F.col("chunk"), F.col("source").alias("source_a"))
+    b = d.select(F.col("chunk"), F.col("source").alias("source_b"))
+    return (
+        # passage-keyed self-join of a corpus-scale table: shuffle_hash-pinned
+        # per the fleet-wide never-broadcast-corpus-sides policy
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "chunk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+        .orderBy(F.desc("n_shared_passages"), "source_a", "source_b")
+        .limit(_OVERLAP_TOPK)
+    )
+
+
+@query(
+    "q_train_val_test_split",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    b AS (
+      SELECT source, len(string_split(t, ' ')) AS n_tokens,
+             {_hexparse_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)} % 100 AS bucket
+      FROM norm
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+    doc="deterministic train/val/test assignment (80/10/10) by hashing the "
+    "document id — md5-prefix arithmetic, so the SAME doc lands in the SAME "
+    "split on every engine, every run, and every re-shard of the corpus "
+    "(the property random() splits lose); per-source×split doc and token "
+    "budgets as the report. One scan, one partial+final aggregate, output "
+    "bounded at |sources|×3.",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    b = docs.select(
+        "source",
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")).alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    return (
+        b.withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train").when(F.col("bucket") < 90, "val").otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+_CONT_K = 5
+
+
+@query(
+    "q_containment_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - {_CONT_K - 1}, 1)),
+          i -> array_to_string(w[i:i+{_CONT_K - 1}], ' ')))) AS gram
+      FROM w
+    ),
+    gdf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    blk AS (
+      SELECT doc_id AS id_inner, gram FROM (
+        SELECT g.doc_id, g.gram,
+               ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY gdf.df, g.gram) AS rn
+        FROM g JOIN gdf USING (gram)
+        WHERE g.doc_id IN (SELECT doc_id FROM w WHERE len(w) >= {_CONT_K})
+      ) WHERE rn = 1
+    ),
+    uni AS (SELECT doc_id, unnest(list_distinct(w)) AS word FROM w),
+    cand AS (
+      SELECT b.id_inner, p.doc_id AS id_outer
+      FROM blk b JOIN g p ON b.gram = p.gram AND b.id_inner <> p.doc_id
+      UNION
+      SELECT s.doc_id AS id_inner, u.doc_id AS id_outer
+      FROM w s JOIN uni u ON u.word = s.w[1] AND s.doc_id <> u.doc_id
+      WHERE len(s.w) < {_CONT_K}
+    )
+    SELECT c.id_inner, c.id_outer
+    FROM cand c
+    JOIN norm a ON a.doc_id = c.id_inner
+    JOIN norm b ON b.doc_id = c.id_outer
+    WHERE strpos(' ' || b.t || ' ', ' ' || a.t || ' ') > 0
+    """,
+    doc="word-aligned containment dedup: pairs where one doc's normalized "
+    "word sequence occurs contiguously inside another's (quotes, mirrors, "
+    "page-of-site dups) — rarest-gram blocking for docs with ≥k words "
+    "(containment implies every inner k-gram appears in the container, so "
+    "the min-df gram join is exhaustive with the fewest candidates), "
+    "first-word unigram blocking for shorter docs, one padded-instr "
+    "verification over co-partitioned, shuffle_hash-pinned text joins; "
+    "never all-pairs.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs_spread(spark, sf_dir), "text", "doc_id", k=_CONT_K)

@@ -124,3 +124,23 @@ def test_chunk_table_shapes(spark):
     assert got[2] == (["a b c", "d e f", "g"], "s1")
     assert got[3] == (["solo"], "s2")
     assert 4 not in got
+
+
+def test_containment_pairs(spark):
+    """Rarest-gram blocking must find every true containment: planted
+    substring docs (including one shorter than k words), no false pairs."""
+    from custom_columnar_format_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "XX alpha beta gamma delta epsilon zeta eta theta YY"),  # contains 1
+        (3, "beta gamma delta"),                                     # < k words, inside 1 and 2
+        (4, "totally unrelated words about something else entirely"),
+        (5, "Alpha, BETA gamma; delta epsilon zeta eta THETA"),      # normalizes equal to 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "text", "doc_id", k=5).collect()
+    }
+    assert got == {(1, 2), (3, 1), (3, 2), (3, 5), (1, 5), (5, 1), (5, 2)}
