@@ -136,3 +136,49 @@ def interpolate_linear(
         F.round(interp, 6).alias("value_interp"),
         F.when(F.col("rev").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    window: int = 7,
+) -> DataFrame:
+    """Windowed exponentially-weighted moving average per key: over the last
+    ``window`` rows (frame order = ``order_col``), weight of the i-th oldest
+    value is ``(1-alpha)^(n-i)``, normalized by the weight sum — the standard
+    finite-horizon EWMA smoother (an infinite-horizon EWMA is inherently
+    sequential; the truncated form is what distributes, and the dropped tail
+    mass is ``(1-alpha)^window`` ≈ 0.8% at the defaults).
+
+    Shape: ONE window shuffle on the key to materialize the frame as an
+    array (``collect_list`` over a rows frame — bounded at ``window``
+    elements), then the weighted fold is codegen'd array math in frame
+    order, bit-replayable by an ordered ``list_sum`` oracle. Adds column
+    ``{value_col}_ewma``; frames shorter than ``window`` (series head)
+    renormalize over what exists, pandas ``ewm(adjust=True)``-style."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    decay = float(1.0 - alpha)
+    out = df.withColumn("_frame", F.collect_list(F.col(value_col).cast("double")).over(w))
+    n = F.size("_frame")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("_frame"),
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.pow(F.lit(decay), (n - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn(f"{value_col}_ewma", num / den).drop("_frame")

@@ -685,3 +685,146 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+@query(
+    "q_ewma_daily_revenue",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 6) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT prio, day, rev,
+             list(rev) OVER (PARTITION BY prio ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+      FROM cells
+    )
+    SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(
+             list_sum(list_transform(range(1, len(arr)+1), i -> arr[i] * power(0.5, len(arr)-i)))
+             / list_sum(list_transform(range(1, len(arr)+1), i -> power(0.5, len(arr)-i))), 6) AS rev_ewma
+    FROM framed
+    """,
+    doc="7-day exponentially-weighted moving average of daily revenue per "
+    "order priority (alpha=0.5) — the standard monitoring smoother, as the "
+    "distributable finite-horizon EWMA: one shuffle for the daily rollup, "
+    "one bounded-frame window per key, then a codegen'd weighted fold over "
+    "the ≤7-element frame in frame order (bit-replayable by the oracle's "
+    "ordered list_sum). Daily cells are rounded BEFORE smoothing so both "
+    "engines fold identical inputs.",
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    sm = timeseries.ewma(cells, "prio", "d", "rev", alpha=0.5, window=7)
+    return sm.select(
+        "prio",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("rev_ewma", 6).alias("rev_ewma"),
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS c0 FROM acts GROUP BY 1),
+    cells AS (
+      SELECT c0, CAST(floor(date_diff('day', c0, day) / 7) AS BIGINT) AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM acts a JOIN cohort USING (user_id) GROUP BY 1, 2
+    )
+    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day, week_offset, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN n_users END) OVER (PARTITION BY c0), 6) AS pct
+    FROM cells
+    """,
+    doc="retention cohort analysis: users grouped by first-activity day, "
+    "counted in each subsequent week-offset bucket, normalized by the "
+    "cohort's week-0 size — the product-analytics staple. Day-anchored "
+    "offsets (floor(days/7)) sidestep engine week-boundary conventions. "
+    "Scale shape: one distinct on (user, day), one shuffle on user for the "
+    "cohort join (co-partitioned — both sides keyed on user_id), then the "
+    "cell aggregate and a window over the tiny (cohort × offset) grid.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    acts = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("c0"))
+    cells = (
+        acts.join(cohort, "user_id")
+        .groupBy("c0", F.floor(F.datediff("day", "c0") / 7).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    w = Window.partitionBy("c0")
+    return cells.select(
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w),
+            6,
+        ).alias("pct"),
+    )
+
+
+@query(
+    "q_cumulative_new_users",
+    """
+    WITH acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    first_day AS (SELECT user_id, MIN(day) AS d0 FROM acts GROUP BY 1),
+    news AS (SELECT d0 AS day, COUNT(*) AS new_users FROM first_day GROUP BY 1),
+    spine AS (SELECT DISTINCT day FROM acts)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(n.new_users, 0) AS new_users,
+           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM spine s LEFT JOIN news n ON s.day = n.day
+    """,
+    doc="daily new-user counts and the cumulative distinct-user curve — "
+    "exact cumulative COUNT(DISTINCT) made distributable by the first-seen "
+    "reduction: distinct users collapse to their first activity day "
+    "(groupBy min), so the running sum is over the AGGREGATED day series "
+    "(thousands of rows at any corpus size), not the event stream; the "
+    "single-partition window is over that tiny series only.",
+)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    acts = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    news = (
+        acts.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    spine = acts.select("day").distinct()
+    j = spine.join(news, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

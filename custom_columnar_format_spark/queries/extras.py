@@ -988,3 +988,86 @@ def q_scbf_compact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q_corr_matrix",
+    " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 6) AS r FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ),
+    doc="pairwise Pearson correlation matrix (upper triangle) of the four "
+    "lineitem numeric measures — ONE aggregation computing all six "
+    "coefficients in a single scan (each corr is a handful of partial-"
+    "aggregatable moments, so the shuffle carries 6×5 running sums per "
+    "partition regardless of row count), then a 6-element explode to the "
+    "tidy (col_a, col_b, r) form.",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]]
+    agg = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    items = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), F.col(f"r_{i}").alias("r")
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return agg.select(F.explode(items).alias("e")).select("e.col_a", "e.col_b", "e.r")
+
+
+@query(
+    "q_profile_numeric",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS col, COUNT({c}) AS n, COUNT(*) - COUNT({c}) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS ndv, ROUND(MIN({c}), 6) AS min_v, "
+        f"ROUND(MAX({c}), 6) AS max_v, ROUND(AVG({c}), 6) AS avg_v FROM lineitem"
+        for c in _CORR_COLS
+    ),
+    doc="single-pass numeric column profiler over lineitem: per column the "
+    "non-null count, null count, exact NDV, min/max/avg — the data-quality "
+    "summary a pipeline records before training. All four columns profile "
+    "in ONE aggregation (Spark plans multi-distinct via Expand: 4 "
+    "distinct-streams in one shuffle round, no per-column scans); at "
+    "extreme NDV swap the exact count for approx_count_distinct — the "
+    "sketch tier covers that path. Output is the tidy per-column form via "
+    "a 4-element explode.",
+)
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, c in enumerate(_CORR_COLS):
+        aggs += [
+            F.count(c).alias(f"n_{i}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{i}"),
+            F.countDistinct(c).alias(f"ndv_{i}"),
+            F.round(F.min(c), 6).alias(f"mn_{i}"),
+            F.round(F.max(c), 6).alias(f"mx_{i}"),
+            F.round(F.avg(c), 6).alias(f"av_{i}"),
+        ]
+    agg = li.agg(*aggs)
+    items = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"n_{i}").alias("n"),
+                F.col(f"nn_{i}").alias("n_null"),
+                F.col(f"ndv_{i}").alias("ndv"),
+                F.col(f"mn_{i}").cast("double").alias("min_v"),
+                F.col(f"mx_{i}").cast("double").alias("max_v"),
+                F.col(f"av_{i}").alias("avg_v"),
+            )
+            for i, c in enumerate(_CORR_COLS)
+        ]
+    )
+    return agg.select(F.explode(items).alias("e")).select(
+        "e.col", "e.n", "e.n_null", "e.ndv", "e.min_v", "e.max_v", "e.avg_v"
+    )

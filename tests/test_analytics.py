@@ -478,3 +478,33 @@ class TestCMSAbsentCandidate:
         }
         assert est["a"] >= 3
         assert est["zzz_never_seen"] == 0  # absent item: 0, not dropped/overestimated
+
+
+def test_ewma_hand_computed(spark):
+    """EWMA against hand-computed adjust=True values (alpha=0.5, window=7):
+    short frames renormalize over what exists."""
+    from custom_columnar_format_spark.operators import timeseries
+
+    rows = [("k", 1, 1.0), ("k", 2, 3.0), ("k", 3, 5.0)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    got = {
+        r["t"]: r["v_ewma"]
+        for r in timeseries.ewma(df, "key", "t", "v", alpha=0.5, window=7).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx((0.5 * 1 + 1 * 3) / 1.5)
+    assert got[3] == pytest.approx((0.25 * 1 + 0.5 * 3 + 1 * 5) / 1.75)
+
+
+def test_ewma_window_truncation(spark):
+    """Only the last `window` rows contribute: with window=2 the oldest value
+    must not affect the third point at all."""
+    from custom_columnar_format_spark.operators import timeseries
+
+    rows = [("k", 1, 100.0), ("k", 2, 2.0), ("k", 3, 4.0)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    got = {
+        r["t"]: r["v_ewma"]
+        for r in timeseries.ewma(df, "key", "t", "v", alpha=0.5, window=2).collect()
+    }
+    assert got[3] == pytest.approx((0.5 * 2 + 1 * 4) / 1.5)
