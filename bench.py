@@ -46,6 +46,11 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_entropy_quality",
     "q_pack_sequences",
+    # round 5 additions: passage-level dedup, word-aligned containment,
+    # PQ/ADC similarity — the corpus-curation heavyweights
+    "q_paragraph_dedup",
+    "q_containment_pairs",
+    "q_sim_pq_adc_topk",
 ]
 
 
