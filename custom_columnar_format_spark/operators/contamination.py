@@ -38,7 +38,11 @@ def contamination_report(
 
     ``corpus`` and ``benchmark`` must be disjoint slices (filter upstream);
     a doc present in both would trivially self-collide."""
-    corpus_grams = shingle_table(corpus, text_col, id_col, k=gram_k)
+    # persisted: consumed by BOTH the sizes projection and the exploded-hits
+    # branch, and Generate over the HOF-built shingle array re-evaluates the
+    # shingling lambda per emitted element unless it reads from cache (the
+    # gram_postings pathology in operators/dedup.py, measured 160×)
+    corpus_grams = shingle_table(corpus, text_col, id_col, k=gram_k).persist()
     bench_grams = (
         shingle_table(benchmark, text_col, id_col, k=gram_k)
         .select(F.explode("shingles").alias("gram"))

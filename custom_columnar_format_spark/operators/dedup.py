@@ -217,6 +217,79 @@ def chunk_table(
     )
 
 
+def gram_postings(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, gram) posting rows — the EXPLODED twin of ``gram_table``, built
+    explode-FIRST: the gram start indices are exploded, then each row
+    computes its own single gram (one ``concat_ws`` of k ``try_element_at``).
+
+    Why not ``gram_table(...).select(explode("grams"))``: ``Generate`` over a
+    higher-order-function-built array re-evaluates the whole array-building
+    lambda per EMITTED element (HOFs are codegen-fallback inside the
+    generate loop) — measured 160× (171 s vs 1 s for 1.1M grams at 20k
+    synthetic docs). Plain ``split()`` arrays don't hit this (codegen
+    evaluates them once); ``transform``-built arrays do. The other safe form
+    is persisting the array table before exploding — right when the array
+    table has multiple consumers (the MinHash pipeline), wasteful when the
+    postings are consumed once (this helper's callers).
+
+    Emits one row per gram OCCURRENCE (bag semantics, short docs = one
+    whole-text gram, same clamped slices as ``gram_table``); doc-frequency
+    consumers count ``countDistinct(id)``, set consumers dedupe the final
+    (small) result instead of the posting stream."""
+    df = df.filter(F.trim(F.col(text_col)) != "")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
+    )
+    return w.select(
+        "id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))).alias("_i"),
+    ).select(
+        "id",
+        F.concat_ws(
+            " ", *[F.try_element_at(F.col("w"), F.col("_i") + 1 + j) for j in range(k)]
+        ).alias("gram"),
+    )
+
+
+def chunk_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, [keep_cols...], chunk) posting rows — the exploded twin of
+    ``chunk_table``, explode-first for the same Generate-over-HOF-array
+    reason as ``gram_postings`` (chunks are ``transform``-built). One row
+    per chunk occurrence, positions preserved, NOT deduplicated per doc."""
+    df = df.filter(F.trim(F.col(text_col)) != "")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    n = chunk_words
+    w = df.select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    return w.select(
+        "id",
+        *keep_cols,
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("w") - 1) / n).cast("bigint"))
+        ).alias("_i"),
+    ).select(
+        "id",
+        *keep_cols,
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("_i") * n + 1, n)).alias("chunk"),
+    )
+
+
 def km_hash_table(grams_df: DataFrame, grams_col: str = "grams") -> DataFrame:
     """Attach Kirsch-Mitzenmacher base-hash arrays (h1, h2) to a gram table:
     ONE md5 per gram, split into two 48-bit halves (12 hex chars each,
@@ -307,38 +380,51 @@ def minhash_bands(sig: F.Column, num_bands: int = DEFAULT_NUM_BANDS) -> F.Column
     )
 
 
-def _pairs_within(sorted_arr: F.Column) -> F.Column:
-    """All (i < j) element pairs of a sorted array, as ``array<struct<a,b>>``
-    — the in-bucket candidate expansion shared by the LSH operators below.
+def _explode_pairs(df: DataFrame, arr_col: str) -> DataFrame:
+    """All (i < j) element pairs of each row's sorted array, exploded to a
+    single ``p: struct<a,b>`` column — the in-bucket candidate expansion
+    shared by the LSH operators below.
 
     This replaces the textbook bucket *self-join*: collecting ids per bucket
     and expanding pairs from the array needs ONE shuffle (the groupBy) and
     evaluates the upstream pipeline once, where a self-join recomputes the
     entire signature pipeline per join side (measured 10.4 s → 2.9 s on the
-    sf0.1 MinHash bench). Memory per bucket row is O(n²) structs, so callers
-    MUST cap bucket size first — and must pass a *plain column attribute*
-    (select the sorted array into its own projection), never a compound
-    expression, which Spark would re-inline into every lambda iteration."""
-    return F.flatten(
-        F.transform(
-            sorted_arr,
-            lambda x, i: F.transform(
-                F.slice(sorted_arr, i + 2, F.size(sorted_arr)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    sf0.1 MinHash bench). Callers MUST cap bucket size first (emitted rows
+    per bucket are O(n²)).
+
+    Shape: TWO chained explodes — ``posexplode`` of the (attribute) array,
+    then ``explode(slice(arr, i+2, n))``. NOT a flatten/transform HOF
+    building the pair array in one expression: ``Generate`` re-evaluates a
+    HOF-built generator expression per EMITTED element (see
+    ``gram_postings``), which for a pair array means O(n²) struct builds per
+    emitted pair — O(n⁴) per bucket. ``slice`` is codegen-native, so here
+    each input row evaluates it once and streams its pairs."""
+    return (
+        df.select(F.col(arr_col).alias("_arr"))
+        .select("_arr", F.posexplode("_arr").alias("_i", "_a"))
+        .select(
+            "_a",
+            F.explode(F.slice(F.col("_arr"), F.col("_i") + 2, F.size(F.col("_arr")))).alias("_b"),
         )
+        .select(F.struct(F.col("_a").alias("a"), F.col("_b").alias("b")).alias("p"))
     )
 
 
-def _star_pairs(sorted_arr: F.Column) -> F.Column:
-    """Star expansion of a sorted id array: (min, x) for every other member —
-    LINEAR in group size, and connectivity-equivalent to the quadratic
-    all-pairs expansion for downstream connected components. Used by the
-    oversized-bucket second pass, where full expansion is exactly the
-    quadratic blowup the bucket cap exists to prevent."""
-    return F.transform(
-        F.slice(sorted_arr, 2, F.size(sorted_arr)),
-        lambda x: F.struct(F.element_at(sorted_arr, 1).alias("a"), x.alias("b")),
+def _explode_star(df: DataFrame, arr_col: str) -> DataFrame:
+    """Star expansion of each row's sorted array — (min, x) for every other
+    member, exploded to ``p: struct<a,b>`` — LINEAR in group size, and
+    connectivity-equivalent to the quadratic all-pairs expansion for
+    downstream connected components. Used by the oversized-bucket second
+    pass, where full expansion is exactly the quadratic blowup the bucket
+    cap exists to prevent. Same codegen-native slice-explode shape as
+    ``_explode_pairs`` (no HOF generator re-evaluation)."""
+    return (
+        df.select(F.col(arr_col).alias("_arr"))
+        .select(
+            F.element_at(F.col("_arr"), 1).alias("_a"),
+            F.explode(F.slice(F.col("_arr"), 2, F.size(F.col("_arr")))).alias("_b"),
+        )
+        .select(F.struct(F.col("_a").alias("a"), F.col("_b").alias("b")).alias("p"))
     )
 
 
@@ -444,11 +530,7 @@ def minhash_neardup_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    cand_ok = (
-        grouped.filter(F.size("ids") <= max_bucket)
-        .select("ids")  # plain attribute — see _pairs_within
-        .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
-    )
+    cand_ok = _explode_pairs(grouped.filter(F.size("ids") <= max_bucket), "ids")
     # Second pass for oversized buckets: their members are grouped by FULL
     # signature (64 longs rendered once — exact-signature equality is the
     # "finer" criterion: colliding on ALL bands ≈ near-identical content)
@@ -472,7 +554,7 @@ def minhash_neardup_pairs(
         .filter(F.size("ids") >= 2)
         .select("ids")
     )
-    cand_over = over_groups.select(F.explode(_star_pairs(F.col("ids"))).alias("p"))
+    cand_over = _explode_star(over_groups, "ids")
     cand = (
         cand_ok.unionByName(cand_over)
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
@@ -581,11 +663,12 @@ def ngram_jaccard_pairs(
     # across shingle buckets (= |A∩B|, since a doc contributes a shingle at
     # most once).
     pairs = (
-        postings.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_postings))
-        .select("ids")
-        .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        _explode_pairs(
+            postings.groupBy("sh")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_postings)),
+            "ids",
+        )
         .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -626,11 +709,17 @@ def simhash_table(
     sf0.01.) Documents with zero shingles are dropped (nothing to match).
     """
     nbits = _simhash_bits(scheme)
+    # the shingle SET (array_distinct) is required — bag postings would skew
+    # the majority vote — so the safe exploded form here is persist-then-
+    # explode: Generate over a HOF-built array re-evaluates the building
+    # lambda per emitted element (the gram_postings pathology, measured
+    # 160×); from the cached array it is a plain fast explode. Caller /
+    # harness owns cache lifecycle, same policy as minhash_neardup_pairs.
     if scheme == "xxhash64":
-        base = shingle_table(df, text_col, id_col, shingle_k)
+        base = shingle_table(df, text_col, id_col, shingle_k).persist()
         posts = base.select("id", F.explode("shingles").alias("h"))
     else:
-        base = gram_table(df, text_col, id_col, shingle_k)
+        base = gram_table(df, text_col, id_col, shingle_k).persist()
         posts = base.select("id", F.explode("grams").alias("g")).select(
             "id",
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
@@ -703,25 +792,20 @@ def simhash_neardup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "sim"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    cand_ok = (
-        grouped.filter(F.size("ms") <= max_bucket)
-        .select("ms")  # plain attribute — see _pairs_within
-        .select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
-    )
+    cand_ok = _explode_pairs(grouped.filter(F.size("ms") <= max_bucket), "ms")
     # Second pass: oversized-bucket members regrouped by exact simhash value
     # (carried in the bucket rows — no recompute of the simhash aggregation),
     # star-expanded around the min id. Structs sort by (id, sim), so the hub
     # is the min id.
-    cand_over = (
+    cand_over = _explode_star(
         grouped.filter(F.size("ms") > max_bucket)
         .select(F.explode("ms").alias("m"))
         .select(F.col("m.id").alias("id"), F.col("m.sim").alias("sim"))
         .dropDuplicates(["id"])
         .groupBy("sim")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sim"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
-        .select("ms")
-        .select(F.explode(_star_pairs(F.col("ms"))).alias("p"))
+        .filter(F.size("ms") >= 2),
+        "ms",
     )
     cand = (
         cand_ok.unionByName(cand_over)
@@ -808,42 +892,51 @@ def containment_pairs(
     )
     nwords = F.size(F.split(F.col("t"), " "))
 
-    g = gram_table(df, text_col, id_col, k).select("id", F.explode("grams").alias("gram"))
-    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # explode-first postings (bag semantics — see gram_postings for why the
+    # array-then-explode form is 160× slower): doc frequency therefore
+    # counts DISTINCT docs, and candidate pairs are deduped at the (small)
+    # candidate table, never on the posting stream
+    g = gram_postings(df, text_col, id_col, k)
+    gdf = g.groupBy("gram").agg(F.countDistinct("id").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "gram")
     long_ids = norm.filter(nwords >= k).select("id")
-    # every gram-keyed join below pairs two corpus-scale tables (postings,
-    # df counts, block grams) — shuffle_hash-pinned so a bad size estimate
-    # can never broadcast a corpus side (the fleet-wide join policy)
+    # Every gram-keyed join below pairs two UNBOUNDED corpus-scale tables
+    # (postings, df counts, block grams) — pinned sort-MERGE, not
+    # shuffle_hash: SMJ spills, while SHJ must build one side's partition as
+    # an in-memory hash map, which OOMed at 1M synthetic docs (56M postings
+    # → ~200 MB build per partition × 32 concurrent tasks > the executor
+    # memory fraction). shuffle_hash stays the pin only where one side is
+    # bounded-but-never-broadcastable (the id semi-join, the candidate
+    # verify joins); broadcast remains forbidden for all of them.
     blk = (
         g.join(long_ids.hint("shuffle_hash"), "id", "left_semi")
-        .hint("shuffle_hash")
-        .join(gdf.hint("shuffle_hash"), "gram")
+        .hint("merge")
+        .join(gdf.hint("merge"), "gram")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(F.col("id").alias("id_inner"), "gram")
     )
     cand_long = (
-        blk.hint("shuffle_hash")
-        .join(g.select(F.col("id").alias("id_outer"), "gram").hint("shuffle_hash"), "gram")
+        blk.hint("merge")
+        .join(g.select(F.col("id").alias("id_outer"), "gram").hint("merge"), "gram")
         .filter(F.col("id_inner") != F.col("id_outer"))
         .select("id_inner", "id_outer")
     )
 
-    uni = gram_table(df, text_col, id_col, k=1).select(
-        F.col("id").alias("id_outer"), F.explode("grams").alias("word")
+    uni = gram_postings(df, text_col, id_col, k=1).select(
+        F.col("id").alias("id_outer"), F.col("gram").alias("word")
     )
     short_blk = norm.filter(nwords < k).select(
         F.col("id").alias("id_inner"), F.element_at(F.split(F.col("t"), " "), 1).alias("word")
     )
     cand_short = (
-        short_blk.hint("shuffle_hash")
-        .join(uni.hint("shuffle_hash"), "word")
+        short_blk.hint("merge")
+        .join(uni.hint("merge"), "word")
         .filter(F.col("id_inner") != F.col("id_outer"))
         .select("id_inner", "id_outer")
     )
 
-    cand = cand_long.unionByName(cand_short)
+    cand = cand_long.unionByName(cand_short).dropDuplicates(["id_inner", "id_outer"])
     pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
     verified = (
         cand.hint("shuffle_hash")

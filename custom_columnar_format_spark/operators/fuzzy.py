@@ -4,7 +4,7 @@ record-linkage shape: never all-pairs, always block-then-verify.
 Scale design: candidate pairs come from a blocking key (here: a cheap
 deterministic feature of the string, e.g. its last token), expanded
 in-bucket with the same ONE-shuffle collect-and-expand used by the LSH
-dedup operators (``dedup._pairs_within``) — no self-join, no re-evaluation
+dedup operators (``dedup._explode_pairs``) — no self-join, no re-evaluation
 of the upstream pipeline per side. Blocks above ``max_block`` are EXCLUDED
 (a degenerate blocking key would otherwise cost O(block²)); the exclusion is
 part of the operator's contract — the registered query's oracle mirrors the
@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _pairs_within
+from .dedup import _explode_pairs
 
 
 def fuzzy_name_pairs(
@@ -42,8 +42,7 @@ def fuzzy_name_pairs(
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_block))
     )
     cand = (
-        grouped.select("ms")  # plain attribute — see dedup._pairs_within
-        .select(F.explode(_pairs_within(F.col("ms"))).alias("p"))
+        _explode_pairs(grouped, "ms")
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),

@@ -60,10 +60,11 @@ _CHUNK_WORDS = 10
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     ch = (
-        dedup.chunk_table(
+        # explode-first chunk postings (chunk_postings docstring: Generate
+        # over a HOF-built array re-evaluates the builder per emitted chunk)
+        dedup.chunk_postings(
             docs, "text", "doc_id", chunk_words=_CHUNK_WORDS, keep_cols=["source"]
         )
-        .select("id", "source", F.explode("chunks").alias("chunk"))
         # feeds BOTH the frequency aggregate and the rejoin stream — persist
         # so normalize+split+chunk runs once, not twice (caller/harness owns
         # cache lifecycle, same policy as the minhash shingle table). The
@@ -74,11 +75,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = ch.groupBy("chunk").agg(F.countDistinct("id").alias("df"))
     per_doc = (
-        # chunk-keyed rejoin of two corpus-scale tables — shuffle_hash-pinned
-        # so a bad estimate for the aggregated freq side can never broadcast
-        # it (fleet-wide join policy; freq is O(distinct passages))
-        ch.hint("shuffle_hash")
-        .join(freq.hint("shuffle_hash"), "chunk")
+        # chunk-keyed rejoin of two UNBOUNDED corpus-scale tables — pinned
+        # sort-merge (spills) rather than shuffle_hash (in-memory build map,
+        # OOMs at corpus scale) or broadcast (forbidden for corpus sides)
+        ch.hint("merge")
+        .join(freq.hint("merge"), "chunk")
         .groupBy("id", "source")
         .agg(F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)).alias("dup_frac"))
     )
@@ -117,12 +118,14 @@ _BOILER_TOPK = 20
 )
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    g = dedup.gram_table(docs, "text", "doc_id", k=2).select(
-        F.explode("grams").alias("gram")
-    )
+    # explode-first postings (bag semantics), so DOCUMENT frequency is a
+    # countDistinct on the doc id — same value as counting the per-doc
+    # distinct gram arrays, without the Generate-over-HOF-array pathology
+    # (see dedup.gram_postings)
+    g = dedup.gram_postings(docs, "text", "doc_id", k=2)
     return (
         g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(F.countDistinct("id").alias("doc_freq"))
         .filter(F.col("doc_freq") >= _BOILER_MIN_DF)
         .orderBy(F.desc("doc_freq"), "gram")
         .limit(_BOILER_TOPK)
@@ -319,16 +322,19 @@ _OVERLAP_TOPK = 15
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     d = (
-        dedup.chunk_table(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS, keep_cols=["source"])
-        .select("source", F.explode("chunks").alias("chunk"))
+        # explode-first chunk postings (see dedup.chunk_postings); the
+        # distinct() already shuffles, so bag postings cost nothing extra
+        dedup.chunk_postings(docs, "text", "doc_id", chunk_words=_CHUNK_WORDS, keep_cols=["source"])
+        .select("source", "chunk")
         .distinct()
     )
     a = d.select(F.col("chunk"), F.col("source").alias("source_a"))
     b = d.select(F.col("chunk"), F.col("source").alias("source_b"))
     return (
-        # passage-keyed self-join of a corpus-scale table: shuffle_hash-pinned
-        # per the fleet-wide never-broadcast-corpus-sides policy
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "chunk")
+        # passage-keyed self-join of an unbounded corpus-scale table: pinned
+        # sort-merge (spillable; never broadcast, and shuffle_hash's build
+        # map is an OOM at corpus scale)
+        a.hint("merge").join(b.hint("merge"), "chunk")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_passages"))

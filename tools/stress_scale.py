@@ -176,12 +176,44 @@ def main():
         rows=n_docs,
     )
 
+    # word-aligned containment at corpus scale: every planted near-dup IS a
+    # containment (the copy = original text + one suffix word), so rarest-
+    # gram blocking must recover ALL n/100 planted (id-1 ⊆ id) pairs — the
+    # no-silent-false-negatives guarantee, proven at 1M docs not 5 rows.
+    t0 = time.time()
+    cont = dedup.containment_pairs(docs, "text", "doc_id", k=5)
+    planted_cont = cont.filter(
+        (F.col("id_outer") == F.col("id_inner") + 1) & (F.col("id_outer") % 100 == 0)
+    ).count()
+    dt = time.time() - t0
+    expect_cont = n_docs // 100
+    print(json.dumps({"stage": "containment_pairs", "rows": planted_cont,
+                      "seconds": round(dt, 2),
+                      "docs_per_sec": round(n_docs / dt),
+                      "planted_recall": round(planted_cont / expect_cont, 4)}), flush=True)
+
     emb = synth_embeddings(spark, n_vecs)
     emb.write.mode("overwrite").format("noop").save()
     qv = [((hash(("q", i)) % 2000) / 1000.0 - 1.0) for i in range(DIM)]
     t0 = time.time()
     k = similarity.brute_force_topk(emb, qv, k=10).count()
     print(json.dumps({"stage": "brute_force_topk", "rows": k,
+                      "seconds": round(time.time() - t0, 2),
+                      "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
+
+    # PQ/ADC over the full vector corpus: codebooks train on a bounded
+    # hash-uniform sample (driver holds 20k × 64 doubles, never the corpus),
+    # then every vector is encoded + ADC-ranked in one codegen'd pass —
+    # the scan must stream 500k rows through 128 subspace distances with no
+    # Python in the loop.
+    import numpy as np
+
+    samp = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n_vecs // 20_000))) == 0)
+    x = np.asarray([r["embedding"] for r in samp.limit(20_000).collect()], dtype=np.float64)
+    books = similarity.pq_train(x, n_subspaces=8, ksub=16, seed=7)
+    t0 = time.time()
+    k = similarity.pq_adc_topk(emb, qv, books, k=10).count()
+    print(json.dumps({"stage": "pq_adc_topk", "rows": k,
                       "seconds": round(time.time() - t0, 2),
                       "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
 
