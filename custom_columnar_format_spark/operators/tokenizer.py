@@ -1,0 +1,155 @@
+"""BPE tokenizer induction and application over a document corpus.
+
+``q_bpe_top_pairs`` (queries/corpus_ops.py) oracles ONE merge iteration;
+this module runs the full training loop and applies the learned merges —
+the piece a training-data pipeline needs to token-count and pack with the
+tokenizer it will actually train with.
+
+Scale design (the 100 TB story):
+- The corpus collapses to a WORD FREQUENCY table first (one shuffle,
+  partial+final count) — classic BPE trains on (word, count), and the
+  distinct-word vocabulary is bounded (Heaps' law) while the corpus is not.
+  Every subsequent iteration touches only that bounded table.
+- Each merge iteration is: one aggregation over the vocab's adjacent
+  symbol pairs (weighted by word count), a 1-row argmax collect (bounded
+  and justified — it IS the trained artifact), and a vectorized merge
+  application. The corpus itself is read exactly once.
+- The token-level work (splitting a word into symbols, merging one pair)
+  is an Arrow-batched pandas UDF over the BOUNDED vocab table — Python
+  cost is O(|vocab| × n_merges), independent of corpus size. Encoding new
+  text reuses the same UDF shape with the merge list riding the closure
+  (merge tables are KBs — effectively a broadcast variable).
+
+Reference: Sennrich et al., "Neural Machine Translation of Rare Words with
+Subword Units" (ACL 2016) — the greedy highest-count merge loop, with
+(count DESC, pair ASC) tie-breaking so training is deterministic across
+partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .dedup import normalize_text
+
+_END = "</w>"  # end-of-word marker, standard BPE
+
+
+def _apply_merge(tokens: List[str], a: str, b: str) -> List[str]:
+    out: List[str] = []
+    i = 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def bpe_reference(word_counts: Sequence[Tuple[str, int]], n_merges: int) -> List[Tuple[str, str]]:
+    """Pure-python reference BPE trainer (the unit-test pin): greedy
+    highest-count merge with (count DESC, pair ASC) tie-break."""
+    vocab = {tuple(list(w) + [_END]): c for w, c in word_counts}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {tuple(_apply_merge(list(t), *best)): c for t, c in vocab.items()}
+    return merges
+
+
+def word_count_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over the normalized corpus — the one corpus-wide pass."""
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _tokens_udf(merges: List[Tuple[str, str]]):
+    """Arrow-batched UDF: word → its BPE token array under ``merges``
+    (characters + end-of-word marker, then the merge list in order)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def tok(words: pd.Series) -> pd.Series:
+        def enc(w):
+            t = list(w) + [_END]
+            for a, b in merges:
+                t = _apply_merge(t, a, b)
+            return t
+
+        return words.map(enc)
+
+    return tok
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 16) -> List[Tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus. Returns the ordered
+    merge list. One corpus pass (word counts); each iteration re-tokenizes
+    the BOUNDED vocab with the merges so far (stateless — no growing plan
+    lineage and nothing cached between iterations) and aggregates pair
+    counts weighted by word frequency."""
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    wc = df.sparkSession.createDataFrame(
+        word_count_table(df, text_col).collect(), "word: string, n: long"
+    )
+    # The vocab is bounded (distinct words) but the COLLECT above also keeps
+    # the loop's lineage flat: each iteration plans against a local table,
+    # not n_merges stacked UDF applications. For a vocab too big to collect,
+    # checkpoint the word-count table instead and keep the same loop.
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        toks = wc.select("n", _tokens_udf(merges)(F.col("word")).alias("t"))
+        # explode-first (adjacent-index stream, then one pair per row) — the
+        # codegen-native generator form; sequence(1, 0) would DESCEND, so
+        # fully-merged single-token words are filtered out first
+        pairs = (
+            toks.filter(F.size("t") >= 2)
+            .select("n", "t", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"))
+            .select("n", F.expr("t[i-1]").alias("a"), F.expr("t[i]").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        merges.append((pairs[0]["a"], pairs[0]["b"]))
+    return merges
+
+
+def bpe_token_counts(
+    df: DataFrame, merges: List[Tuple[str, str]], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens) per document under a trained merge list — the token
+    budget a packing/mixing stage consumes. The corpus explodes to words,
+    joins nothing: the merge list rides the UDF closure, so this is one
+    scan + one partial-aggregatable count per doc."""
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    words = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    toked = words.select("id", F.size(_tokens_udf(merges)(F.col("word"))).alias("nt"))
+    return toked.groupBy("id").agg(F.sum("nt").alias("n_tokens"))

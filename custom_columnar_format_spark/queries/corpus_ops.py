@@ -4,8 +4,10 @@ calibration, and contrastive hard-negative mining — the operations a
 training-data pipeline runs between raw crawl and training batches, beyond
 the document-level dedup/similarity tier in ``llm_ops``.
 
-Every query here is DuckDB-oracled; the hash-free designs make the oracles
-plain relational SQL (no md5 replay needed).
+Every query here is DuckDB-oracled except ``q_bpe_train_merges`` (the
+iterative training loop is pinned by reference-equality tests instead); the
+hash-free designs make the oracles plain relational SQL (no md5 replay
+needed).
 """
 
 from __future__ import annotations
@@ -438,3 +440,100 @@ _CONT_K = 5
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs_spread(spark, sf_dir), "text", "doc_id", k=_CONT_K)
+
+
+@query(
+    "q_bpe_train_merges",
+    # rows-only: the full BPE training loop is an iterative, data-dependent
+    # greedy algorithm (each merge choice rewrites the vocab the next count
+    # sees) — not expressible as one SQL statement. Its FIRST iteration is
+    # the fully-oracled q_bpe_top_pairs above; the loop itself is pinned by
+    # merge-for-merge equality against a pure-python reference implementation
+    # (tests/test_tokenizer.py).
+    None,
+    doc="full BPE tokenizer induction (8 merges, Sennrich greedy with "
+    "count-DESC/pair-ASC tie-break) over the documents corpus. Scale shape: "
+    "the corpus collapses to a bounded (word, count) vocabulary in ONE "
+    "shuffle; every iteration touches only that table (pair counts weighted "
+    "by word frequency + a 1-row argmax collect — the trained artifact "
+    "itself). Returns the ordered merge table.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenizer
+
+    docs = load(spark, sf_dir, "documents")
+    merges = tokenizer.bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank: int, left: string, right: string",
+    )
+
+
+_MAT_DIM = 16
+_MAT_K = 10
+
+
+def _trunc_cos_sql(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}[1:{d}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}[1:{d}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+@query(
+    "q_matryoshka_overlap",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    full_rank AS (
+      SELECT 'full' AS variant, vec_id,
+             ROW_NUMBER() OVER (ORDER BY {_cos_sql('embedding', 'qv')} DESC, vec_id) AS rn,
+             floor({_cos_sql('embedding', 'qv')}*1e4+0.5)/1e4 AS cos_sim
+      FROM embeddings, q
+    ),
+    trunc_rank AS (
+      SELECT 'head{_MAT_DIM}' AS variant, vec_id,
+             ROW_NUMBER() OVER (ORDER BY {_trunc_cos_sql('embedding', 'qv', _MAT_DIM)} DESC, vec_id) AS rn,
+             floor({_trunc_cos_sql('embedding', 'qv', _MAT_DIM)}*1e4+0.5)/1e4 AS cos_sim
+      FROM embeddings, q
+    )
+    SELECT variant, rn, vec_id, cos_sim FROM full_rank WHERE rn <= {_MAT_K}
+    UNION ALL
+    SELECT variant, rn, vec_id, cos_sim FROM trunc_rank WHERE rn <= {_MAT_K}
+    """,
+    doc="Matryoshka serving-dimension evaluation: the cosine top-10 ranking "
+    f"under the FULL embedding vs under its first {_MAT_DIM} dims, side by "
+    "side — the measurement behind truncating MRL-style embeddings for "
+    "cheaper serving (compare the two rankings' overlap to pick a dim). "
+    "Each variant is one scan + a bounded TakeOrdered-style window; the "
+    "truncated cosine is a sliced zip_with in the same codegen pass.",
+)
+def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, norm
+
+    emb = _emb_spread(spark, sf_dir)
+    qv = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()["embedding"]
+
+    def ranked(variant: str, vec: F.Column, q: F.Column) -> DataFrame:
+        c = dot(vec, q) / (norm(vec) * norm(q))
+        w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+        return (
+            emb.select("vec_id", c.alias("_c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _MAT_K)
+            .select(
+                F.lit(variant).alias("variant"),
+                "rn",
+                "vec_id",
+                (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
+            )
+        )
+
+    full = ranked("full", F.col("embedding"), lit_vector(qv))
+    trunc = ranked(
+        f"head{_MAT_DIM}",
+        F.slice(F.col("embedding"), 1, _MAT_DIM),
+        lit_vector(qv[:_MAT_DIM]),
+    )
+    return full.unionByName(trunc)
