@@ -189,10 +189,23 @@ def main() -> None:
     queries: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
         queries.update(bench_scbf(spark, tmpdir))
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qs[name].fn(spark, SF_DIR))
+            queries[name] = round(time.time() - t0, 4)
+            # Several operators persist() intermediates consumed by multiple
+            # plan branches (funnel stages, minhash signatures, gap-fill
+            # cells); the harness owns the cache lifecycle, so drop those
+            # blocks between queries to keep one query's cache from
+            # squeezing the next one's executor memory.
+            spark.catalog.clearCache()
         # A/B twin of q_dedup_minhash: same pipeline with the all-JVM
         # xxhash64 hash family instead of the oracle-replayable km-md5
-        # default, so the md5 tax (~1.2 s at sf0.1, accepted in r4 for the
-        # driver's end-to-end value check) stays visible and tracked.
+        # default, so the md5 tax (accepted in r4 for the driver's
+        # end-to-end value check) stays visible and tracked. Runs AFTER the
+        # headline loop so both schemes are measured against a warm session
+        # (first position was charging the twin ~3 s of first-dedup-job
+        # warmup, inverting the comparison).
         from custom_columnar_format_spark.operators.dedup import minhash_neardup_pairs
         from custom_columnar_format_spark.queries.tables import load as _load
 
@@ -204,16 +217,6 @@ def main() -> None:
         )
         queries["q_dedup_minhash_xxh"] = round(time.time() - t0, 4)
         spark.catalog.clearCache()
-        for name in HEADLINE:
-            t0 = time.time()
-            _force(qs[name].fn(spark, SF_DIR))
-            queries[name] = round(time.time() - t0, 4)
-            # Several operators persist() intermediates consumed by multiple
-            # plan branches (funnel stages, minhash signatures, gap-fill
-            # cells); the harness owns the cache lifecycle, so drop those
-            # blocks between queries to keep one query's cache from
-            # squeezing the next one's executor memory.
-            spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
