@@ -4,11 +4,13 @@
 
 The Spark-side architecture is fully real — schemas, partition-preserving
 batch UDFs, metadata extraction, frame-sampling fan-out. Decoding goes
-through a single-function seam with three implementations: the default
+through a single-function seam with four implementations: the default
 deterministic ``decode_stub`` (oracle-replayable, works everywhere), a real
-Pillow image decoder (``decode_pil``, gated on PIL being importable), and a
-real WAV audio decoder (``decode_wav``, stdlib ``wave`` + numpy — no
-optional dependency). Video keyframe decode remains stubbed (ffmpeg not in
+PNG image decoder (``decode_png``, stdlib zlib/struct + numpy — no optional
+dependency, round-trip tested against the bundled ``encode_png``), a
+Pillow image decoder for all other formats (``decode_pil``, gated on PIL
+being importable), and a real WAV audio decoder (``decode_wav``, stdlib
+``wave`` + numpy). Video keyframe decode remains stubbed (ffmpeg not in
 this container); everything around the seam (batch shapes, schema
 contracts, memory behavior) is what matters at scale and is tested.
 
@@ -171,6 +173,134 @@ def decode_wav(payload: bytes, kind: str):
             float(np.sqrt(np.mean(s * s)) / full_scale) if len(s) else 0.0 for s in seg
         ]
         return None, None, feat
+    except Exception:
+        return decode_stub(payload, kind)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer (stdlib zlib + struct, filter 0, 8-bit,
+    non-interlaced) for uint8 arrays: HxW grayscale, HxWx3 RGB, or HxWx4
+    RGBA. Exists so the pure-python decoder below is ROUND-TRIP tested in
+    this dependency-free container — not a production encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))  # filter 0 per row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes, kind: str):
+    """Real IMAGE decoder for PNG payloads with NO optional dependency —
+    stdlib zlib/struct + numpy (chunk walk, inflate, all five scanline
+    filters: None/Sub/Up/Average/Paeth). Drop-in for ``decode_stub`` with
+    the same (width, height, feature[8]) contract and the same feature
+    definition as ``decode_pil`` (8-bin normalized grayscale histogram,
+    Rec.601 luma for color), so a cluster that upgrades to Pillow gets
+    identical features on PNGs. Supports 8-bit gray/RGB/RGBA
+    non-interlaced — the overwhelmingly common case; anything else (and any
+    non-PNG payload) falls back to the deterministic stub, the fleet-wide
+    never-fail-mid-batch policy."""
+    if kind != "image":
+        return decode_stub(payload, kind)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != _PNG_SIG:
+            return decode_stub(payload, kind)
+        pos, idat, meta = 8, [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if meta is None or not idat:
+            return decode_stub(payload, kind)
+        w, h, depth, color_type, _comp, _filt, interlace = meta
+        ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+        if depth != 8 or ch is None or interlace != 0:
+            return decode_stub(payload, kind)
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return decode_stub(payload, kind)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            ft = raw[r * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+            ).copy()
+            if ft == 1:  # Sub — sequential in x, vectorized over channels
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif ft == 2:  # Up
+                line = (line.astype(np.int32) + prev).astype(np.uint8)
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = int(line[x - ch]) if x >= ch else 0
+                    line[x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(out[r - 1][x - ch]) if (x >= ch and r > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ft != 0:
+                return decode_stub(payload, kind)
+            out[r] = line
+            prev = line
+        px = out.reshape(h, w, ch)
+        if ch == 1:
+            gray = px[:, :, 0].astype(np.float64)
+        else:  # Rec.601 luma over RGB (alpha ignored), same as PIL convert("L")
+            gray = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            )
+        hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+        total = float(hist.sum()) or 1.0
+        return int(w), int(h), [float(v) / total for v in hist]
     except Exception:
         return decode_stub(payload, kind)
 
