@@ -733,57 +733,6 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_retention_cohorts",
-    """
-    WITH acts AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
-    ),
-    cohort AS (SELECT user_id, MIN(day) AS c0 FROM acts GROUP BY 1),
-    cells AS (
-      SELECT c0, CAST(floor(date_diff('day', c0, day) / 7) AS BIGINT) AS week_offset,
-             COUNT(DISTINCT a.user_id) AS n_users
-      FROM acts a JOIN cohort USING (user_id) GROUP BY 1, 2
-    )
-    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day, week_offset, n_users,
-           ROUND(CAST(n_users AS DOUBLE)
-                 / MAX(CASE WHEN week_offset = 0 THEN n_users END) OVER (PARTITION BY c0), 6) AS pct
-    FROM cells
-    """,
-    doc="retention cohort analysis: users grouped by first-activity day, "
-    "counted in each subsequent week-offset bucket, normalized by the "
-    "cohort's week-0 size — the product-analytics staple. Day-anchored "
-    "offsets (floor(days/7)) sidestep engine week-boundary conventions. "
-    "Scale shape: one distinct on (user, day), one shuffle on user for the "
-    "cohort join (co-partitioned — both sides keyed on user_id), then the "
-    "cell aggregate and a window over the tiny (cohort × offset) grid.",
-)
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    ev = load(spark, sf_dir, "events")
-    acts = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).distinct()
-    cohort = acts.groupBy("user_id").agg(F.min("day").alias("c0"))
-    cells = (
-        acts.join(cohort, "user_id")
-        .groupBy("c0", F.floor(F.datediff("day", "c0") / 7).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
-    w = Window.partitionBy("c0")
-    return cells.select(
-        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
-        "week_offset",
-        "n_users",
-        F.round(
-            F.col("n_users").cast("double")
-            / F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w),
-            6,
-        ).alias("pct"),
-    )
-
-
-@query(
     "q_cumulative_new_users",
     """
     WITH acts AS (

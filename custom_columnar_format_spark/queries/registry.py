@@ -27,9 +27,21 @@ _REGISTRY: Dict[str, QueryDef] = {}
 
 
 def query(name: str, sql: Optional[str], doc: str = ""):
-    """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
+    """Decorator registering a (spark, sf_dir) -> DataFrame callable.
+
+    Duplicate names are an import-time error: dict semantics would silently
+    shadow the earlier registration (which one wins then depends on module
+    import order — including transitive imports), and the driver's
+    correctness history for the name would quietly switch semantics.
+    Caught live in round 5: a second ``q_retention_cohorts`` landed in
+    another module and shadowed the original without any test noticing."""
 
     def deco(fn):
+        if name in _REGISTRY:
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{_REGISTRY[name].fn.__module__}; refusing to shadow it"
+            )
         _REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
         return fn
 
