@@ -494,18 +494,8 @@ def pq_adc_topk(
     M ``element_at`` lookups in subspace order (bit-replayable by the
     DuckDB oracle's ordered list_sum). Ranking is on the RAW fold; the
     rounded value is only emitted."""
-    n_subspaces, ksub, sub_dim = codebooks.shape
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    lut = [
-        [float(((q[m * sub_dim : (m + 1) * sub_dim] - codebooks[m][j]) ** 2).sum()) for j in range(ksub)]
-        for m in range(n_subspaces)
-    ]
     coded = df.select(F.col(id_col), pq_codes_col(codebooks, vec_col).alias("pq_codes"))
-    dist = F.lit(0.0)
-    for m in range(n_subspaces):
-        lut_arr = F.array(*[F.lit(d) for d in lut[m]])
-        dist = dist + F.element_at(lut_arr, F.element_at(F.col("pq_codes"), m + 1))
-    scored = coded.select(F.col(id_col), dist.alias("_d"))
+    scored = coded.select(F.col(id_col), adc_dist_col(codebooks, query_vec).alias("_d"))
     return (
         scored.orderBy(F.asc("_d"), F.asc(id_col))
         .limit(k)
@@ -542,3 +532,157 @@ def ivf_pq_topk(
     assigned = df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
     bucketed = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
     return pq_adc_topk(bucketed, qv, codebooks, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def adc_dist_col(codebooks: np.ndarray, query_vec: Sequence[float], codes_col: str = "pq_codes") -> F.Column:
+    """ADC distance from STORED code arrays: ``sum_m lut[m][code_m]`` as a
+    fixed left-fold of M ``element_at`` lookups against the literal
+    query-to-codeword table. This is the read-path half of PQ — no vector
+    column, no encode; shared by ``pq_adc_topk`` (codes computed on the
+    fly) and ``ivf_pq_topk_partitioned`` (codes stored at write time)."""
+    n_subspaces, ksub, sub_dim = codebooks.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    dist = F.lit(0.0)
+    for m in range(n_subspaces):
+        lut = [
+            float(((q[m * sub_dim : (m + 1) * sub_dim] - codebooks[m][j]) ** 2).sum())
+            for j in range(ksub)
+        ]
+        dist = dist + F.element_at(
+            F.array(*[F.lit(d) for d in lut]), F.element_at(F.col(codes_col), m + 1)
+        )
+    return dist
+
+
+def ivf_pq_write_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the IVF-PQ serving index: one directory per inverted
+    list, rows = (id, pq_codes) — the full-width vector column is DROPPED.
+    This is the physical form of both PQ promises: per-query I/O is
+    ``nprobe/nlist`` of the directories (partition pruning) × M bytes per
+    vector (codes instead of 4·dim floats). Encoding runs once, here."""
+    (
+        df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+        .withColumn("pq_codes", pq_codes_col(codebooks, vec_col))
+        .select(id_col, "pq_codes", "ivf_list")
+        .write.partitionBy("ivf_list")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def ivf_pq_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """IVF-PQ top-k over an ``ivf_pq_write_partitioned`` index: the probe
+    filter is on the PARTITION column (Catalyst prunes whole directories at
+    planning time), and ranking reads only the stored M-byte code arrays —
+    the query never touches an embedding. Results are identical to
+    ``ivf_pq_topk`` over the raw corpus with the same quantizers
+    (plan-asserted + equality-tested in tests/test_similarity.py)."""
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    dots = centroids @ qn
+    probe = [int(i) for i in sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]]
+    corpus = spark.read.format(fmt).load(path).filter(F.col("ivf_list").isin(probe))
+    scored = corpus.select(F.col(id_col), adc_dist_col(codebooks, qv).alias("_d"))
+    return (
+        scored.orderBy(F.asc("_d"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, (F.floor(F.col("_d") * 1e4 + 0.5) / 1e4).alias("pq_dist"))
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023): assign
+    every vector to its max-cosine coarse cluster, then compute pairwise
+    cosine ONLY within a cluster and keep pairs at/above ``threshold``.
+
+    Scale shape: one shuffle on the cluster id; the quadratic pair
+    expansion is bounded per cluster (cluster population ~ N/nlist — at
+    corpus scale nlist grows with N so in-cluster work stays constant per
+    partition). Cross-cluster duplicates are missed by construction —
+    that is SemDeDup's documented approximation, traded for never running
+    an all-pairs join. The self-join is cluster-key equi (no cartesian);
+    both sides are corpus-sized so stats can never broadcast one.
+
+    ``assigned`` lets a caller that already materialized the
+    (id, vec, sem_cluster) table (e.g. ``semdedup_prune``) share it: the
+    assignment is an Arrow-batched Python evaluation, and without sharing
+    each plan branch would recompute it per scan.
+    """
+    if assigned is None:
+        assigned = df.withColumn("sem_cluster", ivf_assign(centroids, vec_col))
+    a = assigned.select(
+        "sem_cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        "sem_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        a.join(b, "sem_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "sem_cluster",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> DataFrame:
+    """The pruning decision on top of ``semdedup_pairs``: within each
+    cluster, a vector is PRUNED when a lower-id vector exists at cosine ≥
+    threshold (greedy keep-first — deterministic on any engine, no
+    iteration). Returns (id, sem_cluster, pruned) for every input vector.
+
+    The assignment column is an Arrow-batched Python evaluation consumed by
+    THREE plan branches (both self-join sides + the census); ``persist``
+    caches the assigned table so it runs once, not 3× (same trade and same
+    caller-owns-cache-lifecycle policy as the MinHash shingle table — at
+    100 TB swap the cache for a parquet checkpoint)."""
+    assigned = df.withColumn("sem_cluster", ivf_assign(centroids, vec_col))
+    if persist:
+        assigned = assigned.persist()
+    doomed = (
+        semdedup_pairs(df, centroids, threshold, id_col, vec_col, assigned=assigned)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "sem_cluster")
+        .join(doomed.withColumn("pruned", F.lit(True)), id_col, "left")
+        .select(id_col, "sem_cluster", F.coalesce("pruned", F.lit(False)).alias("pruned"))
+    )

@@ -320,3 +320,166 @@ def mixing_weights(
         F.round(share, 6).alias("token_share"),
         F.round(powed / F.sum(powed).over(w), 6).alias("mix_weight"),
     )
+
+
+def bigram_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, w1, w2) rows — one per adjacent normalized-token pair, one
+    per occurrence (bag semantics). Explode-FIRST like ``dedup.
+    gram_postings``: positions are exploded from a codegen-native
+    ``sequence`` and each row reads its two tokens with ``element_at``, so
+    Generate never re-evaluates a HOF-built array (the measured-160×
+    pathology in SCALE.md). Docs with fewer than two tokens emit nothing."""
+    from .dedup import normalize_text
+
+    d = df.filter(F.trim(F.col(text_col)) != "")
+    sc = d.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism)
+    w = d.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    ).filter(F.size("w") >= 2)
+    return w.select(
+        "id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("_i"),
+        "w",
+    ).select(
+        "id",
+        "lang",
+        F.element_at("w", F.col("_i")).alias("w1"),
+        F.element_at("w", F.col("_i") + 1).alias("w2"),
+    )
+
+
+def bigram_logprob_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    k_smooth: float = 0.5,
+    broadcast_model="auto",
+    auto_broadcast_max_vocab: int = 500_000,
+) -> DataFrame:
+    """Per-document BIGRAM language-model quality signal — the order-2
+    upgrade of ``unigram_logprob_quality`` and the closer stand-in for the
+    KenLM perplexity filters in CCNet/Dolma-style pipelines: average
+    negative log P(w2 | w1) over the doc's adjacent token pairs, under a
+    per-language add-k–smoothed conditional estimated from the corpus
+    itself:
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V_lang)
+
+    with c(w1·) the count of w1 as a bigram LEFT context and V_lang the
+    language's distinct-token vocabulary (so unseen continuations share
+    k/(c+kV) mass). High scores flag gibberish / word-salad docs that a
+    unigram model cannot distinguish from normal prose (same words, broken
+    order); low scores flag templated boilerplate.
+
+    Scale shape: ONE pass builds the posting stream (``bigram_postings``),
+    which shuffles once into the (lang, w1, w2) count; context counts
+    c(w1·) derive from the bigram table itself (vocab-sized input, not a
+    second corpus pass) and V_lang from a distinct-aggregate over it. The
+    scoring join follows the same stats-driven ``broadcast_model`` policy
+    as the unigram operator: broadcast the vocab²-bounded model table when
+    small ("auto" counts it — one eager job), shuffle co-partitioned on
+    (lang, w1, w2) otherwise; the corpus-sized posting stream is never
+    broadcast.
+
+    Returns (id_col, lang, n_bigrams, avg_neg_logprob) in nats, rounded 4.
+    """
+    bi = bigram_postings(df, text_col, id_col, lang_col)
+    counts = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = counts.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        bi.select("lang", F.explode(F.array("w1", "w2")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    model = (
+        counts.join(ctx, ["lang", "w1"])
+        .join(vocab, "lang")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            ((F.col("c12") + F.lit(k_smooth)) / (F.col("c1") + F.lit(k_smooth) * F.col("v"))).alias("p"),
+        )
+    )
+    if broadcast_model == "auto":
+        model = model.persist()
+        do_broadcast = model.count() <= auto_broadcast_max_vocab
+    else:
+        do_broadcast = bool(broadcast_model)
+    return (
+        bi.join(F.broadcast(model) if do_broadcast else model, ["lang", "w1", "w2"])
+        .groupBy("id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_neg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "lang", "n_bigrams", "avg_neg_logprob")
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 40,
+    overlap_words: int = 10,
+    keep_cols=(),
+) -> DataFrame:
+    """RAG-style SLIDING-window chunker: normalized tokens re-joined into
+    ``chunk_words``-token chunks whose starts advance by ``chunk_words −
+    overlap_words`` (consecutive chunks share ``overlap_words`` tokens, so
+    an answer spanning a boundary is wholly inside at least one chunk).
+    The serving-side twin of ``dedup.chunk_postings`` (whose disjoint
+    chunks feed dedup, not retrieval).
+
+    Explode-first / codegen-native like the other chunkers: start indices
+    come from one ``sequence`` per doc, each output row slices its own
+    window — no HOF array under Generate, no shuffle at all (pure narrow
+    map; at 100 TB this runs at scan speed and the chunk table partitions
+    like its parent).
+
+    Emits (id, [keep_cols...], chunk_idx, n_tokens, chunk); the final chunk
+    may be shorter than ``chunk_words`` and a doc shorter than one window
+    emits a single whole-doc chunk. ``overlap_words`` must be <
+    ``chunk_words``."""
+    from .dedup import normalize_text
+
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError("need 0 <= overlap_words < chunk_words")
+    step = chunk_words - overlap_words
+    d = df.filter(F.trim(F.col(text_col)) != "")
+    w = d.select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        F.split(normalize_text(F.col(text_col)), " ").alias("w"),
+    )
+    # last start s satisfies s < size(w) - overlap (a chunk must add ≥1 new
+    # token); equivalently n_chunks = ceil((size - overlap) / step)
+    n_chunks = F.ceil((F.size("w") - F.lit(overlap_words)) / F.lit(step)).cast("bigint")
+    return w.select(
+        "id",
+        *keep_cols,
+        "w",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias("chunk_idx"),
+    ).select(
+        "id",
+        *keep_cols,
+        "chunk_idx",
+        F.least(
+            F.lit(chunk_words), F.size("w") - F.col("chunk_idx") * step
+        ).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("chunk_idx") * step + 1, chunk_words)).alias(
+            "chunk"
+        ),
+    )

@@ -537,3 +537,385 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit_vector(qv[:_MAT_DIM]),
     )
     return full.unionByName(trunc)
+
+
+# ---------------------------------------------------------------------------
+# Round-5b: semantic dedup, RAG chunking, bigram LM scoring, n-gram diversity
+# ---------------------------------------------------------------------------
+
+_SEM_NLIST = 16
+_SEM_TAU = 0.3
+
+
+def _semdedup_oracle_sql(nlist: int = _SEM_NLIST, tau: float = _SEM_TAU) -> str:
+    """Replay of semdedup_prune with the seed-vector coarse quantizer
+    (embeddings of vec_id < nlist, same scheme as q_sim_ivf_topk): argmax-
+    cosine cluster assignment (ties → smaller centroid id), within-cluster
+    pairs at ROUND(cos,4) ≥ tau, pruned = any member with a lower-id
+    neighbor above threshold, per-cluster census."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    pairs AS (
+      SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM lists x JOIN lists y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE ROUND({_cos_sql('x.embedding', 'y.embedding')}, 4) >= {tau}
+    ),
+    doomed AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+    SELECT l.cid AS sem_cluster, COUNT(*) AS n_vectors,
+           SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_pruned
+    FROM lists l LEFT JOIN doomed d USING (vec_id)
+    GROUP BY 1
+    """
+
+
+@query(
+    "q_semdedup_prune",
+    _semdedup_oracle_sql(),
+    doc="SemDeDup-style semantic deduplication census: every embedding is "
+    "assigned to its max-cosine coarse cluster (explicit seed-vector "
+    "quantizer so the oracle replays it; k-means training stays covered by "
+    "tests), pairwise cosine runs ONLY within clusters, and a vector is "
+    "pruned when a lower-id neighbor sits at cosine ≥ τ — greedy keep-"
+    "first, deterministic on any engine. Per-cluster (n_vectors, n_pruned) "
+    "report. Scale shape: one shuffle on the cluster id; the quadratic "
+    "pair expansion is bounded per cluster and nlist grows with the corpus "
+    "so per-partition work stays flat; cross-cluster duplicates are "
+    "SemDeDup's documented miss, the price of never joining all-pairs.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import similarity
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < _SEM_NLIST)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    marked = similarity.semdedup_prune(emb, cent, threshold=_SEM_TAU)
+    return marked.groupBy("sem_cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("pruned").cast("int")).cast("bigint").alias("n_pruned"),
+    )
+
+
+_BIGRAM_K = 0.5
+
+
+@query(
+    "q_bigram_logprob",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    wd AS (SELECT * FROM norm WHERE len(w) >= 2),
+    bb AS (
+      SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+      FROM wd, unnest(range(1, len(w))) AS u(i)
+    ),
+    counts AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bb GROUP BY 1, 2, 3),
+    ctx AS (SELECT lang, w1, SUM(c12) AS c1 FROM counts GROUP BY 1, 2),
+    vocab AS (
+      SELECT lang, COUNT(DISTINCT tok) AS v
+      FROM (SELECT lang, unnest([w1, w2]) AS tok FROM bb) GROUP BY 1
+    ),
+    model AS (
+      SELECT lang, w1, w2, (c12 + {_BIGRAM_K}) / (c1 + {_BIGRAM_K} * v) AS p
+      FROM counts JOIN ctx USING (lang, w1) JOIN vocab USING (lang)
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(p)), 4) AS avg_neg_logprob
+    FROM bb JOIN model USING (lang, w1, w2)
+    GROUP BY 1, 2
+    """,
+    doc="bigram language-model quality scoring — the order-2 KenLM-style "
+    "perplexity filter: per-doc average −log P(w2|w1) under a per-language "
+    "add-k–smoothed conditional estimated from the corpus itself; flags "
+    "word-salad docs a unigram model scores as normal (same words, broken "
+    "order). Scale shape: the posting stream shuffles once into the "
+    "(lang,w1,w2) count, context counts and vocabulary derive from that "
+    "vocab²-bounded table (no second corpus pass), and the scoring join "
+    "follows the stats-driven broadcast-the-model-iff-small policy — the "
+    "corpus-sized posting stream is never broadcast.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    return text_ops.bigram_logprob_quality(docs, k_smooth=_BIGRAM_K)
+
+
+_RAG_CHUNK = 25
+_RAG_OVERLAP = 5
+_RAG_STEP = _RAG_CHUNK - _RAG_OVERLAP
+
+
+@query(
+    "q_chunk_documents",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - {_RAG_OVERLAP}) / CAST({_RAG_STEP} AS DOUBLE)) AS BIGINT), 1) AS nc
+      FROM norm
+    ),
+    ch AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM n)
+    SELECT doc_id, chunk_idx,
+           least({_RAG_CHUNK}, len(w) - chunk_idx * {_RAG_STEP}) AS n_tokens,
+           array_to_string(w[chunk_idx * {_RAG_STEP} + 1 : chunk_idx * {_RAG_STEP} + {_RAG_CHUNK}], ' ') AS chunk
+    FROM ch
+    """,
+    doc=f"RAG-style sliding-window chunking: {_RAG_CHUNK}-token chunks "
+    f"advancing {_RAG_STEP} tokens (consecutive chunks share "
+    f"{_RAG_OVERLAP}), so an answer spanning a boundary is wholly inside "
+    "at least one chunk — the retrieval-serving twin of the dedup tier's "
+    "disjoint passages. Scale shape: pure narrow map (explode-first "
+    "sequence + per-row slice, codegen-native, no HOF array under "
+    "Generate), zero shuffles — runs at scan speed and the chunk table "
+    "inherits the corpus partitioning.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    return text_ops.sliding_chunks(
+        docs, chunk_words=_RAG_CHUNK, overlap_words=_RAG_OVERLAP
+    ).select(F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk")
+
+
+@query(
+    "q_ngram_diversity",
+    f"""
+    WITH norm AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT source, array_to_string(w[i + 1 : i + 3], ' ') AS gram
+      FROM norm, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS u(i)
+    )
+    SELECT source, COUNT(DISTINCT gram) AS n_distinct, COUNT(*) AS n_grams,
+           floor(COUNT(DISTINCT gram) * 1e6 / COUNT(*) + 0.5) / 1e6 AS ttr
+    FROM g GROUP BY source
+    """,
+    doc="per-source n-gram diversity (trigram type-token ratio): distinct "
+    "trigrams over total trigram occurrences — the cheap Self-BLEU stand-in "
+    "that flags template-heavy or machine-looped sources before they skew "
+    "a training mix. Scale shape: explode-first trigram postings (bag "
+    "semantics), one distinct+count aggregation per source (Expand + "
+    "partial aggregation) — no joins, no windows.",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    g = dedup.gram_postings(docs.withColumnRenamed("source", "src"), "text", "src", k=3)
+    return g.groupBy(F.col("id").alias("source")).agg(
+        F.countDistinct("gram").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.floor(F.countDistinct("gram") * 1e6 / F.count(F.lit(1)) + 0.5) / 1e6).alias("ttr"),
+    )
+
+
+_TOKEN_BUDGET = 12_000
+
+
+@query(
+    "q_token_budget_select",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY alpha DESC, doc_id) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+    doc="token-budget-aware corpus selection: docs ranked best-first by "
+    "alphabetic-character ratio (a deterministic quality proxy; ties → "
+    f"doc_id), greedily taken until a {_TOKEN_BUDGET}-token training budget "
+    "is filled — 'give me the best N tokens', the final gate before a "
+    "training mix is assembled. Scale shape: the running token total comes "
+    "from the DISTRIBUTED prefix-sum operator (range-repartition + within-"
+    "slice window + per-slice offsets), NOT a global ORDER BY window that "
+    "would pin 10^9 rows to one task; the budget filter then prunes on the "
+    "computed column.",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import prefix_sum
+    from ..operators.dedup import normalize_text
+
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha"),
+    ).withColumn("neg_alpha", -F.col("alpha"))
+    cum = prefix_sum.cumulative_sum(
+        d, order_cols=["neg_alpha", "doc_id"], value_col="n_tokens", out_col="cum_tokens"
+    )
+    return cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
+@query(
+    "q_lang_confusion",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+           + (length(p) - length(replace(p, ' and ', ''))) / 5
+           + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+        CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+           + (length(p) - length(replace(p, ' la ', ''))) / 4
+           + (length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr,
+        CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+           + (length(p) - length(replace(p, ' und ', ''))) / 5
+           + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+        CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+           + (length(p) - length(replace(p, ' los ', ''))) / 5
+           + (length(p) - length(replace(p, ' que ', ''))) / 5 AS INT) AS s_es
+      FROM t
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                  WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                  ELSE 'es' END AS lang_pred
+      FROM s
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+    """,
+    doc="language metadata audit: confusion matrix of the declared lang "
+    "column vs the content-based heuristic language ID — the standard "
+    "check that crawl metadata can be trusted before it drives a "
+    "multilingual mix (off-diagonal mass = mislabeled or code-switched "
+    "docs). Scale shape: the marker counting is a per-row expression "
+    "chain (no UDF), then ONE partial+final aggregation on the tiny "
+    "(lang, lang_pred) grid — no joins, no windows.",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    return docs.select(
+        "lang", text_ops.lang_id(F.col("text")).alias("lang_pred")
+    ).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_RP_DIM = 16
+_RP_SEED = 7
+_RP_K = 10
+
+
+def _rp_oracle_sql(dim: int = 64, rp_dim: int = _RP_DIM, k: int = _RP_K) -> str:
+    """Replay of the random-projection ranking with the seeded Gaussian
+    planes inlined as double literals; the projected QUERY vector is the
+    vec_id=0 row of the same projection CTE, so both engines derive it from
+    identical expressions rather than a driver-side matmul with different
+    summation order."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, rp_dim, seed=_RP_SEED)
+
+    def proj_expr(vec: str, j: int) -> str:
+        lst = "[" + ", ".join(repr(float(v)) for v in planes[j]) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+
+    pv = "[" + ", ".join(proj_expr("embedding", j) for j in range(rp_dim)) + "]"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    full_rank AS (
+      SELECT 'full' AS variant, vec_id,
+             ROW_NUMBER() OVER (ORDER BY {_cos_sql('embedding', 'qv')} DESC, vec_id) AS rn,
+             floor({_cos_sql('embedding', 'qv')}*1e4+0.5)/1e4 AS cos_sim
+      FROM embeddings, q
+    ),
+    proj AS (SELECT vec_id, {pv} AS pv FROM embeddings),
+    qp AS (SELECT pv AS pq FROM proj WHERE vec_id = 0),
+    rp_rank AS (
+      SELECT 'rp{rp_dim}' AS variant, vec_id,
+             ROW_NUMBER() OVER (ORDER BY {_cos_sql('pv', 'pq')} DESC, vec_id) AS rn,
+             floor({_cos_sql('pv', 'pq')}*1e4+0.5)/1e4 AS cos_sim
+      FROM proj, qp
+    )
+    SELECT variant, rn, vec_id, cos_sim FROM full_rank WHERE rn <= {k}
+    UNION ALL
+    SELECT variant, rn, vec_id, cos_sim FROM rp_rank WHERE rn <= {k}
+    """
+
+
+@query(
+    "q_rp_project_topk",
+    _rp_oracle_sql(),
+    doc="Johnson-Lindenstrauss random-projection serving evaluation: cosine "
+    f"top-{_RP_K} under the full 64-dim embedding vs under a seeded "
+    f"{_RP_DIM}-dim Gaussian projection, side by side — the data-"
+    "independent counterpart of the Matryoshka truncation eval (JL "
+    "preserves angles in expectation with no training; compare ranking "
+    "overlap to pick the serving dim). Scale shape: the projection is "
+    f"{_RP_DIM} codegen'd dot products per row in one pass over the same "
+    "scan as the full-dim ranking; each variant ends in a bounded top-k. "
+    "The projected query vector is read back from the projection column "
+    "itself (vec_id=0), so engine and oracle share the exact fold order.",
+)
+def q_rp_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, norm
+    from ..operators.similarity import _hyperplanes
+
+    emb = _emb_spread(spark, sf_dir)
+    planes = _hyperplanes(64, _RP_DIM, seed=_RP_SEED)
+    pv = F.array(
+        *[dot(F.col("embedding"), lit_vector(planes[j])) for j in range(_RP_DIM)]
+    )
+    proj = emb.select("vec_id", "embedding", pv.alias("pv"))
+    pq = proj.filter(F.col("vec_id") == 0).first()["pv"]
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    def ranked(variant: str, df: DataFrame, vec: F.Column, q: F.Column) -> DataFrame:
+        c = dot(vec, q) / (norm(vec) * norm(q))
+        w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+        return (
+            df.select("vec_id", c.alias("_c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RP_K)
+            .select(
+                F.lit(variant).alias("variant"),
+                "rn",
+                "vec_id",
+                (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
+            )
+        )
+
+    full = ranked("full", emb, F.col("embedding"), lit_vector(qv))
+    rp = ranked(f"rp{_RP_DIM}", proj, F.col("pv"), lit_vector(pq))
+    return full.unionByName(rp)

@@ -235,3 +235,91 @@ def test_ivf_pq_topk_composes(spark):
     all_probe = similarity.ivf_pq_topk(df, q, cent, books, k=10, nprobe=6)
     plain = similarity.pq_adc_topk(df, q, books, k=10)
     assert [r["vec_id"] for r in all_probe.collect()] == [r["vec_id"] for r in plain.collect()]
+
+
+def test_ivf_pq_partitioned_serving_layout(spark, tmp_path):
+    """The materialized IVF-PQ index must (a) store only (id, codes) — no
+    embedding column, (b) answer queries from probed directories only
+    (partition pruning, checked via inputFiles), and (c) return exactly
+    what ivf_pq_topk computes over the raw corpus with the same
+    quantizers."""
+    rng = np.random.RandomState(31)
+    centers = rng.standard_normal((6, DIM)) * 5
+    x = np.stack([centers[i % 6] + 0.3 * rng.standard_normal(DIM) for i in range(N)])
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(N)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = similarity._spherical_kmeans(x.copy(), 6, seed=13)
+    books = similarity.pq_train(x, n_subspaces=8, ksub=16, seed=13)
+    q = x[0].astype(np.float32).astype(np.float64)
+
+    path = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_write_partitioned(df, path, cent, books)
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "pq_codes", "ivf_list"}  # vectors dropped
+
+    got = similarity.ivf_pq_topk_partitioned(spark, path, q, cent, books, k=10, nprobe=2)
+    want = similarity.ivf_pq_topk(df, q, cent, books, k=10, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # pruning proof: a PartitionFilters entry on ivf_list with exactly the
+    # probed lists (inputFiles() lists the relation's files BEFORE pruning —
+    # same caveat as test_ivf_partitioned_layout_prunes_and_matches)
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    m = re.search(r"PartitionFilters: \[ivf_list#\d+ IN \(([\d,]+)\)\]", buf.getvalue())
+    assert m, "no partition filter on ivf_list"
+    qn = q / np.linalg.norm(q)
+    dots = cent @ qn
+    probe = {int(i) for i in sorted(range(len(cent)), key=lambda i: (-dots[i], i))[:2]}
+    assert {int(x) for x in m.group(1).split(",")} == probe
+
+
+def test_semdedup_matches_numpy_greedy(spark):
+    """semdedup_prune == pure-numpy replay: argmax-cosine cluster assign
+    (ties -> smaller centroid id), within-cluster pairs at round(cos,4) >=
+    tau, pruned = any member with a lower-id neighbor above threshold."""
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((4, DIM)) * 3
+    x = np.stack([centers[i % 4] + 0.6 * rng.standard_normal(DIM) for i in range(120)])
+    # plant exact near-dups: 110..119 copy 0..9 with a nudge
+    for j in range(10):
+        x[110 + j] = x[j] + 0.01 * rng.standard_normal(DIM)
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(120)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    tau = 0.9
+
+    got = {
+        r.vec_id: (r.sem_cluster, r.pruned)
+        for r in similarity.semdedup_prune(df, cent, threshold=tau).collect()
+    }
+
+    xf = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    xn = xf / np.linalg.norm(xf, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cent.T, axis=1)
+    pruned = set()
+    for c in range(4):
+        ids = [i for i in range(120) if assign[i] == c]
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if round(float(xn[a] @ xn[b]), 4) >= tau:
+                    pruned.add(b)
+    assert len(got) == 120
+    for i in range(120):
+        assert got[i][0] == int(assign[i])
+        assert got[i][1] == (i in pruned), i
+    # the planted copies must actually be pruned
+    assert all((110 + j) in pruned for j in range(10))

@@ -183,3 +183,97 @@ def test_unigram_broadcast_knob(spark):
         map(tuple, text.unigram_logprob_quality(df, **kw).collect())
     )
     assert rows({"broadcast_vocab": True}) == rows({"broadcast_vocab": False})
+
+
+# ---------------------------------------------------------------------------
+# Round-5b: bigram LM, sliding chunks
+# ---------------------------------------------------------------------------
+
+
+def _bigram_expected(rows, k=0.5):
+    """Pure-Python add-k bigram LM replay (per-lang)."""
+    import math
+    from collections import Counter, defaultdict
+
+    bi_by_doc, c12, c1, vocab = {}, Counter(), Counter(), defaultdict(set)
+    for doc_id, lang, txt in rows:
+        w = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 \t\n]", "", txt.lower().strip())).split(" ")
+        if len(w) < 2:
+            continue
+        bis = list(zip(w, w[1:]))
+        bi_by_doc[doc_id] = (lang, bis)
+        for a, b in bis:
+            c12[(lang, a, b)] += 1
+            c1[(lang, a)] += 1
+            vocab[lang].update((a, b))
+    out = {}
+    for doc_id, (lang, bis) in bi_by_doc.items():
+        v = len(vocab[lang])
+        lps = [
+            -math.log((c12[(lang, a, b)] + k) / (c1[(lang, a)] + k * v)) for a, b in bis
+        ]
+        out[doc_id] = (len(bis), round(sum(lps) / len(lps), 4))
+    return out
+
+
+def test_bigram_logprob_quality_pin(spark):
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the cat sat on the mat"),  # duplicate: most-likely bigrams
+        (2, "en", "mat the on sat cat the"),  # same words, broken order
+        (3, "en", "one"),  # single token: no bigrams, excluded
+        (4, "fr", "le chat dort le chat dort"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_quality(df).collect()
+    }
+    assert got == _bigram_expected(rows)
+    # word salad must score strictly worse than the duplicated prose
+    assert got[2][1] > got[0][1]
+    assert 3 not in got
+
+
+def test_bigram_broadcast_knob(spark):
+    rows = [(i, "en", "alpha beta gamma alpha beta") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    a = {
+        (r.doc_id, r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_quality(df, broadcast_model=True).collect()
+    }
+    b = {
+        (r.doc_id, r.n_bigrams, r.avg_neg_logprob)
+        for r in text.bigram_logprob_quality(df, broadcast_model=False).collect()
+    }
+    assert a == b and len(a) == 6
+
+
+def test_sliding_chunks_properties(spark):
+    words = ["w%02d" % i for i in range(53)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "short doc"), (2, "x")], ["doc_id", "text"]
+    )
+    ch = text.sliding_chunks(df, chunk_words=20, overlap_words=5).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 0: starts advance by 15; ceil((53-5)/15) = 4 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c0] == [0, 1, 2, 3]
+    for i, r in enumerate(c0):
+        expect = words[i * 15 : i * 15 + 20]
+        assert r.chunk.split(" ") == expect and r.n_tokens == len(expect)
+    # consecutive chunks share exactly the 5-token overlap
+    for a, b in zip(c0, c0[1:]):
+        assert a.chunk.split(" ")[-5:] == b.chunk.split(" ")[:5]
+    # coverage: every token appears in some chunk
+    seen = set()
+    for r in c0:
+        seen.update(r.chunk.split(" "))
+    assert seen == set(words)
+    # short docs emit exactly one whole-doc chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "short doc"
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 1
+    with pytest.raises(ValueError):
+        text.sliding_chunks(df, chunk_words=10, overlap_words=10)

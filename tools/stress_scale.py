@@ -217,6 +217,53 @@ def main():
                       "seconds": round(time.time() - t0, 2),
                       "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
 
+    # Bigram LM over the full doc corpus: the model table is vocab²-bounded
+    # (≤ VOCAB_SIZE² rows regardless of corpus size) so the "auto" policy
+    # broadcasts it; the ~60M-row posting stream must never be broadcast
+    # and the three model aggregates must reuse one exploded pass.
+    t0 = time.time()
+    scored = text.bigram_logprob_quality(
+        docs.withColumn("lang", F.lit("syn"))
+    ).count()
+    print(json.dumps({"stage": "bigram_logprob", "rows": scored,
+                      "seconds": round(time.time() - t0, 2),
+                      "docs_per_sec": round(n_docs / (time.time() - t0))}), flush=True)
+
+    # SemDeDup at scale: planted near-identical vectors (every 100th copies
+    # its predecessor with ~1e-3 jitter) must land in the same coarse
+    # cluster and be pruned. nlist scales the in-cluster quadratic:
+    # pop ~ n/nlist, pairs ~ n²/nlist — 100k vecs / 256 lists ≈ 20M pairs.
+    n_sem = max(10_000, n_vecs // 5)
+    nlist = 256
+    base_id = F.when(F.col("id") % 100 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    jit = F.when(F.col("id") % 100 == 0, 0.001).otherwise(0.0)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(base_id * DIM + i.cast("long")), F.lit(2000)) / 1000.0
+            - 1.0
+            + jit * F.pmod(F.xxhash64(F.col("id") * DIM + i.cast("long")), F.lit(7))
+        ).cast("float"),
+    )
+    sem = spark.range(1, n_sem + 1, 1, 64).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    sem.write.mode("overwrite").format("noop").save()
+    sem_samp = sem.filter(F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n_sem // 20_000))) == 0)
+    sx = np.asarray([r["embedding"] for r in sem_samp.limit(20_000).collect()], dtype=np.float64)
+    cent = similarity._spherical_kmeans(sx, nlist, seed=7)
+    t0 = time.time()
+    marked = similarity.semdedup_prune(sem, cent, threshold=0.999).cache()
+    n_pruned = marked.filter("pruned").count()
+    planted_pruned = marked.filter(F.col("pruned") & (F.col("vec_id") % 100 == 0)).count()
+    dt = time.time() - t0
+    planted_sem = n_sem // 100
+    print(json.dumps({"stage": "semdedup_prune", "rows": n_pruned,
+                      "seconds": round(dt, 2),
+                      "vecs_per_sec": round(n_sem / dt),
+                      "planted_recall": round(planted_pruned / planted_sem, 4)}), flush=True)
+    marked.unpersist()
+
     print(json.dumps({"stage": "TOTAL", "n_docs": n_docs, "n_vecs": n_vecs,
                       "seconds": round(time.time() - total0, 2)}), flush=True)
     spark.stop()
