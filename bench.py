@@ -51,6 +51,10 @@ HEADLINE = [
     "q_paragraph_dedup",
     "q_containment_pairs",
     "q_sim_pq_adc_topk",
+    # round 5b: cluster-blocked semantic dedup (one Arrow pass + SMJ census)
+    # and the bigram-LM perplexity filter (posting-stream + broadcast model)
+    "q_semdedup_prune",
+    "q_bigram_logprob",
 ]
 
 
