@@ -439,8 +439,16 @@ def minhash_neardup_pairs(
     max_bucket: int = 1000,
     persist: bool = True,
     scheme: str = "km-md5",
+    with_estimate: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
+
+    ``with_estimate=True`` additionally emits ``est_jaccard`` — the
+    signature-level estimate (matching MinHash positions / num_hashes) next
+    to the exact verified Jaccard, the standard way to audit sketch quality
+    on real data before trusting banding thresholds at corpus scale. Costs
+    two extra signature-table joins (pinned ``shuffle_hash`` — the
+    signature side is corpus-width).
 
     Pipeline: shingle → signature → band-bucket → in-bucket pair expansion →
     distinct candidate pairs → exact Jaccard verification on shingle sets.
@@ -578,9 +586,23 @@ def minhash_neardup_pairs(
             F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
         )
     )
-    return (
+    verified = (
         jac.filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    if not with_estimate:
+        return verified
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        verified.hint("shuffle_hash")
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .hint("shuffle_hash")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", F.floor(est * 1e4 + 0.5) / 1e4)
+        .select("id_a", "id_b", "jaccard", "est_jaccard")
     )
 
 

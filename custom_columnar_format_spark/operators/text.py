@@ -483,3 +483,75 @@ def sliding_chunks(
             "chunk"
         ),
     )
+
+
+def hashing_trick_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embeddings — model-free
+    ``dim``-dimensional document vectors: each normalized token is hashed
+    to a bucket (first 48 md5 bits, mod dim) with a ±1 sign (13th hex
+    digit's parity, the signed-hashing variance fix from Weinberger et al.
+    2009), and a document's vector is the per-bucket signed token count.
+    Deterministic on any engine (md5 arithmetic, no model weights), so
+    text→vector→cosine retrieval becomes fully oracle-replayable.
+
+    Scale shape: one explode-first token stream (no HOF under Generate),
+    one shuffle into a per-doc aggregate of ``dim`` conditional sums (the
+    SimHash pattern — partial aggregation combines map-side, so the
+    shuffle carries one ``dim``-int row per doc per partition, never raw
+    tokens). Returns (id_col, vec: array<double>).
+    """
+    from .dedup import normalize_text
+
+    d = df.filter(F.trim(F.col(text_col)) != "")
+    sc = d.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism)
+    toks = (
+        d.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    m = toks.select("id", F.md5("tok").alias("m"))
+    h = m.select(
+        "id",
+        (F.conv(F.substring("m", 1, 12), 16, 10).cast("bigint") % dim).alias("b"),
+        F.when(
+            F.conv(F.substring("m", 13, 1), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)).alias("s"),
+    )
+    agg = h.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0.0)).alias(f"_v{j}")
+            for j in range(dim)
+        ]
+    )
+    return agg.select(
+        F.col("id").alias(id_col), F.array(*[F.col(f"_v{j}") for j in range(dim)]).alias("vec")
+    )
+
+
+def hash_embed_py(text: str, dim: int = 32) -> list:
+    """Driver-side replay of ``hashing_trick_embed`` for a literal query
+    string — same normalization and md5 bucket/sign math, so a query vector
+    computed here is bit-identical to what the engine would produce."""
+    import hashlib
+    import re as _re
+
+    t = _re.sub(
+        r"[ \t\n]+", " ", _re.sub(r"[^a-z0-9 \t\n]", "", text.lower().strip())
+    )
+    v = [0.0] * dim
+    for tok in t.split(" "):
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode()).hexdigest()
+        b = int(h[:12], 16) % dim
+        v[b] += 1.0 if int(h[12], 16) % 2 == 0 else -1.0
+    return v

@@ -919,3 +919,250 @@ def q_rp_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = ranked("full", emb, F.col("embedding"), lit_vector(qv))
     rp = ranked(f"rp{_RP_DIM}", proj, F.col("pv"), lit_vector(pq))
     return full.unionByName(rp)
+
+
+_HE_DIM = 32
+_HE_QUERY = "hash join filter scan table"
+_HE_K = 10
+
+
+def _hash_embed_oracle_sql(dim: int = _HE_DIM, k: int = _HE_K) -> str:
+    """Replay of hashing_trick_embed + cosine retrieval: md5 bucket/sign
+    per token, per-doc signed bucket counts as a list of dim conditional
+    sums, cosine against the query's vector (computed driver-side by the
+    SAME md5 math, inlined as literals)."""
+    from ..operators.text import hash_embed_py
+
+    qv = hash_embed_py(_HE_QUERY, dim)
+    qlst = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    b = f"({_hexparse_sql('md5(tok)', 1, 12)}) % {dim}"
+    s = f"CASE WHEN ({_hexparse_sql('md5(tok)', 13, 1)}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    sums = ", ".join(
+        f"SUM(CASE WHEN b = {j} THEN s ELSE 0.0 END)" for j in range(dim)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    t AS (SELECT doc_id, unnest(w) AS tok FROM norm),
+    h AS (SELECT doc_id, {b} AS b, {s} AS s FROM t WHERE tok <> ''),
+    v AS (SELECT doc_id, [{sums}] AS v FROM h GROUP BY doc_id),
+    q AS (SELECT {qlst} AS qv),
+    scored AS (
+      SELECT doc_id, {_cos_sql('v', 'qv')} AS c
+      FROM v, q
+      WHERE sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+    )
+    SELECT doc_id, floor(c*1e4+0.5)/1e4 AS cos_sim FROM scored
+    ORDER BY c DESC, doc_id LIMIT {k}
+    """
+
+
+@query(
+    "q_hash_embed_search",
+    _hash_embed_oracle_sql(),
+    doc="model-free vector retrieval over TEXT: feature-hashing ('hashing "
+    f"trick') {_HE_DIM}-dim signed-count embeddings for every document, "
+    "cosine top-k against the same hashing of a literal query string — the "
+    "vector-space complement of BM25 that needs no trained model and is "
+    "bit-replayable cross-engine (md5 bucket + sign parity). Scale shape: "
+    "explode-first token stream, ONE shuffle into a per-doc aggregate of "
+    f"{_HE_DIM} conditional sums (partial agg combines map-side — the "
+    "shuffle carries one row per doc per partition, never tokens), then a "
+    "scan-wide cosine and a bounded top-k.",
+)
+def q_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, norm
+    from ..operators import text as text_ops
+
+    docs = _docs_spread(spark, sf_dir)
+    vecs = text_ops.hashing_trick_embed(docs, dim=_HE_DIM)
+    qv = text_ops.hash_embed_py(_HE_QUERY, _HE_DIM)
+    q = lit_vector(qv)
+    c = dot(F.col("vec"), q) / (norm(F.col("vec")) * norm(q))
+    return (
+        vecs.filter(norm(F.col("vec")) > 0)
+        .select("doc_id", c.alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(_HE_K)
+        .select("doc_id", (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"))
+    )
+
+
+def _minhash_est_oracle_sql(threshold: float = 0.4) -> str:
+    from .llm_ops import _minhash_pairs_ctes
+
+    return (
+        "WITH "
+        + _minhash_pairs_ctes(threshold, with_est=True)
+        + "\n    SELECT id_a, id_b, jaccard, est_jaccard FROM pairs"
+    )
+
+
+@query(
+    "q_minhash_est_error",
+    _minhash_est_oracle_sql(),
+    doc="sketch-quality audit for the MinHash pipeline: every verified "
+    "near-dup pair carries BOTH its exact shingle-set Jaccard and the "
+    "signature-level estimate (matching MinHash positions / 64) — the "
+    "standard check that the sketch's error is inside theory bounds "
+    "(σ≈1/√64≈0.125) before banding thresholds are trusted at corpus "
+    "scale. Scale shape: identical to q_dedup_minhash plus two signature-"
+    "table rejoins pinned shuffle_hash (the signature side is corpus-"
+    "width, stats must never broadcast it).",
+)
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_neardup_pairs(
+        _docs_spread(spark, sf_dir), jaccard_threshold=0.4, with_estimate=True
+    ).orderBy("id_a", "id_b")
+
+
+_ALPHA_SQL = (
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)"
+)
+
+
+def _canonical_oracle_sql(threshold: float = 0.4) -> str:
+    """Clusters replay (recursive-CTE closure over the minhash pairs) +
+    quality join + per-component argmax."""
+    from .llm_ops import _minhash_pairs_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(threshold)
+        + f""",
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u),
+    qual AS (SELECT doc_id, {_ALPHA_SQL} AS alpha FROM documents),
+    ranked AS (
+      SELECT c.component, c.node,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.alpha DESC, c.node) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN qual q ON q.doc_id = c.node
+    )
+    SELECT component, n_members, node AS canonical_id FROM ranked WHERE rn = 1"""
+    )
+
+
+@query(
+    "q_dedup_canonical",
+    _canonical_oracle_sql(),
+    doc="canonical-document election — the last step of a dedup pipeline: "
+    "near-dup pairs → connected components → per cluster, KEEP the highest-"
+    "quality member (alphabetic-ratio proxy, ties → lowest id) instead of "
+    "the arbitrary min-id. Scale shape: the component labels join doc "
+    "quality co-partitioned on the doc id (merge-pinned — both sides "
+    "corpus-bounded, stats must never broadcast either), then one window "
+    "over clusters (cluster size ≪ corpus; the window partitions by "
+    "component, never a global order).",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering
+
+    docs = _docs_spread(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, jaccard_threshold=0.4)
+    cc = clustering.connected_components(pairs, src="id_a", dst="id_b")
+    qual = docs.select(
+        F.col("doc_id").alias("node"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha"),
+    )
+    w = Window.partitionBy("component")
+    ranked = (
+        cc.hint("merge")
+        .join(qual.hint("merge"), "node")
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("alpha"), F.asc("node"))))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component", "n_members", F.col("node").alias("canonical_id")
+    )
+
+
+_MIX_BUDGET = 20_000
+
+
+@query(
+    "q_mix_budget_fill",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+             {_ALPHA_SQL} AS alpha
+      FROM documents WHERE trim(text) <> ''
+    ),
+    per AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(total_tokens) AS all_tokens FROM per),
+    p AS (
+      SELECT source, pow(CAST(total_tokens AS DOUBLE) / all_tokens, 0.7) AS powed
+      FROM per, tot
+    ),
+    budgets AS (
+      SELECT source,
+             CAST(floor(floor(powed / (SELECT SUM(powed) FROM p) * 1000000 + 0.5)
+                        / 1000000 * {_MIX_BUDGET}) AS BIGINT) AS budget
+      FROM p
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY alpha DESC, doc_id) AS cum_tokens
+      FROM d
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget
+    FROM c JOIN budgets b USING (source)
+    WHERE c.cum_tokens <= b.budget
+    """,
+    doc="training-mix assembly: per-source token budgets from temperature-"
+    "scaled mixing weights (share^0.7, the mT5/XLM-R rule) are greedily "
+    "filled best-quality-first WITHIN each source — the composition of "
+    "q_mix_weights and q_token_budget_select that actually emits a mix. "
+    "Scale shape: the per-source running totals come from the distributed "
+    "prefix sum's partition_cols mode (range-repartition on (source, key), "
+    "per-slice offsets restart per source — no per-source single-task "
+    "window even when one domain dominates the corpus); the budget table "
+    "is group-cardinality-sized and joins stats-driven.",
+)
+def q_mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import prefix_sum
+    from ..operators import text as text_ops
+    from ..operators.dedup import normalize_text
+
+    docs = _docs_spread(spark, sf_dir)
+    d = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha"),
+    ).withColumn("neg_alpha", -F.col("alpha"))
+    budgets = text_ops.mixing_weights(docs).select(
+        "source",
+        F.floor(F.col("mix_weight") * _MIX_BUDGET).cast("bigint").alias("budget"),
+    )
+    cum = prefix_sum.cumulative_sum(
+        d,
+        order_cols=["neg_alpha", "doc_id"],
+        value_col="n_tokens",
+        partition_cols=["source"],
+        out_col="cum_tokens",
+    )
+    return (
+        cum.join(budgets, "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
+    )

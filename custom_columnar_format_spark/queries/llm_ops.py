@@ -70,7 +70,13 @@ def _hexparse_sql(expr: str, offset: int, nchars: int) -> str:
     return f"({terms})"
 
 
-def _minhash_pairs_ctes(threshold: float, k: int = 3, num_hashes: int = 64, num_bands: int = 16) -> str:
+def _minhash_pairs_ctes(
+    threshold: float,
+    k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    with_est: bool = False,
+) -> str:
     """CTE chain ending in pairs(id_a, id_b, jaccard) — the brute-force replay
     of minhash_neardup_pairs' km-md5 scheme: same grams, same signatures, a
     pair qualifies iff ≥1 of the 16 band slices matches exactly AND exact
@@ -90,6 +96,14 @@ def _minhash_pairs_ctes(threshold: float, k: int = 3, num_hashes: int = 64, num_
         for b in range(num_bands)
     )
     jac = "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / (len(ga) + len(gb) - len(list_intersect(ga, gb)))"
+    est_sel = (
+        f""",
+             floor(list_sum(list_transform(range(1, {num_hashes} + 1),
+                   i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+                   / {float(num_hashes)} * 10000 + 0.5) / 10000 AS est_jaccard"""
+        if with_est
+        else ""
+    )
     return f"""norm AS (
       SELECT doc_id, {_NORM_SQL} AS t
       FROM documents WHERE trim(text) <> ''
@@ -112,10 +126,11 @@ def _minhash_pairs_ctes(threshold: float, k: int = 3, num_hashes: int = 64, num_
         [{sig_terms}] AS sig
       FROM h
     ), cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb{
+        ", a.sig AS sa, b.sig AS sb" if with_est else ""}
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
     ), pairs AS (
-      SELECT id_a, id_b, floor(({jac}) * 10000 + 0.5) / 10000 AS jaccard
+      SELECT id_a, id_b, floor(({jac}) * 10000 + 0.5) / 10000 AS jaccard{est_sel}
       FROM cand WHERE ({jac}) >= {threshold}
     )"""
 

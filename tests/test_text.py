@@ -277,3 +277,30 @@ def test_sliding_chunks_properties(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 1
     with pytest.raises(ValueError):
         text.sliding_chunks(df, chunk_words=10, overlap_words=10)
+
+
+def test_hashing_trick_embed_matches_python_replay(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "hash join filter scan table"),
+        (2, "Punct!!! and CASE folding??"),
+        (3, "   "),  # empty after trim: excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: list(r.vec) for r in text.hashing_trick_embed(df, dim=16).collect()}
+    assert set(got) == {0, 1, 2}
+    for doc_id, raw in rows[:3]:
+        assert got[doc_id] == text.hash_embed_py(raw, 16), doc_id
+    # a doc is most similar to its own text's query vector
+    import math
+
+    q = text.hash_embed_py("hash join filter scan table", 16)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    sims = {i: cos(v, q) for i, v in got.items()}
+    assert max(sims, key=sims.get) == 1
