@@ -4,15 +4,18 @@
 
 The Spark-side architecture is fully real — schemas, partition-preserving
 batch UDFs, metadata extraction, frame-sampling fan-out. Decoding goes
-through a single-function seam with four implementations: the default
+through a single-function seam with five implementations: the default
 deterministic ``decode_stub`` (oracle-replayable, works everywhere), a real
 PNG image decoder (``decode_png``, stdlib zlib/struct + numpy — no optional
 dependency, round-trip tested against the bundled ``encode_png``), a
 Pillow image decoder for all other formats (``decode_pil``, gated on PIL
-being importable), and a real WAV audio decoder (``decode_wav``, stdlib
-``wave`` + numpy). Video keyframe decode remains stubbed (ffmpeg not in
-this container); everything around the seam (batch shapes, schema
-contracts, memory behavior) is what matters at scale and is tested.
+being importable), a real WAV audio decoder (``decode_wav``, stdlib
+``wave`` + numpy), and a real VIDEO keyframe decoder for uncompressed
+('DIB '/RGB24) AVI (``decode_avi``, stdlib RIFF walk + numpy, round-trip
+tested against the bundled ``encode_avi``; compressed codecs fall back to
+the stub — ffmpeg is not in this container). Everything around the seam
+(batch shapes, schema contracts, memory behavior) is what matters at scale
+and is tested.
 
 Scale notes: payloads stay in executor memory only for the lifetime of one
 Arrow batch; ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
@@ -360,3 +363,112 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
         .select("media_id", F.explode(frames).alias("fr"))
         .select("media_id", F.col("fr.frame_idx").alias("frame_idx"), F.col("fr.frame_offset").alias("frame_offset"))
     )
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Minimal uncompressed-AVI writer (RIFF + 'DIB ' frames, stdlib struct
+    only) for a list of HxWx3 uint8 RGB arrays. Exists so the pure-python
+    VIDEO decoder below is round-trip tested in this dependency-free
+    container — not a production encoder."""
+    import struct
+
+    import numpy as np
+
+    fs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not fs or any(f.ndim != 3 or f.shape[2] != 3 for f in fs):
+        raise ValueError("need >=1 HxWx3 uint8 frames")
+    h, w = fs[0].shape[:2]
+    row_pad = (-(w * 3)) % 4
+
+    def frame_bytes(f):
+        # bottom-up BGR rows, each padded to a 4-byte boundary
+        rows = []
+        for r in range(h - 1, -1, -1):
+            rows.append(f[r, :, ::-1].tobytes() + b"\x00" * row_pad)
+        return b"".join(rows)
+
+    def ck(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return ck(b"LIST", kind + data)
+
+    frame_size = (w * 3 + row_pad) * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, len(fs), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(fs), frame_size, 0xFFFFFFFF & -1, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+    movi = lst(b"movi", b"".join(ck(b"00db", frame_bytes(f)) for f in fs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes, kind: str):
+    """Real VIDEO decoder for uncompressed ('DIB '/RGB24) AVI payloads with
+    NO optional dependency — a stdlib RIFF chunk walk + numpy. Drop-in for
+    ``decode_stub`` with the same (width, height, feature[8]) contract and
+    the SAME feature definition as the image decoders (8-bin normalized
+    luma histogram, Rec.601), computed on the KEYFRAME (first '00db'/'00dc'
+    chunk in 'movi') — so image and video features live in one space.
+
+    Compressed codecs (no ffmpeg in this container), palettized frames and
+    malformed containers fall back to the deterministic stub, same policy
+    as ``decode_pil``/``decode_wav``. Frame SAMPLING over the stream is a
+    separate concern (``sample_frames``); this is the decode seam."""
+    if kind != "video":
+        return decode_stub(payload, kind)
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return decode_stub(payload, kind)
+
+        bmp = {}
+        first_frame = None
+        n_frames = 0
+
+        def walk(buf, off, end):
+            nonlocal first_frame, n_frames
+            while off + 8 <= end:
+                tag = buf[off : off + 4]
+                (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+                data_off = off + 8
+                if tag == b"LIST":
+                    walk(buf, data_off + 4, data_off + size)
+                elif tag == b"strf" and not bmp:
+                    (bi_size, w, h, planes, bpp, comp) = struct.unpack(
+                        "<IiiHHI", buf[data_off : data_off + 20]
+                    )
+                    bmp.update(w=w, h=h, bpp=bpp, comp=comp)
+                elif tag[2:4] in (b"db", b"dc"):
+                    n_frames += 1
+                    if first_frame is None:
+                        first_frame = buf[data_off : data_off + size]
+                off = data_off + size + (size % 2)
+
+        walk(payload, 12, len(payload))
+        if not bmp or first_frame is None or bmp["comp"] != 0 or bmp["bpp"] != 24:
+            return decode_stub(payload, kind)
+        w, h = bmp["w"], abs(bmp["h"])
+        stride = (w * 3 + 3) & ~3
+        if len(first_frame) < stride * h:
+            return decode_stub(payload, kind)
+        rows = np.frombuffer(first_frame[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if bmp["h"] > 0:  # bottom-up storage
+            bgr = bgr[::-1]
+        luma = (
+            0.299 * bgr[:, :, 2].astype(np.float64)
+            + 0.587 * bgr[:, :, 1].astype(np.float64)
+            + 0.114 * bgr[:, :, 0].astype(np.float64)
+        )
+        hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+        total = float(hist.sum()) or 1.0
+        return int(w), int(h), [float(c) / total for c in hist]
+    except Exception:
+        return decode_stub(payload, kind)

@@ -286,3 +286,70 @@ class TestPngCodec:
         assert abs(sum(out[1]["feature"]) - 1.0) < 1e-6  # float32 feature column
         stub = multimodal.decode_stub(b"zz", "audio")
         assert out[2]["feature"] == pytest.approx(stub[2])
+
+
+def _gradient_frames(w=12, h=8, n=3):
+    import numpy as np
+
+    frames = []
+    for t in range(n):
+        f = np.zeros((h, w, 3), dtype=np.uint8)
+        for x in range(w):
+            f[:, x, :] = min(255, int(255 * x / max(w - 1, 1)) + t)
+        frames.append(f)
+    return frames
+
+
+def test_decode_avi_roundtrip_keyframe():
+    """decode_avi round-trips the bundled encode_avi: true dimensions, and
+    the feature vector equals the keyframe's 8-bin luma histogram computed
+    directly from the source array."""
+    import numpy as np
+
+    frames = _gradient_frames()
+    payload = multimodal.encode_avi(frames)
+    w, h, feat = multimodal.decode_avi(payload, "video")
+    assert (w, h) == (12, 8)
+    f0 = frames[0].astype(np.float64)
+    luma = 0.299 * f0[:, :, 0] + 0.587 * f0[:, :, 1] + 0.114 * f0[:, :, 2]
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+    expect = [float(c) / float(hist.sum()) for c in hist]
+    assert feat == pytest.approx(expect)
+    assert abs(sum(feat) - 1.0) < 1e-9
+
+
+def test_decode_avi_odd_width_padding():
+    """Row stride pads to 4 bytes when w*3 % 4 != 0 — the classic DIB trap."""
+    import numpy as np
+
+    frames = [np.full((5, 7, 3), 200, dtype=np.uint8)]
+    w, h, feat = multimodal.decode_avi(multimodal.encode_avi(frames), "video")
+    assert (w, h) == (7, 5)
+    # uniform gray 200 -> all mass in bin 6 (192..224)
+    assert feat[6] == pytest.approx(1.0)
+
+
+def test_decode_avi_fallbacks():
+    avi = multimodal.encode_avi(_gradient_frames())
+    # wrong kind routes to the stub
+    assert multimodal.decode_avi(avi, "image") == multimodal.decode_stub(avi, "image")
+    # malformed container falls back instead of raising
+    junk = b"RIFFxxxxAVI " + b"\x00" * 16
+    assert multimodal.decode_avi(junk, "video") == multimodal.decode_stub(junk, "video")
+    trunc = avi[: len(avi) // 2]
+    out = multimodal.decode_avi(trunc, "video")
+    assert out == multimodal.decode_stub(trunc, "video") or len(out[2]) == 8
+
+
+def test_decode_avi_through_extract_features(spark):
+    """End-to-end through the Arrow mapInPandas seam: real AVI payloads in a
+    mixed media table decode to real dims/features, others stub-fall-back."""
+    avi = multimodal.encode_avi(_gradient_frames())
+    rows = [
+        (0, "video", bytearray(avi), "video/avi", len(avi)),
+        (1, "image", bytearray(b"not media"), "application/x-fake-image", 9),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "payload", "mime", "n_bytes"])
+    feats = {r.media_id: r for r in multimodal.extract_features(df, decoder=multimodal.decode_avi).collect()}
+    assert (feats[0].width, feats[0].height) == (12, 8)
+    assert feats[1].width is not None  # stub path for the non-video row
