@@ -1166,3 +1166,126 @@ def q_mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
     )
+
+
+def _ivf_recall_oracle_sql(k: int = 10) -> str:
+    """Overlap of the IVF oracle's top-k with the exact brute-force top-k —
+    both inlined as subqueries of the existing generators, so this oracle
+    can never drift from the two rankings it audits."""
+    from .llm_ops import _ivf_oracle_sql
+
+    exact = f"""
+      SELECT vec_id FROM (
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, {_cos_sql('embedding', 'qv')} AS c
+        FROM embeddings, q
+        ORDER BY c DESC, vec_id LIMIT {k}
+      )"""
+    return f"""
+    WITH exact AS ({exact}),
+    appr AS (SELECT vec_id FROM ({_ivf_oracle_sql(k)}) a)
+    SELECT {k} AS k, COUNT(*) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / {k} AS recall
+    FROM exact JOIN appr USING (vec_id)
+    """
+
+
+@query(
+    "q_ivf_recall_eval",
+    _ivf_recall_oracle_sql(),
+    doc="ANN recall audit as a first-class query: recall@10 of the IVF "
+    "probe path (seed-vector quantizer, nprobe=4) against the exact "
+    "brute-force cosine ranking — the number an index operator watches "
+    "before widening nprobe. Scale shape: two bounded top-k pipelines "
+    "(each per-partition heaps + final TakeOrdered) and one k-row join; "
+    "at corpus scale the exact side runs on a hash sample, the IVF side "
+    "is directory-pruned.",
+)
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import similarity
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    qv = seeds[0]
+    exact = similarity.brute_force_topk(emb, qv, k=10).select("vec_id")
+    appr = similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4, centroids=cent).select(
+        "vec_id"
+    )
+    return exact.join(appr, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
+
+
+def _cluster_quality_oracle_sql(nlist: int = 16) -> str:
+    """Per-cluster serving-index audit over the seed-vector quantizer:
+    assignment replay (argmax cosine, ties → smaller cid), then the
+    separation margin from the SORTED per-row cosine list (top = own
+    cluster by construction, runner-up = nearest other centroid)."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    cs AS (
+      SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS c
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    a AS (
+      SELECT vec_id, cid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+      FROM cs
+    ),
+    own AS (SELECT vec_id, cid AS cl FROM a WHERE rn = 1),
+    srt AS (SELECT vec_id, list_sort(list(c ORDER BY cid)) AS sorted_cos FROM cs GROUP BY vec_id)
+    SELECT o.cl AS sem_cluster, COUNT(*) AS n_vectors,
+           floor(AVG(sorted_cos[{nlist}]) * 1e4 + 0.5) / 1e4 AS avg_own_cos,
+           floor(AVG(sorted_cos[{nlist}] - sorted_cos[{nlist - 1}]) * 1e4 + 0.5) / 1e4 AS avg_margin
+    FROM srt s JOIN own o USING (vec_id) GROUP BY o.cl
+    """
+
+
+@query(
+    "q_cluster_quality",
+    _cluster_quality_oracle_sql(),
+    doc="serving-index quality audit: per inverted list, the member count, "
+    "average cosine to the OWN centroid (cohesion) and average margin over "
+    "the nearest OTHER centroid (separation — small margins mean probe "
+    "misses, the signal to retrain or widen nprobe). Scale shape: the 16 "
+    "per-centroid cosines are one codegen'd literal-expression pass per "
+    "row (sorted per row, own = max by construction of the argmax "
+    "assignment), then ONE partial+final aggregate on the nlist-sized "
+    "grid — no joins, no windows over the corpus.",
+)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions.vector import cosine as _cos
+    from ..operators import similarity
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    all_cos = F.array(
+        *[_cos(F.col("embedding"), lit_vector(cent[j])) for j in range(len(cent))]
+    )
+    assigned = emb.withColumn("sem_cluster", similarity.ivf_assign(cent)).withColumn(
+        "sorted_cos", F.sort_array(all_cos)
+    )
+    n = len(cent)
+    own = F.element_at("sorted_cos", n)
+    runner = F.element_at("sorted_cos", n - 1)
+    return assigned.groupBy("sem_cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.floor(F.avg(own) * 1e4 + 0.5) / 1e4).alias("avg_own_cos"),
+        (F.floor(F.avg(own - runner) * 1e4 + 0.5) / 1e4).alias("avg_margin"),
+    )
