@@ -453,12 +453,21 @@ def pq_train(
 def pq_codes_col(codebooks: np.ndarray, vec_col: str = "embedding") -> F.Column:
     """array<int> of 1-based per-subspace code assignments (argmin L2 to the
     subspace's codewords; ties → the SMALLEST code, via ``array_position``'s
-    first-match semantics). Entirely JVM expressions: per subspace, a
-    ``slice`` of the vector, ksub ``zip_with``/``aggregate`` squared
-    distances against literal codewords, ``array_min`` + ``array_position``.
-    The whole assignment is one codegen'd projection — the same fused-
-    expression shape as the MinHash signature (dedup.py), which measured
-    far faster than a Python round-trip at this width."""
+    first-match semantics). JVM expressions: per subspace, a ``slice`` of
+    the vector, ksub ``zip_with``/``aggregate`` squared distances against
+    literal codewords, ``array_min`` + ``array_position``.
+
+    Performance honesty (measured at sf0.1, 2000×64f, warm): HOFs are
+    CodegenFallback, so this projection evaluates interpreted at ~4.8 ms/row
+    (256 lambda-bound folds per row, the d2 array evaluated twice because
+    subexpression elimination is codegen-only) — and the "obvious" fix of
+    flattening to 4096 plain arithmetic nodes is WORSE (14-18 s warm:
+    still no whole-stage codegen, more boxed eval nodes — the same cliff
+    as the rejected MinHash signature rewrite in dedup.py). The production
+    encode path is ``pq_codes_pandas_udf`` below: Arrow-batched numpy with
+    dim-sequential accumulation, BIT-IDENTICAL codes at ~40× the
+    throughput. This expression form is the dependency-light reference,
+    pinned to the Arrow path by an equality test."""
     n_subspaces, ksub, sub_dim = codebooks.shape
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = []
@@ -477,6 +486,39 @@ def pq_codes_col(codebooks: np.ndarray, vec_col: str = "embedding") -> F.Column:
     return F.array(*codes)
 
 
+def pq_codes_pandas_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder — the production twin of ``pq_codes_col``,
+    BIT-IDENTICAL by construction: squared-distance accumulation runs
+    row-vectorized but DIM-SEQUENTIAL (``acc += (x_i − c_i)²`` in subspace
+    order — the exact left-to-right order of the expression fold; IEEE ops
+    are deterministic per element), and ``argmin`` takes the FIRST minimum
+    exactly like ``array_position``'s first match. One numpy pass per
+    Arrow batch replaces 256 interpreted lambda folds per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    n_subspaces, ksub, sub_dim = books.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        out = np.empty((len(x), n_subspaces), dtype=np.int32)
+        for m in range(n_subspaces):
+            xs = x[:, m * sub_dim : (m + 1) * sub_dim]
+            d2 = np.zeros((len(x), ksub))
+            for i in range(sub_dim):
+                diff = xs[:, i : i + 1] - books[m, :, i][None, :]
+                d2 += diff * diff
+            out[:, m] = d2.argmin(axis=1) + 1
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -484,6 +526,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoder: str = "arrow",
 ) -> DataFrame:
     """ADC top-k: rank by the PQ approximation of squared L2 distance to the
     query — ``sum_m lut[m][code_m]`` where ``lut`` is the (M × ksub)
@@ -493,8 +536,20 @@ def pq_adc_topk(
     argmin expressions run once, then the distance is a fixed left-fold of
     M ``element_at`` lookups in subspace order (bit-replayable by the
     DuckDB oracle's ordered list_sum). Ranking is on the RAW fold; the
-    rounded value is only emitted."""
-    coded = df.select(F.col(id_col), pq_codes_col(codebooks, vec_col).alias("pq_codes"))
+    rounded value is only emitted.
+
+    ``encoder`` picks the bit-identical code path: ``"arrow"`` (default,
+    numpy per Arrow batch — see ``pq_codes_pandas_udf``) or ``"expr"``
+    (pure JVM expressions, interpreted because HOFs are CodegenFallback —
+    the dependency-light reference, ~40× slower at encode)."""
+    if encoder == "arrow":
+        from ..shipping import ensure_worker_imports
+
+        ensure_worker_imports(df.sparkSession)
+        codes = pq_codes_pandas_udf(codebooks)(F.col(vec_col))
+    else:
+        codes = pq_codes_col(codebooks, vec_col)
+    coded = df.select(F.col(id_col), codes.alias("pq_codes"))
     scored = coded.select(F.col(id_col), adc_dist_col(codebooks, query_vec).alias("_d"))
     return (
         scored.orderBy(F.asc("_d"), F.asc(id_col))
@@ -562,15 +617,26 @@ def ivf_pq_write_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fmt: str = "parquet",
+    encoder: str = "arrow",
 ) -> None:
     """Materialize the IVF-PQ serving index: one directory per inverted
     list, rows = (id, pq_codes) — the full-width vector column is DROPPED.
     This is the physical form of both PQ promises: per-query I/O is
     ``nprobe/nlist`` of the directories (partition pruning) × M bytes per
-    vector (codes instead of 4·dim floats). Encoding runs once, here."""
+    vector (codes instead of 4·dim floats). Encoding runs once, here —
+    with the Arrow-batched encoder by default (``pq_codes_pandas_udf``,
+    bit-identical to the expression form; index builds are exactly where
+    the 40× encode-throughput gap matters)."""
+    if encoder == "arrow":
+        from ..shipping import ensure_worker_imports
+
+        ensure_worker_imports(df.sparkSession)
+        codes = pq_codes_pandas_udf(codebooks)(F.col(vec_col))
+    else:
+        codes = pq_codes_col(codebooks, vec_col)
     (
         df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
-        .withColumn("pq_codes", pq_codes_col(codebooks, vec_col))
+        .withColumn("pq_codes", codes)
         .select(id_col, "pq_codes", "ivf_list")
         .write.partitionBy("ivf_list")
         .mode("overwrite")

@@ -323,3 +323,36 @@ def test_semdedup_matches_numpy_greedy(spark):
         assert got[i][1] == (i in pruned), i
     # the planted copies must actually be pruned
     assert all((110 + j) in pruned for j in range(10))
+
+
+def test_pq_arrow_encoder_bit_identical_to_expr(spark):
+    """The Arrow-batched PQ encoder must produce EXACTLY the codes of the
+    expression form — same dim-sequential accumulation order, same
+    first-min argmin — on vectors engineered to include near-ties."""
+    rng = np.random.RandomState(97)
+    x = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant exact codeword hits (distance 0 ties impossible to half-guess)
+    books = similarity.pq_train(x.astype(np.float64), n_subspaces=8, ksub=16, seed=5)
+    for j in range(8):
+        x[j] = books[:, j % 16, :].reshape(-1).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(N)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    expr = {
+        r.vec_id: list(r.c)
+        for r in df.select("vec_id", similarity.pq_codes_col(books).alias("c")).collect()
+    }
+    arrow = {
+        r.vec_id: list(r.c)
+        for r in df.select(
+            "vec_id", similarity.pq_codes_pandas_udf(books)(similarity.F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert expr == arrow
+    # and the two ADC rankings are therefore identical too
+    q = x[0].astype(np.float64)
+    a = [tuple(r) for r in similarity.pq_adc_topk(df, q, books, k=10, encoder="expr").collect()]
+    b = [tuple(r) for r in similarity.pq_adc_topk(df, q, books, k=10, encoder="arrow").collect()]
+    assert a == b
