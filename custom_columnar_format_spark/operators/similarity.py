@@ -682,6 +682,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    scorer: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023): assign
     every vector to its max-cosine coarse cluster, then compute pairwise
@@ -699,6 +700,16 @@ def semdedup_pairs(
     (id, vec, sem_cluster) table (e.g. ``semdedup_prune``) share it: the
     assignment is an Arrow-batched Python evaluation, and without sharing
     each plan branch would recompute it per scan.
+
+    ``scorer`` picks the pair-cosine path. ``"expr"`` (default) is the
+    zip_with/aggregate fold; ``"arrow"`` scores each joined pair with
+    ``cosine_pair_pandas_udf`` (bit-identical RAW cosines, JVM ``F.round``
+    applied on top). Measured A/B at sf0.1 (64-dim, ~125k in-cluster
+    pairs, warm): expr 2.5-3.3 s vs arrow 3.3 s — unlike the PQ encoder
+    (where Arrow won 6×), here shipping BOTH pair vectors through Arrow
+    (~128 MB) cancels numpy's win at 64 dims, so the expression form stays
+    the default; pick ``"arrow"`` for wide embeddings (≥256 dims), where
+    the fold cost grows linearly but the Arrow overhead does not.
     """
     if assigned is None:
         assigned = df.withColumn("sem_cluster", ivf_assign(centroids, vec_col))
@@ -708,6 +719,13 @@ def semdedup_pairs(
     b = assigned.select(
         "sem_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
     )
+    if scorer == "arrow":
+        from ..shipping import ensure_worker_imports
+
+        ensure_worker_imports(df.sparkSession)
+        raw = cosine_pair_pandas_udf()(F.col("v_a"), F.col("v_b"))
+    else:
+        raw = cosine(F.col("v_a"), F.col("v_b"))
     return (
         a.join(b, "sem_cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -715,10 +733,41 @@ def semdedup_pairs(
             "sem_cluster",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cos_sim"),
+            F.round(raw, 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def cosine_pair_pandas_udf():
+    """Arrow-batched pairwise cosine over two joined vector columns — the
+    production scorer for cluster-blocked pair streams (SemDeDup). RAW
+    cosine only; callers apply the engine's own ``F.round`` on top, so
+    rounding semantics stay JVM-side. Bit-identical to
+    ``functions.vector.cosine`` by construction: dot and both norms
+    accumulate row-vectorized but DIM-SEQUENTIAL (the expression fold's
+    exact left-to-right order), then ``dot / (sqrt(na) * sqrt(nb))`` in the
+    same operation order."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def raw_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=float)
+        xa = np.stack(a.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        xb = np.stack(b.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        dot = np.zeros(len(xa))
+        na = np.zeros(len(xa))
+        nb = np.zeros(len(xa))
+        for i in range(xa.shape[1]):
+            dot += xa[:, i] * xb[:, i]
+            na += xa[:, i] * xa[:, i]
+            nb += xb[:, i] * xb[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return raw_cos
 
 
 def semdedup_prune(

@@ -356,3 +356,29 @@ def test_pq_arrow_encoder_bit_identical_to_expr(spark):
     a = [tuple(r) for r in similarity.pq_adc_topk(df, q, books, k=10, encoder="expr").collect()]
     b = [tuple(r) for r in similarity.pq_adc_topk(df, q, books, k=10, encoder="arrow").collect()]
     assert a == b
+
+
+def test_semdedup_arrow_scorer_bit_identical_to_expr(spark):
+    """The Arrow pair scorer + JVM round must reproduce the expression
+    path's rounded cosines EXACTLY — including the planted near-identical
+    pairs whose cos sits right at the rounding boundary region."""
+    rng = np.random.RandomState(55)
+    centers = rng.standard_normal((4, DIM)) * 3
+    x = np.stack([centers[i % 4] + 0.5 * rng.standard_normal(DIM) for i in range(100)])
+    for j in range(8):
+        x[90 + j] = x[j] + 1e-4 * rng.standard_normal(DIM)
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(100)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    a = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.semdedup_pairs(df, cent, threshold=-1.0, scorer="expr").collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.semdedup_pairs(df, cent, threshold=-1.0, scorer="arrow").collect()
+    }
+    assert a == b and len(a) > 1000
