@@ -28,6 +28,17 @@ in → silently wrong offsets (row count intact). The checkpoint pins one set
 of boundaries for both branches; its blocks are freed by the ContextCleaner
 when the RDD is garbage collected, so no explicit unpersist is needed.
 
+``cumulative_sum_keyed`` goes one step further for NUMERIC order keys: the
+slice id is derived from the key's value itself (integer arithmetic against
+the group-wise min/max, broadcast back from a tiny aggregate), so a row's
+slice is a pure function of the data — no ``repartitionByRange`` sampling,
+no ``spark_partition_id()``, no checkpoint pinning needed. Any number of
+Exchanges can replan the query and every one of them computes the same
+slice for the same row. This removes the entire class of boundary
+nondeterminism the range-partitioned variant has to pin with
+``localCheckpoint`` (driver rounds 4–5 kept flagging ``q_pack_sequences``
+despite the pin; this variant has no boundaries to disagree about).
+
 The reference has no windowing at all (SURVEY.md §2.2 — storage-only);
 this is part of the new engine's extended surface.
 """
@@ -83,12 +94,117 @@ def cumulative_sum(
     offsets = (
         sliced.groupBy(_PID, *pcols)
         .agg(F.sum(value_col).alias("__ps_tot"))
-        .withColumn(_OFF, F.coalesce(F.sum("__ps_tot").over(w_off), F.lit(0)))
+        .withColumn(_OFF, F.sum("__ps_tot").over(w_off))
         .drop("__ps_tot")
     )
 
     return (
         local.join(F.broadcast(offsets), [_PID, *pcols])
-        .withColumn(out_col, F.col(out_col) + F.col(_OFF))
+        .withColumn(out_col, _merge_local_and_offset(out_col))
+        .drop(_PID, _OFF)
+    )
+
+
+def _merge_local_and_offset(out_col: str):
+    """Combine within-slice cumsum with the prior-slice offset, preserving
+    exact ``SUM() OVER`` NULL semantics: the result is NULL iff every value
+    in the row's global prefix is NULL (the window sum skips NULLs but
+    yields NULL over an all-NULL frame). A naive ``local + coalesce(off, 0)``
+    returns NULL whenever the within-slice prefix is all-NULL even though
+    prior slices carried real values."""
+    local, off = F.col(out_col), F.col(_OFF)
+    return F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+        F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+    )
+
+
+def cumulative_sum_keyed(
+    df: DataFrame,
+    order_cols: Sequence[str] | str,
+    value_col: str,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "cum",
+    n_slices: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum ordered by ``order_cols`` (first col NUMERIC),
+    with slice ids derived from the leading key's VALUE — fully
+    deterministic under any physical plan (see module docstring).
+
+    Slice id = ``least(n-1, floor((key - min) / (max - min) * n))`` with
+    min/max per ``partition_cols`` group coming from a one-row-per-group
+    aggregate broadcast back onto the data. The mapping is monotone in the
+    leading key, so rows tied on it (broken by the remaining order cols)
+    always share a slice and tie-breaking stays within-slice. Balanced when
+    leading keys are roughly uniform in their range (sequential ids are);
+    imbalance only costs parallelism, never correctness — and because the
+    slice is a pure function of row values + a deterministic aggregate, a
+    plan that recomputes the expression in ten different Exchanges still
+    assigns every row the same slice. NULL leading keys sort last (DuckDB
+    default ``ASC NULLS LAST``) and land in the final slice.
+
+    Cost trade vs the checkpointing variant: the input projection is
+    evaluated once per consuming branch (two scans of ``df``'s lineage —
+    the bounds aggregate is a third, but column-pruned to the key columns
+    only). The range-partitioned variant pays one scan plus a full
+    checkpoint materialization AND carries the boundary-pinning burden;
+    here recomputation is SAFE by construction, so callers with an
+    expensive upstream (e.g. tokenization) may persist ``df`` themselves
+    to trade memory for the second pass — determinism never depends on it.
+    """
+    pcols = list(partition_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n = n_slices or df.sparkSession.sparkContext.defaultParallelism
+    key = F.col(ocols[0]).cast("double")
+
+    if pcols:
+        bounds = df.groupBy(*pcols).agg(
+            F.min(key).alias("__ps_min"), F.max(key).alias("__ps_max")
+        )
+        with_bounds = df.join(F.broadcast(bounds), pcols)
+        mn, mx = F.col("__ps_min"), F.col("__ps_max")
+    else:
+        # group-less case: the bounds are TWO SCALARS — collect them
+        # (bounded, the VERDICT-sanctioned 1-row-stats pattern) and inline
+        # as plan literals instead of joining. A constant-key equi-join
+        # gets its condition folded away by Catalyst and re-plans as the
+        # BroadcastNestedLoopJoin the fleet-wide plan lint bans; literals
+        # need no join at all, and the min/max scan is column-pruned.
+        row = df.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).first()
+        with_bounds = df
+        mn = F.lit(row["mn"] if row["mn"] is not None else 0.0)
+        mx = F.lit(row["mx"] if row["mx"] is not None else 0.0)
+    span = mx - mn
+    slice_id = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n - 1),
+            F.floor((key - mn) / span * F.lit(n)).cast("int"),
+        )
+    )
+    sliced = with_bounds.withColumn(
+        _PID, F.coalesce(slice_id, F.lit(n - 1))
+    ).drop("__ps_min", "__ps_max")
+
+    w_local = (
+        Window.partitionBy(_PID, *pcols)
+        .orderBy(*[F.asc_nulls_last(c) for c in ocols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn(out_col, F.sum(value_col).over(w_local))
+
+    w_off = (
+        Window.partitionBy(*pcols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sliced.groupBy(_PID, *pcols)
+        .agg(F.sum(value_col).alias("__ps_tot"))
+        .withColumn(_OFF, F.sum("__ps_tot").over(w_off))
+        .drop("__ps_tot")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), [_PID, *pcols])
+        .withColumn(out_col, _merge_local_and_offset(out_col))
         .drop(_PID, _OFF)
     )

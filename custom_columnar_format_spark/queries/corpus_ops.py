@@ -469,6 +469,69 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bpe_train_2merges",
+    # The full n-merge loop is rows-only (above); unrolling a FIXED depth of
+    # 2 iterations as chained CTEs makes the loop's exact greedy semantics
+    # DuckDB-checkable (the q_pagerank_suppliers trick). Merge application
+    # is a list_reduce fold over singleton-wrapped symbols: left-to-right
+    # non-overlapping by construction, and a merged token a||b can never
+    # re-match `a` within the same pass (b is nonempty), so the fold is
+    # exactly Sennrich's merge step.
+    f"""
+    WITH norm AS (SELECT {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''),
+    wd AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> '' GROUP BY w
+    ),
+    sym0 AS (
+      SELECT n, list_append(list_transform(generate_series(1, length(w)),
+                                           i -> substr(w, i, 1)), '</w>') AS s
+      FROM wd
+    ),
+    p1 AS (
+      SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+      FROM sym0, unnest(range(1, len(s))) AS u(i) GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    sym1 AS (
+      SELECT n,
+             list_reduce(list_transform(s, x -> [x]),
+               (acc, x) -> CASE WHEN acc[len(acc)] = m1.a AND x[1] = m1.b
+                                THEN list_append(acc[1:len(acc)-1], m1.a || m1.b)
+                                ELSE list_concat(acc, x) END) AS s
+      FROM sym0, m1
+    ),
+    p2 AS (
+      SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+      FROM sym1, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2 GROUP BY 1, 2
+    ),
+    m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT 0 AS merge_rank, a AS "left", b AS "right" FROM m1
+    UNION ALL
+    SELECT 1 AS merge_rank, a AS "left", b AS "right" FROM m2
+    """,
+    doc="BPE training unrolled to depth 2 with a full DuckDB oracle: pair "
+    "counts weighted by word frequency, greedy argmax (count DESC, pair "
+    "ASC), merge applied via an order-preserving fold, recount, second "
+    "argmax. Pins the ENGINE loop's per-iteration semantics cross-engine; "
+    "the 8-merge production run (q_bpe_train_merges) and the pure-python "
+    "reference equality test extend the same loop deeper. Scale shape "
+    "identical to bpe_train: one corpus shuffle to the capped (word, n) "
+    "table, then vocab-bounded iterations.",
+)
+def q_bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenizer
+
+    docs = load(spark, sf_dir, "documents")
+    merges = tokenizer.bpe_train(docs, "text", n_merges=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank: int, left: string, right: string",
+    )
+
+
 _MAT_DIM = 16
 _MAT_K = 10
 
@@ -636,7 +699,7 @@ _BIGRAM_K = 0.5
       FROM counts JOIN ctx USING (lang, w1) JOIN vocab USING (lang)
     )
     SELECT doc_id, lang, COUNT(*) AS n_bigrams,
-           ROUND(AVG(-ln(p)), 4) AS avg_neg_logprob
+           FLOOR(AVG(-ln(p)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
     FROM bb JOIN model USING (lang, w1, w2)
     GROUP BY 1, 2
     """,
@@ -773,7 +836,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.length("text")
         ).alias("alpha"),
     ).withColumn("neg_alpha", -F.col("alpha"))
-    cum = prefix_sum.cumulative_sum(
+    cum = prefix_sum.cumulative_sum_keyed(
         d, order_cols=["neg_alpha", "doc_id"], value_col="n_tokens", out_col="cum_tokens"
     )
     return cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
@@ -1154,7 +1217,7 @@ def q_mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.col("mix_weight") * _MIX_BUDGET).cast("bigint").alias("budget"),
     )
-    cum = prefix_sum.cumulative_sum(
+    cum = prefix_sum.cumulative_sum_keyed(
         d,
         order_cols=["neg_alpha", "doc_id"],
         value_col="n_tokens",

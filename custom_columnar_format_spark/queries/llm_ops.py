@@ -1206,14 +1206,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="sequence packing (training-batch assembly): docs fill 2048-token "
     "context bins per language in doc_id order — bin id = exclusive running "
-    "token count / budget. The running sum uses operators/prefix_sum.py's "
-    "two-pass range-partitioned scheme, NOT a single-partition window: "
-    "within-slice window cumsum in parallel + broadcast of the tiny "
-    "per-slice totals. The oracle states the same semantics as a plain "
-    "window cumsum (fine at sf0.01; the operator exists because that plan "
-    "dies at 100 TB).",
+    "token count / budget. The running sum uses "
+    "prefix_sum.cumulative_sum_keyed: slice ids derived from doc_id values "
+    "against broadcast per-lang min/max (exact int64 arithmetic), so the "
+    "result is a pure function of the data under ANY physical plan — no "
+    "RangePartitioner sampling, no partition-id capture, nothing for two "
+    "Exchanges to disagree about (the r4/r5 driver hash-mismatch surface). "
+    "Exclusive prev count = coalesce(cum - tok, cum, 0), the exact mirror "
+    "of the oracle's COALESCE(prev, 0) even for NULL-token rows. The "
+    "oracle states the same semantics as a plain window cumsum (fine at "
+    "sf0.01; the operator exists because that plan dies at 100 TB).",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pack_sequences_impl(spark, sf_dir, keyed=True)
+
+
+def _pack_sequences_impl(spark: SparkSession, sf_dir: str, keyed: bool) -> DataFrame:
     from custom_columnar_format_spark.operators import prefix_sum
 
     docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "text")
@@ -1222,14 +1230,49 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.filter(F.split("text", " ", -1), lambda x: x != F.lit(""))).alias("tok"),
     )
-    c = prefix_sum.cumulative_sum(
-        d, ["doc_id"], "tok", partition_cols=["lang"], out_col="cum"
-    )
+    if keyed:
+        c = prefix_sum.cumulative_sum_keyed(
+            d, "doc_id", "tok", partition_cols=["lang"], out_col="cum"
+        )
+    else:
+        c = prefix_sum.cumulative_sum(
+            d, ["doc_id"], "tok", partition_cols=["lang"], out_col="cum"
+        )
+    prev = F.coalesce(F.col("cum") - F.col("tok"), F.col("cum"), F.lit(0))
     return (
-        c.withColumn("bin", F.floor((F.col("cum") - F.col("tok")) / 2048).cast("long"))
+        c.withColumn("bin", F.floor(prev / 2048).cast("long"))
         .groupBy("lang", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tokens"))
     )
+
+
+@query(
+    "q_pack_sequences_twopass",
+    """
+    WITH d AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM d
+    )
+    SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+    FROM c GROUP BY lang, bin
+    """,
+    doc="bisect twin of q_pack_sequences on the ORIGINAL range-partitioned "
+    "two-pass operator (repartitionByRange + spark_partition_id + "
+    "localCheckpoint pin), kept so a driver round that samples both "
+    "separates residual boundary nondeterminism (twin red, keyed green) "
+    "from a shared semantic divergence (both red, narrowing to the common "
+    "tokenize/bin logic). Same oracle SQL as q_pack_sequences.",
+)
+def q_pack_sequences_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pack_sequences_impl(spark, sf_dir, keyed=False)
 
 
 @query(
