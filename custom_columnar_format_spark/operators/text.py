@@ -366,6 +366,7 @@ def bigram_logprob_quality(
     k_smooth: float = 0.5,
     broadcast_model="auto",
     auto_broadcast_max_vocab: int = 500_000,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document BIGRAM language-model quality signal — the order-2
     upgrade of ``unigram_logprob_quality`` and the closer stand-in for the
@@ -392,7 +393,16 @@ def bigram_logprob_quality(
     (lang, w1, w2) otherwise; the corpus-sized posting stream is never
     broadcast.
 
-    Returns (id_col, lang, n_bigrams, avg_neg_logprob) in nats, rounded 4.
+    Cache lifecycle (same contract as minhash/funnel): under
+    ``broadcast_model="auto"`` the model table is persisted for the sizing
+    count; if broadcast wins it is unpersisted immediately (the broadcast
+    join re-reads the plan anyway), otherwise it stays cached for the
+    shuffle join and the CALLER owns the unpersist (``persist=False`` skips
+    caching entirely at the cost of recomputing the model for the join).
+
+    Returns (id_col, lang, n_bigrams, avg_neg_logprob) in nats, rounded 4
+    via the cross-engine floor(x*1e4+0.5)/1e4 idiom (engine-native ROUND
+    half-cases differ between Spark and DuckDB).
     """
     bi = bigram_postings(df, text_col, id_col, lang_col)
     counts = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -413,8 +423,12 @@ def bigram_logprob_quality(
         )
     )
     if broadcast_model == "auto":
-        model = model.persist()
-        do_broadcast = model.count() <= auto_broadcast_max_vocab
+        sized = model.persist() if persist else model
+        do_broadcast = sized.count() <= auto_broadcast_max_vocab
+        if do_broadcast and persist:
+            sized.unpersist()
+        else:
+            model = sized
     else:
         do_broadcast = bool(broadcast_model)
     return (
@@ -422,7 +436,7 @@ def bigram_logprob_quality(
         .groupBy("id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log("p")), 4).alias("avg_neg_logprob"),
+            (F.floor(F.avg(-F.log("p")) * 1e4 + 0.5) / 1e4).alias("avg_neg_logprob"),
         )
         .select(F.col("id").alias(id_col), "lang", "n_bigrams", "avg_neg_logprob")
     )

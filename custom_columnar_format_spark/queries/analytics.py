@@ -692,7 +692,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cells AS (
       SELECT o_orderpriority AS prio, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             ROUND(SUM(o_totalprice), 6) AS rev
+             FLOOR(SUM(o_totalprice) * 1e6 + 0.5) / 1e6 AS rev
       FROM orders GROUP BY 1, 2
     ),
     framed AS (
@@ -702,9 +702,9 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells
     )
     SELECT prio, strftime(day, '%Y-%m-%d') AS day,
-           ROUND(
+           FLOOR(
              list_sum(list_transform(range(1, len(arr)+1), i -> arr[i] * power(0.5, len(arr)-i)))
-             / list_sum(list_transform(range(1, len(arr)+1), i -> power(0.5, len(arr)-i))), 6) AS rev_ewma
+             / list_sum(list_transform(range(1, len(arr)+1), i -> power(0.5, len(arr)-i))) * 1e6 + 0.5) / 1e6 AS rev_ewma
     FROM framed
     """,
     doc="7-day exponentially-weighted moving average of daily revenue per "
@@ -722,13 +722,13 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
             F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+        .agg((F.floor(F.sum("o_totalprice") * 1e6 + 0.5) / 1e6).alias("rev"))
     )
     sm = timeseries.ewma(cells, "prio", "d", "rev", alpha=0.5, window=7)
     return sm.select(
         "prio",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.round("rev_ewma", 6).alias("rev_ewma"),
+        (F.floor(F.col("rev_ewma") * 1e6 + 0.5) / 1e6).alias("rev_ewma"),
     )
 
 

@@ -353,3 +353,63 @@ def test_decode_avi_through_extract_features(spark):
     feats = {r.media_id: r for r in multimodal.extract_features(df, decoder=multimodal.decode_avi).collect()}
     assert (feats[0].width, feats[0].height) == (12, 8)
     assert feats[1].width is not None  # stub path for the non-video row
+
+
+def test_decode_ffmpeg_falls_back_without_ffmpeg():
+    """Junk payloads and missing binaries must degrade to the stub — never
+    raise (the fleet-wide never-fail-mid-batch policy)."""
+    payload = b"not media at all"
+    for kind in ("video", "audio", "image"):
+        got = multimodal.decode_ffmpeg(payload, kind)
+        assert got == multimodal.decode_stub(payload, kind)
+
+
+@pytest.mark.skipif(
+    not multimodal.ffmpeg_available(), reason="ffmpeg not installed in this container"
+)
+def test_decode_ffmpeg_real_compressed_video(tmp_path):
+    """Encode a tiny synthetic clip with ffmpeg itself, then decode the
+    compressed payload through the seam: real dimensions and a normalized
+    8-bin histogram (not the sha256 stub features)."""
+    import subprocess
+
+    clip = tmp_path / "clip.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=size=64x48:rate=4:duration=1",
+            "-pix_fmt", "yuv420p", str(clip),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    payload = clip.read_bytes()
+    w, h, feat = multimodal.decode_ffmpeg(payload, "video")
+    assert (w, h) == (64, 48)
+    assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-6
+    assert (w, h, feat) != multimodal.decode_stub(payload, "video")
+
+
+@pytest.mark.skipif(
+    not multimodal.ffmpeg_available(), reason="ffmpeg not installed in this container"
+)
+def test_decode_ffmpeg_real_compressed_audio(tmp_path):
+    import subprocess
+
+    clip = tmp_path / "tone.mp3"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "sine=frequency=440:duration=1",
+            str(clip),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    payload = clip.read_bytes()
+    w, h, feat = multimodal.decode_ffmpeg(payload, "audio")
+    assert w is None and h is None
+    assert len(feat) == 8
+    # full-scale-ish sine: RMS ≈ 0.7 of peak; mp3 encoding keeps it well
+    # above silence and below clipping in every segment
+    assert all(0.05 < f < 1.0 for f in feat)
