@@ -99,22 +99,44 @@ def _tokens_udf(merges: List[Tuple[str, str]]):
     return tok
 
 
-def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 16) -> List[Tuple[str, str]]:
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    min_count: int = 1,
+    max_vocab: int = 1_000_000,
+) -> List[Tuple[str, str]]:
     """Train ``n_merges`` BPE merges over the corpus. Returns the ordered
     merge list. One corpus pass (word counts); each iteration re-tokenizes
     the BOUNDED vocab with the merges so far (stateless — no growing plan
     lineage and nothing cached between iterations) and aggregates pair
-    counts weighted by word frequency."""
+    counts weighted by word frequency.
+
+    The driver only ever receives a CAPPED word table: ``min_count`` drops
+    hapax noise inside the one corpus shuffle and ``max_vocab`` keeps the
+    top-N most frequent words (count DESC, word ASC — deterministic), a
+    ``TakeOrderedAndProject`` rather than a full sort. Frequency-capping
+    the training vocabulary is standard BPE practice (Sennrich et al. 2016
+    train on frequency dictionaries; GPT-2/SentencePiece cap or
+    pre-filter likewise) — on web-scale corpora the distinct-"word" set
+    (URLs, typos, numerals) runs to 10^8–10^9 and the dropped tail is
+    precisely the mass that cannot win a greedy highest-count merge.
+    Effect on results: none when the true vocab fits (testdata does —
+    pinned by reference-equality tests); at web scale the cap trades an
+    unbounded driver collect for the standard approximation every
+    production tokenizer trainer makes."""
     from ..shipping import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
+    wc_dist = word_count_table(df, text_col)
+    if min_count > 1:
+        wc_dist = wc_dist.filter(F.col("n") >= min_count)
+    capped = wc_dist.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab)
     wc = df.sparkSession.createDataFrame(
-        word_count_table(df, text_col).collect(), "word: string, n: long"
+        capped.collect(), "word: string, n: long"
     )
-    # The vocab is bounded (distinct words) but the COLLECT above also keeps
-    # the loop's lineage flat: each iteration plans against a local table,
-    # not n_merges stacked UDF applications. For a vocab too big to collect,
-    # checkpoint the word-count table instead and keep the same loop.
+    # The capped collect also keeps the loop's lineage flat: each iteration
+    # plans against a local table, not n_merges stacked UDF applications.
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
         toks = wc.select("n", _tokens_udf(merges)(F.col("word")).alias("t"))

@@ -14,7 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "custom-columnar-format-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "custom-columnar-format-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """``extra_conf`` entries are applied LAST (they win over the defaults
+    below) — used by tools/stress_scale.py to re-enable the UI so the REST
+    API can report per-stage task-time distributions (straggler ratios).
+    Static confs only take effect if no session exists yet."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
@@ -33,6 +41,8 @@ def get_spark(app_name: str = "custom-columnar-format-spark", shuffle_partitions
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     from ..sources.scbf_datasource import register
 
