@@ -194,7 +194,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    doc="explicit GROUPING SETS via Spark SQL.",
+    doc="explicit GROUPING SETS via Spark SQL: one Expand + hash aggregate "
+    "pass emits exactly the requested grouping combinations (cheaper than "
+    "unioning separate GROUP BYs — the fact table is scanned once).",
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
@@ -238,7 +240,9 @@ def q_filter_multi_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     WHERE p_brand IN ('Brand#1', 'Brand#3') AND p_name LIKE '%a%' AND p_size >= 10
     """,
-    doc="IN-list + LIKE pattern + range predicate.",
+    doc="IN-list + LIKE pattern + range predicate in one scan; the IN and "
+    "range predicates push to the parquet reader, LIKE evaluates in the "
+    "codegen'd filter above it.",
 )
 def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -279,7 +283,8 @@ def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_distinct_rows",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    doc="DISTINCT (aggregate-without-aggregates).",
+    doc="DISTINCT (aggregate-without-aggregates): partial hash dedup "
+    "map-side, final dedup after one shuffle on the full row key.",
 )
 def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -551,7 +556,9 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
     FROM orders
     """,
-    doc="LAG offset window + RANK.",
+    doc="LAG offset window + RANK in one window pass per customer: both "
+    "functions share the same (partition, order) spec so Spark plans a "
+    "single sort + single Window operator.",
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -594,7 +601,8 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
     """,
-    doc="UNION ALL of two relations with aligned schemas.",
+    doc="UNION ALL of two relations with aligned schemas — bag semantics, "
+    "no shuffle, no dedup; each side keeps its own partitioning.",
 )
 def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
@@ -740,7 +748,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
     FROM orders GROUP BY 1
     """,
-    doc="CASE WHEN bucketing + aggregation.",
+    doc="CASE WHEN bucketing + aggregation: branch expressions fold into "
+    "the partial aggregate, so the shuffle carries one row per bucket.",
 )
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
