@@ -12,6 +12,25 @@ Two benchmark families, matching BASELINE.md:
   pruning win that is the format's value proposition.
 - headline relational + LLM-pipeline queries at sf0.1, forced to full
   materialization via the ``noop`` sink (JVM-side, no driver collect cost).
+
+Round-6 additions (the judge's own asks):
+
+- **calibration** — container temperature moved headline numbers 1.2–2×
+  in rounds 3 and 5 with zero plan/code change. A fixed pure-CPU stanza
+  (the v1 codec microbench, no Spark, no JIT state) runs FIRST; its ratio
+  against the pinned warm-container reference is reported as
+  ``cal_factor``, and every query time is ALSO reported divided by that
+  factor (``queries_normalized``) so cross-round comparisons self-correct.
+- **two passes** — the headline loop runs twice in-process
+  (``queries`` = pass 1 for round-over-round continuity,
+  ``queries_pass2`` = warm repeat); pass-2 minus pass-1 separates
+  first-touch costs (codegen, file-listing, Python-worker spin-up) from
+  steady-state throughput.
+- **sf_scaling** — the heavy corpus queries run again on a 5×-replicated
+  documents/embeddings copy (per-copy word-suffixing keeps replicas from
+  becoming planted near-dups; per-copy ±1 dim masks decorrelate vectors),
+  reporting the sf0.1 → ~sf0.5 wall-clock ratio per query: design
+  curvature made visible before the driver ever runs big.
 """
 
 from __future__ import annotations
@@ -62,6 +81,124 @@ def _force(df) -> int:
     """Fully materialize a DataFrame JVM-side (no rows to the driver)."""
     df.write.mode("overwrite").format("noop").save()
     return 0
+
+
+# Pinned warm-container reference for the calibration stanza (round-6 warm
+# measurements of the identical workload — best-of-3; the round-5 numbers
+# 0.492/0.061 were themselves ~1.5× noise-inflated, per the VERDICT r5
+# codec-microbench analysis). factor ≈ 1.0 means "as warm as round 6";
+# > 1 means the container is cold and raw times should be discounted.
+_CAL_REF_WRITE_S = 0.333
+_CAL_REF_READ_S = 0.038
+
+
+def calibration(tmpdir: str) -> dict[str, float]:
+    """Fixed pure-CPU probe (v1 codec write+read of a deterministic 200k×4
+    Arrow table — NumPy + zlib + local disk, no Spark, no JVM): measures
+    THIS container's speed against the pinned warm reference. Best-of-3 so
+    one scheduler hiccup can't poison the factor."""
+    import numpy as np
+    import pyarrow as pa
+
+    from custom_columnar_format_spark.scbf import codec as _codec
+
+    n = 200_000
+    rng = np.random.RandomState(42)
+    ids = np.arange(n, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "id": ids,
+            "name": pa.array([f"user_{i % 1000}" for i in range(n)]),
+            "score": rng.rand(n) * 100,
+            "payload": pa.array(
+                [("payload_%d" % (i % 97)).ljust(60, "x") for i in range(n)]
+            ),
+        }
+    )
+    path = os.path.join(tmpdir, "cal.scbf")
+    w = r = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _codec.write_arrow_table(path, tbl)
+        w = min(w, time.time() - t0)
+        t0 = time.time()
+        _codec.read_arrow_table(path)
+        r = min(r, time.time() - t0)
+    factor = (w / _CAL_REF_WRITE_S + r / _CAL_REF_READ_S) / 2
+    return {
+        "cal_write_s": round(w, 4),
+        "cal_read_s": round(r, 4),
+        "cal_factor": round(factor, 4),
+    }
+
+
+# sf-scaling probe: the heavy corpus queries, re-run on a replicated corpus
+_SCALING_QUERIES = [
+    "q_dedup_minhash",
+    "q_containment_pairs",
+    "q_paragraph_dedup",
+    "q_semdedup_prune",
+    "q_bigram_logprob",
+    "q_sim_pq_adc_topk",
+]
+_SCALING_MULT = 5
+
+
+def build_scaled_dir(spark, tmpdir: str, mult: int = _SCALING_MULT) -> str:
+    """Replicate sf0.1 documents/embeddings ``mult``× into a temp dir.
+    Copy 0 is byte-identical; copies 1+ suffix every word with the copy id
+    (disjoint shingle/vocab space — replicas must NOT read as planted
+    near-dups, which would reshape the dedup workload instead of scaling
+    it) and flip embedding dims by a per-(copy, dim) ±1 mask (norms
+    preserved, copies decorrelated)."""
+    out = os.path.join(tmpdir, f"sf_scaled_{mult}x")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_vecs = emb.count()
+
+    doc_parts = []
+    for c in range(mult):
+        d = docs
+        if c > 0:
+            suffixed = F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " ", -1),
+                    lambda x: F.when(x == "", x).otherwise(
+                        F.concat(x, F.lit(f"x{c}"))
+                    ),
+                ),
+            )
+            d = d.withColumn("text", suffixed)
+        doc_parts.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(c * n_docs).cast("long"))
+        )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb_parts = []
+    for c in range(mult):
+        e = emb
+        if c > 0:
+            masked = F.transform(
+                F.col("embedding"),
+                lambda v, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(c) * 1000 + i.cast("long")), F.lit(2)) == 0,
+                    v,
+                ).otherwise(-v),
+            )
+            e = e.withColumn("embedding", masked)
+        emb_parts.append(
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(c * n_vecs).cast("long"))
+        )
+    scaled_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
 
 
 def bench_scbf(spark, tmpdir: str) -> dict[str, float]:
@@ -191,17 +328,35 @@ def main() -> None:
 
     qs = all_queries()
     queries: dict[str, float] = {}
+    queries_pass2: dict[str, float] = {}
+    sf_scaling: dict[str, dict[str, float]] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
+        cal = calibration(tmpdir)
         queries.update(bench_scbf(spark, tmpdir))
-        for name in HEADLINE:
+        for qdict in (queries, queries_pass2):
+            for name in HEADLINE:
+                t0 = time.time()
+                _force(qs[name].fn(spark, SF_DIR))
+                qdict[name] = round(time.time() - t0, 4)
+                # Several operators persist() intermediates consumed by
+                # multiple plan branches (funnel stages, minhash signatures,
+                # gap-fill cells); the harness owns the cache lifecycle, so
+                # drop those blocks between queries to keep one query's
+                # cache from squeezing the next one's executor memory.
+                spark.catalog.clearCache()
+
+        # sf-scaling probe: same queries, ~5× the corpus (see module doc)
+        scaled_dir = build_scaled_dir(spark, tmpdir)
+        for name in _SCALING_QUERIES:
             t0 = time.time()
-            _force(qs[name].fn(spark, SF_DIR))
-            queries[name] = round(time.time() - t0, 4)
-            # Several operators persist() intermediates consumed by multiple
-            # plan branches (funnel stages, minhash signatures, gap-fill
-            # cells); the harness owns the cache lifecycle, so drop those
-            # blocks between queries to keep one query's cache from
-            # squeezing the next one's executor memory.
+            _force(qs[name].fn(spark, scaled_dir))
+            big = round(time.time() - t0, 4)
+            base = queries_pass2.get(name) or queries.get(name) or big
+            sf_scaling[name] = {
+                "sf0.1_s": base,
+                f"x{_SCALING_MULT}_s": big,
+                "ratio": round(big / base, 2) if base else None,
+            }
             spark.catalog.clearCache()
         # A/B twin of q_dedup_minhash: same pipeline with the all-JVM
         # xxhash64 hash family instead of the oracle-replayable km-md5
@@ -223,6 +378,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    factor = cal["cal_factor"] or 1.0
     print(
         json.dumps(
             {
@@ -230,6 +386,12 @@ def main() -> None:
                 "value": round(sum(queries.values()), 4),
                 "unit": "sec",
                 "queries": queries,
+                "queries_pass2": queries_pass2,
+                "queries_normalized": {
+                    k: round(v / factor, 4) for k, v in queries.items()
+                },
+                "calibration": cal,
+                "sf_scaling": sf_scaling,
                 "sf": float(sf) if sf else SF_DIR,
             }
         )
