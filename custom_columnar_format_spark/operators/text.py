@@ -569,3 +569,290 @@ def hash_embed_py(text: str, dim: int = 32) -> list:
         b = int(h[:12], 16) % dim
         v[b] += 1.0 if int(h[12], 16) % 2 == 0 else -1.0
     return v
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+    broadcast_model="auto",
+    auto_broadcast_max_vocab: int = 1_000_000,
+    persist: bool = True,
+) -> DataFrame:
+    """DSIR-style importance scoring for domain-matched data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every RAW-corpus document by how much more likely
+    its tokens are under the TARGET domain's unigram model than under the
+    raw corpus's own —
+
+        importance(doc) = avg over tokens of
+            ln P_target(tok) − ln P_raw(tok)
+
+    with both models add-k smoothed over the UNION vocabulary (so a token
+    seen only on one side still gets finite mass on the other). High
+    scores = looks like the target domain; resampling raw data by these
+    weights is the standard way to tilt a web crawl toward a
+    quality/domain reference corpus.
+
+    Scale shape: ONE posting pass over target ∪ raw feeds a single
+    (tok → c_target, c_all) aggregate; the three model scalars (N_t, N_r,
+    |V|) come from a 1-row collect on that vocab-bounded table and ride
+    the plan as literals (no 1-row join for Catalyst to fold into a
+    BNLJ). The scoring join follows the fleet's broadcast-the-model-iff-
+    small policy; the corpus-sized posting stream is never broadcast.
+    Cache lifecycle mirrors bigram_logprob_quality: under "auto" the
+    counts table is persisted for the sizing count, unpersisted right away
+    when broadcast wins, else left cached with the caller owning it.
+
+    Returns (id_col, n_tokens, importance) over RAW docs, importance in
+    nats rounded via the cross-engine floor(x*1e4+0.5)/1e4 idiom.
+    """
+    from .dedup import normalize_text
+
+    def postings(df: DataFrame, flag: int) -> DataFrame:
+        return (
+            df.filter(F.trim(F.col(text_col)) != "")
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+                F.lit(flag).alias("_t"),
+            )
+            .filter(F.col("tok") != "")
+        )
+
+    toks = postings(target, 1).unionByName(postings(raw, 0))
+    counts = toks.groupBy("tok").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_all")
+    )
+    if broadcast_model == "auto" and persist:
+        counts = counts.persist()
+    row = counts.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum(F.col("c_all") - F.col("c_t")).alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    n_t, n_r, v = (row["n_t"] or 0), (row["n_r"] or 0), (row["v"] or 0)
+    if broadcast_model == "auto":
+        do_broadcast = v <= auto_broadcast_max_vocab
+        if do_broadcast and persist:
+            counts.unpersist()
+    else:
+        do_broadcast = bool(broadcast_model)
+    k = float(k_smooth)
+    logratio = F.log(
+        (F.col("c_t") + F.lit(k)) / F.lit(n_t + k * v)
+    ) - F.log((F.col("c_all") - F.col("c_t") + F.lit(k)) / F.lit(n_r + k * v))
+    model = counts.select("tok", logratio.alias("lr"))
+    return (
+        postings(raw, 0)
+        .join(F.broadcast(model) if do_broadcast else model, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.floor(F.avg("lr") * 1e4 + 0.5) / 1e4).alias("importance"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "importance")
+    )
+
+
+def chunk_lm_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chunk_words: int = 10,
+    tau: float = 7.0,
+    broadcast_vocab="auto",
+    auto_broadcast_max_vocab: int = 500_000,
+    persist: bool = True,
+) -> DataFrame:
+    """CCNet-style PER-PASSAGE language-model filtering (Wenzek et al.
+    2020 score paragraphs, not documents, so one spammy block can't sink —
+    or hide inside — an otherwise good page): split each doc into disjoint
+    ``chunk_words``-token passages, score every passage's average token
+    negative logprob under the corpus per-language unigram LM, and roll up
+    per document:
+
+    - ``n_chunks``   — passages scored;
+    - ``max_chunk_neg_logprob`` — the WORST passage (rounded 1e-4);
+    - ``n_bad_chunks`` — passages whose floor-rounded score exceeds
+      ``tau`` nats (integer-exact comparison on floor(s*1e4+0.5), so a
+      passage sitting ulps from the threshold cannot flip between
+      engines).
+
+    Scale shape: chunking is the zero-shuffle narrow map of
+    ``sliding_chunks`` (overlap 0); the token→frequency join follows the
+    unigram operator's broadcast-iff-small policy; per-passage and
+    per-doc rollups are partial+final hash aggregates keyed by (doc,
+    chunk) then doc. Same cache lifecycle contract as the LM siblings.
+
+    Returns (id_col, lang, n_chunks, max_chunk_neg_logprob, n_bad_chunks).
+    """
+    from .dedup import normalize_text
+
+    chunks = sliding_chunks(
+        df.withColumn("__lang", F.col(lang_col)),
+        text_col,
+        id_col,
+        chunk_words=chunk_words,
+        overlap_words=0,
+        keep_cols=("__lang",),
+    ).select("id", F.col("__lang").alias("lang"), "chunk_idx", "chunk")
+
+    corpus_toks = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    lang_totals = corpus_toks.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    freqs = (
+        corpus_toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tok_n"))
+        .join(lang_totals, "lang")
+        .select("lang", "tok", (F.col("tok_n") / F.col("lang_n")).alias("p"))
+    )
+    if broadcast_vocab == "auto":
+        sized = freqs.persist() if persist else freqs
+        do_broadcast = sized.count() <= auto_broadcast_max_vocab
+        if do_broadcast and persist:
+            sized.unpersist()
+        else:
+            freqs = sized
+    else:
+        do_broadcast = bool(broadcast_vocab)
+
+    ctoks = chunks.select(
+        "id", "lang", "chunk_idx", F.explode(F.split("chunk", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_chunk = (
+        ctoks.join(F.broadcast(freqs) if do_broadcast else freqs, ["lang", "tok"])
+        .groupBy("id", "lang", "chunk_idx")
+        .agg(F.floor(F.avg(-F.log("p")) * 1e4 + 0.5).cast("long").alias("s4"))
+    )
+    return (
+        per_chunk.groupBy("id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.max("s4") / 1e4).alias("max_chunk_neg_logprob"),
+            F.sum(F.when(F.col("s4") > F.lit(int(round(tau * 1e4))), 1).otherwise(0)).alias(
+                "n_bad_chunks"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "lang",
+            "n_chunks",
+            "max_chunk_neg_logprob",
+            "n_bad_chunks",
+        )
+    )
+
+
+def backoff_trigram_quality(
+    raw: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    k_smooth: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Cross-domain TRIGRAM perplexity filtering with stupid backoff
+    (Brants et al. 2007) — the actual CCNet mechanism: an n-gram model
+    trained on a small high-quality REFERENCE corpus (Wikipedia, in the
+    paper) scores the raw crawl, and docs far from the reference
+    distribution are binned away. Unlike the in-corpus unigram/bigram
+    scorers (where every scored n-gram exists in the model by
+    construction), here unseen trigrams are EXPECTED and the backoff chain
+    does real work:
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)          if seen
+                      = alpha * c(w2 w3) / c(w2)          else if seen
+                      = alpha^2 * (c(w3)+k) / (N + k*V)   else (smoothed
+                        unigram floor — OOV tokens get k/(N+kV), never 0)
+
+    Per-doc score = avg over trigram positions of −ln S, rounded via the
+    floor(x*1e4+0.5)/1e4 idiom.
+
+    Scale shape: the reference corpus is SMALL by definition (that is the
+    CCNet design), so its trigram/bigram/unigram count tables broadcast;
+    the raw posting stream is scored by four broadcast joins (c3 on the
+    trigram, c23 on (w2,w3), c(w2), c(w3)) and never shuffles except into
+    the final per-doc aggregate. N/V ride as literals from a 1-row
+    collect. With ``broadcast_model=False`` every join falls back to
+    co-partitioned shuffles for an oversized reference.
+
+    Returns (id_col, n_trigrams, avg_neg_logscore) over raw docs with
+    ≥ 3 tokens.
+    """
+    from .dedup import normalize_text
+
+    def words(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        return (
+            df.filter(F.trim(F.col(text_col)) != "")
+            .select(
+                *cols,
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""),
+                ).alias("w"),
+            )
+        )
+
+    def ngrams(df: DataFrame, n: int, with_id: bool) -> DataFrame:
+        cols = (["id"] if with_id else []) + ["w"]
+        base = df.select(
+            *cols, F.explode(F.expr(f"sequence(1, size(w) - {n - 1})")).alias("i")
+        ).filter(F.size("w") >= n)
+        out = (["id"] if with_id else []) + [
+            F.expr(f"w[i - 1 + {j}]").alias(f"w{j + 1}") for j in range(n)
+        ]
+        return base.select(*out)
+
+    ref = words(reference, with_id=False)
+    c3 = ngrams(ref, 3, False).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = ngrams(ref, 2, False).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        ref.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    row = c1.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")).first()
+    n_tot, v = (row["n"] or 0), (row["v"] or 0)
+    k, a = float(k_smooth), float(alpha)
+
+    def mb(df):
+        return F.broadcast(df) if broadcast_model else df
+
+    tri = ngrams(words(raw, with_id=True), 3, True)
+    c23 = c2.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c23"))
+    scored = (
+        tri.join(mb(c3), ["w1", "w2", "w3"], "left")
+        .join(mb(c2), ["w1", "w2"], "left")
+        .join(mb(c23), ["w2", "w3"], "left")
+        .join(mb(c1.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_w2"))), ["w2"], "left")
+        .join(mb(c1.select(F.col("w1").alias("w3"), F.col("c1").alias("c1_w3"))), ["w3"], "left")
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2"))
+        .when(F.col("c23").isNotNull(), F.lit(a) * F.col("c23") / F.col("c1_w2"))
+        .otherwise(
+            F.lit(a * a)
+            * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(k))
+            / F.lit(n_tot + k * v)
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.floor(F.avg(-F.log(s)) * 1e4 + 0.5) / 1e4).alias("avg_neg_logscore"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "avg_neg_logscore")
+    )

@@ -1352,3 +1352,183 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg(own) * 1e4 + 0.5) / 1e4).alias("avg_own_cos"),
         (F.floor(F.avg(own - runner) * 1e4 + 0.5) / 1e4).alias("avg_margin"),
     )
+
+
+_DSIR_K = 0.5
+
+
+@query(
+    "q_dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (
+      SELECT tok, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t,
+             COUNT(*) AS c_all
+      FROM t GROUP BY tok
+    ),
+    scal AS (SELECT SUM(c_t) AS n_t, SUM(c_all - c_t) AS n_r, COUNT(*) AS v FROM counts),
+    model AS (
+      SELECT tok, ln((c_t + {_DSIR_K}) / (n_t + {_DSIR_K} * v))
+                - ln((c_all - c_t + {_DSIR_K}) / (n_r + {_DSIR_K} * v)) AS lr
+      FROM counts, scal
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           FLOOR(AVG(m.lr) * 1e4 + 0.5) / 1e4 AS importance
+    FROM t JOIN model m USING (tok)
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+    doc="DSIR importance scoring (Xie et al. 2023): every raw-corpus doc "
+    "scored by avg ln P_target(tok) − ln P_raw(tok) under add-k–smoothed "
+    "unigram models of the held-out target (source=src0) vs the rest — "
+    "the importance-resampling weight that tilts a web crawl toward a "
+    "quality/domain reference. Scale shape: one posting pass feeds a "
+    "single (tok, c_target, c_all) aggregate; the three model scalars "
+    "ride as plan literals from a 1-row collect (no 1-row join to fold "
+    "into a BNLJ); scoring join broadcasts the vocab-bounded model iff "
+    "small, the posting stream never broadcasts.",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    d = _docs_spread(spark, sf_dir)
+    return text_ops.dsir_importance(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        k_smooth=_DSIR_K,
+    )
+
+
+_CCNET_TAU = 3.43
+
+
+@query(
+    "q_chunk_lm_filter",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (SELECT lang, unnest(w) AS tok FROM norm),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    lt AS (SELECT lang, COUNT(*) AS lang_n FROM t GROUP BY lang),
+    fr AS (
+      SELECT t.lang, tok, CAST(COUNT(*) AS DOUBLE) / any_value(lt.lang_n) AS p
+      FROM t JOIN lt USING (lang) GROUP BY t.lang, tok
+    ),
+    n AS (
+      SELECT doc_id, lang, w,
+             greatest(CAST(ceil(len(w) / {float(_CHUNK_WORDS)}) AS BIGINT), 1) AS nc
+      FROM norm
+    ),
+    ch AS (SELECT doc_id, lang, w, unnest(range(0, nc)) AS i FROM n),
+    ct AS (
+      SELECT doc_id, lang, i,
+             unnest(w[i*{_CHUNK_WORDS}+1 : i*{_CHUNK_WORDS}+{_CHUNK_WORDS}]) AS tok
+      FROM ch
+    ),
+    ct2 AS (SELECT * FROM ct WHERE tok <> ''),
+    pc AS (
+      SELECT ct2.doc_id, ct2.lang, ct2.i,
+             CAST(FLOOR(AVG(-ln(fr.p)) * 1e4 + 0.5) AS BIGINT) AS s4
+      FROM ct2 JOIN fr ON ct2.lang = fr.lang AND ct2.tok = fr.tok
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_chunks,
+           MAX(s4) / 1e4 AS max_chunk_neg_logprob,
+           SUM(CASE WHEN s4 > {int(round(_CCNET_TAU * 1e4))} THEN 1 ELSE 0 END) AS n_bad_chunks
+    FROM pc GROUP BY 1, 2
+    """,
+    doc="CCNet-style per-passage LM filtering (Wenzek et al. 2020): docs "
+    f"split into disjoint {_CHUNK_WORDS}-token passages, each scored by "
+    "avg token neg-logprob under the corpus per-language unigram LM; per "
+    "doc the worst passage and the count above tau nats — one spammy "
+    "block can't sink (or hide inside) an otherwise good page. Scale "
+    "shape: zero-shuffle chunking (sliding_chunks overlap 0), "
+    "broadcast-iff-small frequency join, partial+final rollups keyed "
+    "(doc, chunk) then doc; threshold compares floor-rounded integers so "
+    "an on-the-line passage can't flip between engines.",
+)
+def q_chunk_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    return text_ops.chunk_lm_filter(
+        _docs_spread(spark, sf_dir), chunk_words=_CHUNK_WORDS, tau=_CCNET_TAU
+    )
+
+
+@query(
+    "q_backoff_trigram_ppl",
+    # float-fold alignment: CAST(0.4 AS DOUBLE) forces double arithmetic
+    # (DuckDB parses bare 0.4 as DECIMAL) and the operand order matches the
+    # engine expression exactly (a * c23 / c1_w2 left-assoc; a*a as a
+    # double product). (c + 0.5) and (n + 0.5*v) are exactly representable
+    # in both engines (integer + half), so the CASE arms are bit-identical.
+    f"""
+    WITH rw AS (
+      SELECT doc_id, source,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ref AS (SELECT w FROM rw WHERE source = 'src0'),
+    c3 AS (
+      SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, COUNT(*) AS c3
+      FROM ref, unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+      GROUP BY 1, 2, 3
+    ),
+    c2 AS (
+      SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c2
+      FROM ref, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT tok AS w1, COUNT(*) AS c1
+      FROM (SELECT unnest(w) AS tok FROM ref) GROUP BY 1
+    ),
+    scal AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM c1),
+    tri AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+      FROM rw, unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE source <> 'src0' AND len(w) >= 3
+    ),
+    s AS (
+      SELECT tri.doc_id,
+             CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / c2.c2
+                  WHEN b.c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * b.c23 / u2.c1
+                  ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+                       * (COALESCE(u3.c1, 0) + 0.5) / (scal.n + 0.5 * scal.v)
+             END AS s
+      FROM tri
+      LEFT JOIN c3 USING (w1, w2, w3)
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c2 AS c23 FROM c2) b USING (w2, w3)
+      LEFT JOIN (SELECT w1 AS w2, c1 FROM c1) u2 USING (w2)
+      LEFT JOIN (SELECT w1 AS w3, c1 FROM c1) u3 USING (w3)
+      CROSS JOIN scal
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           FLOOR(AVG(-ln(s)) * 1e4 + 0.5) / 1e4 AS avg_neg_logscore
+    FROM s GROUP BY doc_id
+    """,
+    doc="cross-domain trigram perplexity with stupid backoff (Brants 2007) "
+    "— the actual CCNet filter: an n-gram LM trained on the small "
+    "high-quality reference slice (source=src0, Wikipedia's role) scores "
+    "every raw doc; unseen trigrams back off trigram→bigram→smoothed "
+    "unigram (alpha=0.4 per level, OOV floored at k/(N+kV), never 0). "
+    "Scale shape: reference count tables broadcast (small by design), the "
+    "raw posting stream is scored by four broadcast left-joins and "
+    "shuffles only into the per-doc aggregate; N/V ride as literals from "
+    "a 1-row collect.",
+)
+def q_backoff_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    d = _docs_spread(spark, sf_dir)
+    return text_ops.backoff_trigram_quality(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+    )

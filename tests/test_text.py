@@ -304,3 +304,78 @@ def test_hashing_trick_embed_matches_python_replay(spark):
 
     sims = {i: cos(v, q) for i, v in got.items()}
     assert max(sims, key=sims.get) == 1
+
+
+def test_dsir_importance_hand_computed(spark):
+    """Target = 'a a b'; raw docs: d1='a a' (target-like) and d2='c c'
+    (target-disjoint). Model math with k=0.5 over union vocab {a,b,c}:
+    the target-like doc must score strictly higher, and d2's tokens never
+    appear in the target so its importance is negative."""
+    import math
+
+    target = spark.createDataFrame([(100, "a a b")], "doc_id: long, text: string")
+    raw = spark.createDataFrame(
+        [(1, "a a"), (2, "c c")], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in text.dsir_importance(raw, target, k_smooth=0.5).collect()
+    }
+    k, v = 0.5, 3
+    n_t, n_r = 3, 4
+    def lr(c_t, c_r):
+        return math.log((c_t + k) / (n_t + k * v)) - math.log((c_r + k) / (n_r + k * v))
+    exp1 = math.floor(lr(2, 2) * 1e4 + 0.5) / 1e4            # 'a' twice
+    exp2 = math.floor(lr(0, 2) * 1e4 + 0.5) / 1e4            # 'c' twice
+    assert got[1] == pytest.approx(exp1, abs=1e-9)
+    assert got[2] == pytest.approx(exp2, abs=1e-9)
+    assert got[1] > got[2] and got[2] < 0
+
+
+def test_chunk_lm_filter_properties(spark):
+    """n_chunks == ceil(words/chunk); a doc of corpus-rare tokens has a
+    strictly worse (higher) max passage score than one of corpus-common
+    tokens; n_bad_chunks is bounded by n_chunks."""
+    rows = [(i, "en", "the common words appear here again and again ok yes") for i in range(8)]
+    rows.append((100, "en", " ".join(f"rare{j}" for j in range(25))))
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    out = {r["doc_id"]: r for r in text.chunk_lm_filter(df, chunk_words=10, tau=3.0).collect()}
+    assert out[100]["n_chunks"] == 3  # 25 words / 10
+    assert out[0]["n_chunks"] == 1  # 10 words
+    assert out[100]["max_chunk_neg_logprob"] > out[0]["max_chunk_neg_logprob"]
+    for r in out.values():
+        assert 0 <= r["n_bad_chunks"] <= r["n_chunks"]
+    # rare-token doc: every passage is all-rare (each token appears once in
+    # the corpus), so all 3 passages exceed tau=3.0 nats for this corpus size
+    assert out[100]["n_bad_chunks"] == 3
+
+
+def test_backoff_trigram_hand_computed(spark):
+    """Reference = one doc 'a b c a b d'. Raw doc 'a b c x' has trigrams
+    (a,b,c) seen → c3/c2, and (b,c,x) unseen with (c,x) unseen and x OOV →
+    the alpha^2 smoothed-unigram floor. Hand-check both arms."""
+    import math
+
+    ref = spark.createDataFrame([(0, "a b c a b d")], "doc_id: long, text: string")
+    raw = spark.createDataFrame([(1, "a b c x")], "doc_id: long, text: string")
+    out = text.backoff_trigram_quality(raw, ref).collect()
+    assert len(out) == 1 and out[0]["n_trigrams"] == 2
+    # model: c3(a,b,c)=1; c2(a,b)=2,(b,c)=1,(c,a)=1,(b,d)=1; unigrams
+    # a:2 b:2 c:1 d:1 -> N=6, V=4
+    s1 = 1 / 2  # (a,b,c): c3=1 / c2(a,b)=2
+    s2 = 0.4 * 0.4 * (0 + 0.5) / (6 + 0.5 * 4)  # (b,c,x): x OOV
+    want = math.floor((-(math.log(s1) + math.log(s2)) / 2) * 1e4 + 0.5) / 1e4
+    assert out[0]["avg_neg_logscore"] == pytest.approx(want, abs=1e-9)
+
+
+def test_backoff_trigram_bigram_arm(spark):
+    """Raw trigram (d, a, b): unseen as a trigram but (a, b) IS a reference
+    bigram -> the middle backoff arm alpha * c23 / c1(w2)."""
+    import math
+
+    ref = spark.createDataFrame([(0, "a b c a b d")], "doc_id: long, text: string")
+    raw = spark.createDataFrame([(1, "d a b")], "doc_id: long, text: string")
+    out = text.backoff_trigram_quality(raw, ref).collect()
+    s = 0.4 * 2 / 2  # c23(a,b)=2, c1(a)=2
+    want = math.floor(-math.log(s) * 1e4 + 0.5) / 1e4
+    assert out[0]["avg_neg_logscore"] == pytest.approx(want, abs=1e-9)
