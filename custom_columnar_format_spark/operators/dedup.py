@@ -878,6 +878,8 @@ def containment_pairs(
     text_col: str,
     id_col: str,
     k: int = 5,
+    heavy_df_cap: int | None = 1000,
+    max_heavy_grams: int = 100_000,
 ) -> DataFrame:
     """WORD-ALIGNED containment pairs: (id_inner, id_outer) where the inner
     doc's normalized word sequence occurs contiguously inside the outer
@@ -906,7 +908,35 @@ def containment_pairs(
        ``instr``.
 
     Equal-text docs are mutual containments and appear in both directions,
-    matching the SQL definition."""
+    matching the SQL definition.
+
+    Boilerplate-skew guard (round 6; found by the planted-skew stress, a
+    95× max/median task-time ratio at 250k docs with one passage in 20%
+    of them): a gram shared by a large doc fraction floods its key's
+    partition in every gram-keyed SMJ — millions of posting rows sorted
+    in ONE task, then discarded unmatched, because a boilerplate gram is
+    (almost) never anyone's rarest. The fix is EXACT, from the min-df
+    argument: a doc's rarest gram is light whenever ANY of its grams is
+    light, so grams with df > ``heavy_df_cap`` can be dropped from both
+    the df-attach and candidate joins via a BROADCAST anti-join (the
+    heavy set is tiny by construction — that is what "heavy" means), and
+    the hot rows never enter a shuffle at all. Docs whose EVERY gram is
+    heavy (pure-boilerplate inners) route through a gated second pass on
+    the unpruned tables — their rarest gram is genuinely heavy and the
+    big block is semantically unavoidable; the pass is skipped (one
+    cheap count) when no such doc exists, which is the normal case. If
+    the heavy set itself exceeds ``max_heavy_grams`` (a corpus that is
+    mostly boilerplate), the guard disables itself and the original
+    unpruned plan runs — correct, just slower.
+
+    Cost accounting (measured, 150k docs / 20% boilerplate, local[32]):
+    the guard's eager sizing pass costs ~1.2-1.4× wall clock at TEST
+    scale, where the hot-key sort it avoids is only ~10^4 rows per key
+    and harmless. It is a 100 TB insurance policy: hot-row count per key
+    grows linearly with the corpus (10^9 docs × 20% × ~20 grams ≈ 10^8+
+    rows sorted by ONE task), while the guard's overhead stays a constant
+    fraction. ``heavy_df_cap=None`` disables the guard and its sizing
+    pass entirely for callers who know their corpus is clean."""
     from pyspark.sql.window import Window
 
     norm = df.filter(F.trim(F.col(text_col)) != "").select(
@@ -922,6 +952,25 @@ def containment_pairs(
     gdf = g.groupBy("gram").agg(F.countDistinct("id").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "gram")
     long_ids = norm.filter(nwords >= k).select("id")
+
+    # Boilerplate-skew guard (see docstring): broadcast-anti the heavy
+    # grams out of the gram-keyed joins. gdf is persisted FIRST so the
+    # sizing count fills a cache every later subtree reuses — the guard
+    # then costs no extra corpus pass (caller/harness owns the cache
+    # lifecycle, same policy as the minhash shingle table).
+    if heavy_df_cap is not None:
+        gdf = gdf.persist()
+        heavy = gdf.filter(F.col("df") > heavy_df_cap).select("gram")
+        n_heavy = heavy.count()
+        use_guard = 0 < n_heavy <= max_heavy_grams
+    else:
+        use_guard = False
+    if use_guard:
+        g_main = g.join(F.broadcast(heavy), "gram", "left_anti")
+        gdf_main = gdf.filter(F.col("df") <= heavy_df_cap)
+    else:
+        g_main, gdf_main = g, gdf
+
     # Every gram-keyed join below pairs two UNBOUNDED corpus-scale tables
     # (postings, df counts, block grams) — pinned sort-MERGE, not
     # shuffle_hash: SMJ spills, while SHJ must build one side's partition as
@@ -930,20 +979,54 @@ def containment_pairs(
     # memory fraction). shuffle_hash stays the pin only where one side is
     # bounded-but-never-broadcastable (the id semi-join, the candidate
     # verify joins); broadcast remains forbidden for all of them.
-    blk = (
-        g.join(long_ids.hint("shuffle_hash"), "id", "left_semi")
-        .hint("merge")
-        .join(gdf.hint("merge"), "gram")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id").alias("id_inner"), "gram")
-    )
+    def rarest_block(g_in, gdf_in):
+        return (
+            g_in.join(long_ids.hint("shuffle_hash"), "id", "left_semi")
+            .hint("merge")
+            .join(gdf_in.hint("merge"), "gram")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("id").alias("id_inner"), "gram")
+        )
+
+    blk = rarest_block(g_main, gdf_main)
+    if use_guard:
+        # blk (one row per blocked doc) is needed by the candidate join
+        # anyway — persist it so the all-heavy gate below reuses the
+        # blocking pass instead of paying a second postings scan.
+        blk = blk.persist()
     cand_long = (
         blk.hint("merge")
-        .join(g.select(F.col("id").alias("id_outer"), "gram").hint("merge"), "gram")
+        .join(g_main.select(F.col("id").alias("id_outer"), "gram").hint("merge"), "gram")
         .filter(F.col("id_inner") != F.col("id_outer"))
         .select("id_inner", "id_outer")
     )
+
+    if use_guard:
+        # Second pass for all-heavy inner docs (every gram above the cap:
+        # their rarest gram IS heavy, and only the unpruned tables can
+        # block them). A doc with ANY light gram appears in blk, so the
+        # all-heavy set is long_ids minus blk's ids — gated on a count
+        # that reuses the cached blk; normally zero.
+        all_heavy_ids = long_ids.join(
+            blk.select(F.col("id_inner").alias("id")).hint("shuffle_hash"),
+            "id",
+            "left_anti",
+        )
+        if all_heavy_ids.count() > 0:
+            blk_h = rarest_block(
+                g.join(all_heavy_ids.hint("shuffle_hash"), "id", "left_semi"), gdf
+            )
+            # blk_h is one row per all-heavy doc — a bounded set; broadcast
+            # it so the full posting stream (hot keys included) is probed
+            # map-side instead of shuffled into per-gram partitions.
+            cand_heavy = (
+                F.broadcast(blk_h)
+                .join(g.select(F.col("id").alias("id_outer"), "gram"), "gram")
+                .filter(F.col("id_inner") != F.col("id_outer"))
+                .select("id_inner", "id_outer")
+            )
+            cand_long = cand_long.unionByName(cand_heavy)
 
     uni = gram_postings(df, text_col, id_col, k=1).select(
         F.col("id").alias("id_outer"), F.col("gram").alias("word")

@@ -144,3 +144,45 @@ def test_containment_pairs(spark):
         for r in containment_pairs(df, "text", "doc_id", k=5).collect()
     }
     assert got == {(1, 2), (3, 1), (3, 2), (3, 5), (1, 5), (5, 1), (5, 2)}
+
+
+def test_containment_heavy_gram_guard_exact(spark):
+    """Force the boilerplate-skew guard with a tiny heavy_df_cap: a 6-word
+    boilerplate passage shared by most docs (its grams go heavy), one doc
+    that is PURE boilerplate (all-heavy — must route through the second
+    pass), and unique-text docs. Results must equal brute force exactly,
+    guard on or off."""
+    from custom_columnar_format_spark.operators.dedup import containment_pairs, normalize_text
+
+    boiler = "all rights reserved contact us today"
+    rows = []
+    for i in range(12):
+        rows.append((i, f"unique text number {i} alpha beta gamma " + boiler))
+    rows.append((100, boiler))  # pure boilerplate: every gram heavy
+    rows.append((101, "totally different content here nothing shared at all"))
+    rows.append((102, "unique text number 3 alpha beta gamma " + boiler))  # == doc 3
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def brute(df):
+        t = {r["doc_id"]: r["t"] for r in df.select("doc_id", normalize_text(F.col("text")).alias("t")).collect()}
+        out = set()
+        for a, ta in t.items():
+            for b, tb in t.items():
+                if a != b and f" {ta} " in f" {tb} ":
+                    out.add((a, b))
+        return out
+
+    want = brute(df)
+    got_guard = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "text", "doc_id", k=5, heavy_df_cap=5).collect()
+    }
+    got_noguard = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "text", "doc_id", k=5, heavy_df_cap=10**9).collect()
+    }
+    assert got_guard == want
+    assert got_noguard == want
+    # the pure-boilerplate doc is contained in every boilerplate carrier —
+    # only the all-heavy second pass can have found those pairs
+    assert sum(1 for (a, _b) in want if a == 100) >= 12

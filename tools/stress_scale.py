@@ -77,10 +77,10 @@ def completed_stage_ids(spark) -> set:
         return set()
 
 
-def straggler_ratio(spark, before_ids: set, min_tasks: int = 16, min_median_ms: float = 50.0):
+def straggler_ratio(spark, before_ids: set, min_tasks: int = 16, min_median_ms: float = 200.0):
     """Worst max/median executorRunTime ratio across the stages completed
     since ``before_ids`` was snapshotted (REST taskSummary endpoint). Tiny
-    stages (few tasks or sub-50ms medians, where scheduling jitter IS the
+    stages (few tasks or sub-200ms medians, where scheduling jitter IS the
     signal) are excluded. Returns (ratio, stage_id) or (None, None) when
     the UI is off or nothing qualifies."""
     import urllib.request
@@ -287,7 +287,15 @@ def main():
 
     before = completed_stage_ids(spark)
     t0 = time.time()
-    skew_sub = skew_docs.filter(F.col("doc_id") <= n_docs // 4)
+    # synthesize at n/4 directly — deriving it by filtering the big corpus
+    # leaves 3/4 of input partitions empty and the max/median ratio then
+    # measures the filter artifact, not the operator (round-6 lesson: the
+    # first 95x reading was exactly that)
+    skew_sub = synth_docs(spark, n_docs // 4).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + boiler))).otherwise(F.col("text")),
+    )
     cont2 = dedup.containment_pairs(skew_sub, "text", "doc_id", k=5).count()
     dt = time.time() - t0
     ratio, sid = straggler_ratio(spark, before)
