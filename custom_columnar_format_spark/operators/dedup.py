@@ -921,22 +921,26 @@ def containment_pairs(
     the df-attach and candidate joins via a BROADCAST anti-join (the
     heavy set is tiny by construction — that is what "heavy" means), and
     the hot rows never enter a shuffle at all. Docs whose EVERY gram is
-    heavy (pure-boilerplate inners) route through a gated second pass on
-    the unpruned tables — their rarest gram is genuinely heavy and the
-    big block is semantically unavoidable; the pass is skipped (one
-    cheap count) when no such doc exists, which is the normal case. If
-    the heavy set itself exceeds ``max_heavy_grams`` (a corpus that is
-    mostly boilerplate), the guard disables itself and the original
-    unpruned plan runs — correct, just slower.
-
-    Cost accounting (measured, 150k docs / 20% boilerplate, local[32]):
-    the guard's eager sizing pass costs ~1.2-1.4× wall clock at TEST
-    scale, where the hot-key sort it avoids is only ~10^4 rows per key
-    and harmless. It is a 100 TB insurance policy: hot-row count per key
-    grows linearly with the corpus (10^9 docs × 20% × ~20 grams ≈ 10^8+
-    rows sorted by ONE task), while the guard's overhead stays a constant
-    fraction. ``heavy_df_cap=None`` disables the guard and its sizing
-    pass entirely for callers who know their corpus is clean."""
+    heavy (pure-boilerplate inners) route through a second pass on the
+    unpruned tables — their rarest gram is genuinely heavy and the big
+    block is semantically unavoidable. Crucially, ANY heavy/light split
+    is exact (misclassified grams only shift which pass blocks a doc),
+    which licenses a SAMPLED detector: a deterministic ~1.6% doc sample
+    (xxhash64 on the id — same classification on every engine and
+    partitioning) counts per-gram hits, so a clean corpus discovers "no
+    heavy grams" for ~1/64 of a posting pass and runs the plain plan
+    unchanged, while a truly heavy gram (df ≥ cap means ≥ cap/64
+    expected sampled docs) is caught with near-certainty. Only corpora
+    where boilerplate actually exists pay the guard's extra plan — and
+    there it buys back a straggler that grows linearly with the corpus
+    (10^9 docs × 20% × ~20 grams ≈ 10^8+ rows sorted by ONE task at
+    100 TB). The heavy set is bounded by the deterministic
+    top-``max_heavy_grams``; ``heavy_df_cap=None`` removes the guard and
+    its probe altogether. Measured probe cost at sf0.1/local[32]: ~2 s,
+    nearly all fixed job-scheduling latency (the sampled scan itself is
+    ~1/64 of a 0.5 s posting pass) — a flat per-query constant that is
+    invisible on a multi-minute corpus job but visible on a seconds-long
+    bench entry."""
     from pyspark.sql.window import Window
 
     norm = df.filter(F.trim(F.col(text_col)) != "").select(
@@ -953,21 +957,39 @@ def containment_pairs(
     w = Window.partitionBy("id").orderBy("df", "gram")
     long_ids = norm.filter(nwords >= k).select("id")
 
-    # Boilerplate-skew guard (see docstring): broadcast-anti the heavy
-    # grams out of the gram-keyed joins. gdf is persisted FIRST so the
-    # sizing count fills a cache every later subtree reuses — the guard
-    # then costs no extra corpus pass (caller/harness owns the cache
-    # lifecycle, same policy as the minhash shingle table).
+    # Boilerplate-skew guard (see docstring). Detection is a DETERMINISTIC
+    # ~1.6% sampled probe (docs whose xxhash64(id) % 64 == 0), so the
+    # common clean-corpus case decides "no heavy grams" for ~1/64 of a
+    # posting pass and runs the plain plan with zero added subtrees. A
+    # gram at the cap shows ~cap/64 sampled docs, so the threshold below
+    # over-catches mildly hot grams long before it could miss a truly
+    # heavy one — and ANY heavy/light split is exact, so sampling can
+    # never change results, only which pass blocks a doc. The heavy set
+    # is collected (bounded by max_heavy_grams via the deterministic
+    # top-N) and re-broadcast as a literal table.
+    use_guard = False
     if heavy_df_cap is not None:
-        gdf = gdf.persist()
-        heavy = gdf.filter(F.col("df") > heavy_df_cap).select("gram")
-        n_heavy = heavy.count()
-        use_guard = 0 < n_heavy <= max_heavy_grams
-    else:
-        use_guard = False
+        # expected sampled hits for a df=cap gram is cap/64; requiring
+        # that many catches df ≳ cap with near-certainty for df ≥ 2×cap
+        # (E ≥ 2×threshold) while leaving barely-over-cap grams — whose
+        # single-task sort is still small — sometimes unguarded
+        probe_hits = max(2, heavy_df_cap // 64)
+        heavy_rows = (
+            g.filter(F.pmod(F.xxhash64("id"), F.lit(64)) == 0)
+            .groupBy("gram")
+            .agg(F.countDistinct("id").alias("h"))
+            .filter(F.col("h") >= probe_hits)
+            .orderBy(F.desc("h"), "gram")
+            .limit(max_heavy_grams)
+            .select("gram")
+            .collect()
+        )
+        use_guard = len(heavy_rows) > 0
     if use_guard:
+        gdf = gdf.persist()
+        heavy = df.sparkSession.createDataFrame(heavy_rows, "gram: string")
         g_main = g.join(F.broadcast(heavy), "gram", "left_anti")
-        gdf_main = gdf.filter(F.col("df") <= heavy_df_cap)
+        gdf_main = gdf.join(F.broadcast(heavy), "gram", "left_anti")
     else:
         g_main, gdf_main = g, gdf
 
@@ -991,9 +1013,9 @@ def containment_pairs(
 
     blk = rarest_block(g_main, gdf_main)
     if use_guard:
-        # blk (one row per blocked doc) is needed by the candidate join
-        # anyway — persist it so the all-heavy gate below reuses the
-        # blocking pass instead of paying a second postings scan.
+        # blk (one row per blocked doc) is read by the candidate join AND
+        # the all-heavy derivation below — persist (lazily) so the
+        # blocking pass runs once.
         blk = blk.persist()
     cand_long = (
         blk.hint("merge")
@@ -1007,15 +1029,19 @@ def containment_pairs(
         # their rarest gram IS heavy, and only the unpruned tables can
         # block them). A doc with ANY light gram appears in blk, so the
         # all-heavy set is long_ids minus blk's ids — gated on a count
-        # that reuses the cached blk; normally zero.
+        # that reuses the cached blk (this branch only runs on corpora
+        # where the probe already found real boilerplate, so the eager
+        # materialization is paid exactly where the guard earns it).
         all_heavy_ids = long_ids.join(
             blk.select(F.col("id_inner").alias("id")).hint("shuffle_hash"),
             "id",
             "left_anti",
         )
         if all_heavy_ids.count() > 0:
+            # broadcast the bounded id set; pure-boilerplate corpora where
+            # it cannot broadcast have a doomed quadratic pass anyway
             blk_h = rarest_block(
-                g.join(all_heavy_ids.hint("shuffle_hash"), "id", "left_semi"), gdf
+                g.join(F.broadcast(all_heavy_ids), "id", "left_semi"), gdf
             )
             # blk_h is one row per all-heavy doc — a bounded set; broadcast
             # it so the full posting stream (hot keys included) is probed

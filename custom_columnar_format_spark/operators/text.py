@@ -395,10 +395,14 @@ def bigram_logprob_quality(
 
     Cache lifecycle (same contract as minhash/funnel): under
     ``broadcast_model="auto"`` the model table is persisted for the sizing
-    count; if broadcast wins it is unpersisted immediately (the broadcast
-    join re-reads the plan anyway), otherwise it stays cached for the
-    shuffle join and the CALLER owns the unpersist (``persist=False`` skips
-    caching entirely at the cost of recomputing the model for the join).
+    count AND STAYS cached for the join — on the broadcast path too, since
+    "re-reads the plan anyway" means re-DERIVING the model from the full
+    posting stream unless the cache feeds the BroadcastExchange (measured:
+    unpersisting after the count cost +130% end-to-end at sf0.1, round-6
+    bench). The table is vocab-bounded — small by the same argument that
+    makes it broadcastable. The CALLER owns the unpersist
+    (``spark.catalog.clearCache()`` in the harness); ``persist=False``
+    skips caching entirely at the cost of recomputing the model.
 
     Returns (id_col, lang, n_bigrams, avg_neg_logprob) in nats, rounded 4
     via the cross-engine floor(x*1e4+0.5)/1e4 idiom (engine-native ROUND
@@ -423,12 +427,9 @@ def bigram_logprob_quality(
         )
     )
     if broadcast_model == "auto":
-        sized = model.persist() if persist else model
-        do_broadcast = sized.count() <= auto_broadcast_max_vocab
-        if do_broadcast and persist:
-            sized.unpersist()
-        else:
-            model = sized
+        if persist:
+            model = model.persist()
+        do_broadcast = model.count() <= auto_broadcast_max_vocab
     else:
         do_broadcast = bool(broadcast_model)
     return (
@@ -626,7 +627,9 @@ def dsir_importance(
     counts = toks.groupBy("tok").agg(
         F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_all")
     )
-    if broadcast_model == "auto" and persist:
+    if persist:
+        # stays cached through the scoring join (vocab-bounded; caller
+        # owns the unpersist — see bigram_logprob_quality's lifecycle note)
         counts = counts.persist()
     row = counts.agg(
         F.sum("c_t").alias("n_t"),
@@ -636,8 +639,6 @@ def dsir_importance(
     n_t, n_r, v = (row["n_t"] or 0), (row["n_r"] or 0), (row["v"] or 0)
     if broadcast_model == "auto":
         do_broadcast = v <= auto_broadcast_max_vocab
-        if do_broadcast and persist:
-            counts.unpersist()
     else:
         do_broadcast = bool(broadcast_model)
     k = float(k_smooth)
@@ -717,12 +718,11 @@ def chunk_lm_filter(
         .select("lang", "tok", (F.col("tok_n") / F.col("lang_n")).alias("p"))
     )
     if broadcast_vocab == "auto":
-        sized = freqs.persist() if persist else freqs
-        do_broadcast = sized.count() <= auto_broadcast_max_vocab
-        if do_broadcast and persist:
-            sized.unpersist()
-        else:
-            freqs = sized
+        if persist:
+            # stays cached through the scoring join (vocab-bounded; caller
+            # owns the unpersist — see bigram_logprob_quality's note)
+            freqs = freqs.persist()
+        do_broadcast = freqs.count() <= auto_broadcast_max_vocab
     else:
         do_broadcast = bool(broadcast_vocab)
 

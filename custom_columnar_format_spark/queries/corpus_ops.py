@@ -436,7 +436,10 @@ _CONT_K = 5
     "the min-df gram join is exhaustive with the fewest candidates), "
     "first-word unigram blocking for shorter docs, one padded-instr "
     "verification over co-partitioned, shuffle_hash-pinned text joins; "
-    "never all-pairs.",
+    "never all-pairs. r6: boilerplate grams (df > cap) broadcast-anti-"
+    "joined out of every gram-keyed SMJ before any shuffle — exact by the "
+    "min-df argument, with a gated second pass for all-heavy docs "
+    "(straggler ratio 1.8 with a passage planted in 20% of 250k docs).",
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs_spread(spark, sf_dir), "text", "doc_id", k=_CONT_K)
