@@ -1535,3 +1535,71 @@ def q_backoff_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") != "src0"),
         d.filter(F.col("source") == "src0"),
     )
+
+
+_DSIR_BUDGET = 20_000
+
+
+@query(
+    "q_dsir_select_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (
+      SELECT tok, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t,
+             COUNT(*) AS c_all
+      FROM t GROUP BY tok
+    ),
+    scal AS (SELECT SUM(c_t) AS n_t, SUM(c_all - c_t) AS n_r, COUNT(*) AS v FROM counts),
+    model AS (
+      SELECT tok, ln((c_t + {_DSIR_K}) / (n_t + {_DSIR_K} * v))
+                - ln((c_all - c_t + {_DSIR_K}) / (n_r + {_DSIR_K} * v)) AS lr
+      FROM counts, scal
+    ),
+    imp AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             FLOOR(AVG(m.lr) * 1e4 + 0.5) / 1e4 AS importance
+      FROM t JOIN model m USING (tok)
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, importance,
+             SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM imp
+    )
+    SELECT doc_id, n_tokens, importance, cum_tokens
+    FROM c WHERE cum_tokens <= {_DSIR_BUDGET}
+    """,
+    doc="the SELECTION step of DSIR importance resampling: fill a "
+    f"{_DSIR_BUDGET}-token training budget with the most-target-like raw "
+    "docs first (importance DESC, doc_id tiebreak on the floor-rounded "
+    "score so cross-engine float noise can't reorder the cut). The "
+    "running token count uses cumulative_sum_keyed — value-derived "
+    "slices on the leading (negated-importance) key, deterministic under "
+    "any physical plan, no global single-task window — composing the "
+    "round-6 scorer with the round-6 prefix sum end to end.",
+)
+def q_dsir_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import prefix_sum
+    from ..operators import text as text_ops
+
+    d = _docs_spread(spark, sf_dir)
+    imp = text_ops.dsir_importance(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        k_smooth=_DSIR_K,
+    ).withColumn("neg_imp", -F.col("importance"))
+    cum = prefix_sum.cumulative_sum_keyed(
+        imp,
+        order_cols=["neg_imp", "doc_id"],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= _DSIR_BUDGET).select(
+        "doc_id", "n_tokens", "importance", "cum_tokens"
+    )
