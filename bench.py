@@ -379,6 +379,22 @@ def main() -> None:
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     factor = cal["cal_factor"] or 1.0
+    # Extended diagnostics go to a SIDE FILE, not the contract line: round 6
+    # rode them on the single JSON line, which outgrew the driver's tail
+    # buffer and left BENCH_r06 unparseable ("parsed": null).  The final
+    # stdout line carries ONLY the driver-contract keys.
+    detail = {
+        "queries_pass2": queries_pass2,
+        "queries_normalized": {k: round(v / factor, 4) for k, v in queries.items()},
+        "calibration": cal,
+        "sf_scaling": sf_scaling,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -386,12 +402,6 @@ def main() -> None:
                 "value": round(sum(queries.values()), 4),
                 "unit": "sec",
                 "queries": queries,
-                "queries_pass2": queries_pass2,
-                "queries_normalized": {
-                    k: round(v / factor, 4) for k, v in queries.items()
-                },
-                "calibration": cal,
-                "sf_scaling": sf_scaling,
                 "sf": float(sf) if sf else SF_DIR,
             }
         )
