@@ -880,6 +880,9 @@ def containment_pairs(
     k: int = 5,
     heavy_df_cap: int | None = 1000,
     max_heavy_grams: int = 100_000,
+    probe_modulus: int = 64,
+    probe_min_docs: int | None = None,
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """WORD-ALIGNED containment pairs: (id_inner, id_outer) where the inner
     doc's normalized word sequence occurs contiguously inside the outer
@@ -936,11 +939,30 @@ def containment_pairs(
     (10^9 docs × 20% × ~20 grams ≈ 10^8+ rows sorted by ONE task at
     100 TB). The heavy set is bounded by the deterministic
     top-``max_heavy_grams``; ``heavy_df_cap=None`` removes the guard and
-    its probe altogether. Measured probe cost at sf0.1/local[32]: ~2 s,
-    nearly all fixed job-scheduling latency (the sampled scan itself is
-    ~1/64 of a 0.5 s posting pass) — a flat per-query constant that is
-    invisible on a multi-minute corpus job but visible on a seconds-long
-    bench entry."""
+    its probe altogether.
+
+    Probe cost control (round 7): the probe is an eager job, ~2 s cold at
+    sf0.1/local[32] (mostly fixed scheduling/codegen latency — the sampled
+    scan itself is ~1/64 of a 0.5 s posting pass).  That flat constant is
+    invisible on a multi-minute corpus job but was 33% of a seconds-long
+    bench entry, so corpora below ``probe_min_docs`` docs (default
+    ``heavy_df_cap × probe_modulus``) skip probe AND guard: with df ≤
+    n_docs, the worst possible unguarded block is a one-task sort of
+    ≤ n_docs×k rows, cheaper than the probe job.  The gate costs one
+    column-pruned id-count.  For ``heavy_df_cap < 2×probe_modulus`` the
+    sampled estimator cannot resolve the cap (the r6-advisor floor cliff),
+    so the heavy set is counted exactly instead — one full posting pass,
+    only reachable when the caller prices aggressive guarding explicitly.
+    ``probe_modulus`` (sampling rate 1/modulus) and ``probe_min_docs``
+    exist so tests can force/observe each path; ``guard_stats`` (pass a
+    dict) reports ``{probed, use_guard, n_heavy}``.
+
+    Cache handoff: on guarded corpora two SMALL intermediates (the
+    per-gram df table and the one-row-per-doc block table) are persisted
+    because two plan branches consume each; this function does NOT
+    unpersist them — the blocks live until the caller (or harness) calls
+    ``unpersist``/``clearCache``, the same caller-owns-lifecycle contract
+    as the MinHash signature table."""
     from pyspark.sql.window import Window
 
     norm = df.filter(F.trim(F.col(text_col)) != "").select(
@@ -968,23 +990,61 @@ def containment_pairs(
     # is collected (bounded by max_heavy_grams via the deterministic
     # top-N) and re-broadcast as a literal table.
     use_guard = False
+    probed = False
     if heavy_df_cap is not None:
-        # expected sampled hits for a df=cap gram is cap/64; requiring
-        # that many catches df ≳ cap with near-certainty for df ≥ 2×cap
-        # (E ≥ 2×threshold) while leaving barely-over-cap grams — whose
-        # single-task sort is still small — sometimes unguarded
-        probe_hits = max(2, heavy_df_cap // 64)
-        heavy_rows = (
-            g.filter(F.pmod(F.xxhash64("id"), F.lit(64)) == 0)
-            .groupBy("gram")
-            .agg(F.countDistinct("id").alias("h"))
-            .filter(F.col("h") >= probe_hits)
-            .orderBy(F.desc("h"), "gram")
-            .limit(max_heavy_grams)
-            .select("gram")
-            .collect()
+        # Small-corpus fast path (round 7): the guard prevents a single
+        # task sorting ~df × grams-per-doc posting rows, and df ≤ n_docs —
+        # below ``probe_min_docs`` (default cap × probe_modulus) even the
+        # worst possible block is a bounded one-task sort cheaper than the
+        # probe job itself, so the probe is skipped outright and the plain
+        # plan runs with ZERO added jobs.  Any heavy/light split — including
+        # "nothing is heavy" — is exact (see docstring), so this changes
+        # plans, never results.  The count is a column-pruned scan of the
+        # id column only, far cheaper than the posting-pass probe it
+        # replaces on sub-threshold corpora.
+        if probe_min_docs is None:
+            probe_min_docs = heavy_df_cap * probe_modulus
+        n_docs = df.select(F.col(id_col)).count()
+        if n_docs >= probe_min_docs:
+            probed = True
+            if heavy_df_cap >= 2 * probe_modulus:
+                # expected sampled hits for a df=cap gram is cap/modulus;
+                # requiring that many catches df ≳ cap with near-certainty
+                # for df ≥ 2×cap (E ≥ 2×threshold) while leaving
+                # barely-over-cap grams — whose single-task sort is still
+                # small — sometimes unguarded.  cap ≥ 2×modulus keeps the
+                # threshold ≥ 2 WITHOUT flooring (the r6 advisor cliff: a
+                # floored threshold of 2 flips the guarded plan on any gram
+                # two sampled docs share).
+                probe_hits = heavy_df_cap // probe_modulus
+                heavy_rows = (
+                    g.filter(F.pmod(F.xxhash64("id"), F.lit(probe_modulus)) == 0)
+                    .groupBy("gram")
+                    .agg(F.countDistinct("id").alias("h"))
+                    .filter(F.col("h") >= probe_hits)
+                    .orderBy(F.desc("h"), "gram")
+                    .limit(max_heavy_grams)
+                    .select("gram")
+                    .collect()
+                )
+            else:
+                # cap too small for the sampled estimator to resolve —
+                # count exactly (one full posting pass; only reachable with
+                # an unusually tight cap on a ≥ cap×modulus corpus, where
+                # the caller has explicitly priced aggressive guarding)
+                heavy_rows = (
+                    gdf.filter(F.col("df") > heavy_df_cap)
+                    .orderBy(F.desc("df"), "gram")
+                    .limit(max_heavy_grams)
+                    .select("gram")
+                    .collect()
+                )
+            use_guard = len(heavy_rows) > 0
+    if guard_stats is not None:
+        guard_stats.update(
+            {"probed": probed, "use_guard": use_guard,
+             "n_heavy": len(heavy_rows) if use_guard else 0}
         )
-        use_guard = len(heavy_rows) > 0
     if use_guard:
         gdf = gdf.persist()
         heavy = df.sparkSession.createDataFrame(heavy_rows, "gram: string")

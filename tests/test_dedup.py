@@ -173,16 +173,76 @@ def test_containment_heavy_gram_guard_exact(spark):
         return out
 
     want = brute(df)
+    # probe_modulus=1 + probe_min_docs=0: the probe samples EVERY doc and
+    # runs regardless of corpus size, so the guard genuinely activates on
+    # this 15-doc corpus (the r6 advisor found the original test's sampled
+    # probe saw zero docs — xxhash64 of ids 0-102 never hit the 1/64
+    # sample — so both invocations ran the identical unguarded plan)
+    stats_guard: dict = {}
     got_guard = {
         (r["id_inner"], r["id_outer"])
-        for r in containment_pairs(df, "text", "doc_id", k=5, heavy_df_cap=5).collect()
+        for r in containment_pairs(
+            df, "text", "doc_id", k=5, heavy_df_cap=5,
+            probe_modulus=1, probe_min_docs=0, guard_stats=stats_guard,
+        ).collect()
     }
+    assert stats_guard == {"probed": True, "use_guard": True,
+                           "n_heavy": stats_guard["n_heavy"]}
+    assert stats_guard["n_heavy"] >= 1
+    stats_noguard: dict = {}
     got_noguard = {
         (r["id_inner"], r["id_outer"])
-        for r in containment_pairs(df, "text", "doc_id", k=5, heavy_df_cap=10**9).collect()
+        for r in containment_pairs(
+            df, "text", "doc_id", k=5, heavy_df_cap=10**9,
+            probe_modulus=1, probe_min_docs=0, guard_stats=stats_noguard,
+        ).collect()
     }
+    assert stats_noguard["probed"] and not stats_noguard["use_guard"]
     assert got_guard == want
     assert got_noguard == want
     # the pure-boilerplate doc is contained in every boilerplate carrier —
-    # only the all-heavy second pass can have found those pairs
+    # with the guard proven active, only the all-heavy second pass can
+    # have found those pairs
     assert sum(1 for (a, _b) in want if a == 100) >= 12
+
+
+def test_containment_guard_exact_count_branch(spark):
+    """heavy_df_cap < 2×probe_modulus routes the heavy-set detection through
+    the EXACT per-gram df count (the sampled estimator cannot resolve caps
+    below twice the modulus — the r6-advisor floor cliff); results must
+    still equal the unguarded plan."""
+    from custom_columnar_format_spark.operators.dedup import containment_pairs
+
+    boiler = "terms of service apply everywhere always"
+    rows = [(i, f"doc {i} body words here {boiler}") for i in range(10)]
+    rows.append((50, "nothing shared with anyone at all truly"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    stats: dict = {}
+    got = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(
+            df, "text", "doc_id", k=5, heavy_df_cap=5,
+            probe_modulus=64, probe_min_docs=0, guard_stats=stats,
+        ).collect()
+    }
+    assert stats["probed"] and stats["use_guard"] and stats["n_heavy"] >= 1
+    want = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "text", "doc_id", k=5, heavy_df_cap=None).collect()
+    }
+    assert got == want
+
+
+def test_containment_small_corpus_skips_probe(spark):
+    """Below probe_min_docs (default cap × modulus) the probe must not run
+    at all — the plain plan with zero added eager jobs (the round-7 bench
+    fix: sub-threshold corpora pay only a column-pruned id count)."""
+    from custom_columnar_format_spark.operators.dedup import containment_pairs
+
+    rows = [(i, f"totally unique body number {i} with words") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    stats: dict = {}
+    containment_pairs(
+        df, "text", "doc_id", k=5, heavy_df_cap=1000, guard_stats=stats
+    ).collect()
+    assert stats == {"probed": False, "use_guard": False, "n_heavy": 0}
