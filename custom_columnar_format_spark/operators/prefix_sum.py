@@ -54,6 +54,24 @@ _PID = "__ps_pid"
 _OFF = "__ps_off"
 
 
+def _null_safe_broadcast_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """Broadcast equi-join that keeps NULL-keyed groups: a plain
+    ``join(..., on)`` silently drops rows whose partition col is NULL
+    (NULL never equals NULL), diverging from ``SUM() OVER (PARTITION BY
+    ...)`` which keeps NULL as its own group.  ``eqNullSafe`` (``<=>``)
+    is still a hash-joinable equi-predicate, so the BroadcastHashJoin
+    plan is unchanged — only the NULL-key rows now match."""
+    aliased = right.select(
+        *[F.col(c).alias(f"__ps_r_{c}") for c in on],
+        *[c for c in right.columns if c not in on],
+    )
+    cond = None
+    for c in on:
+        term = left[c].eqNullSafe(aliased[f"__ps_r_{c}"])
+        cond = term if cond is None else cond & term
+    return left.join(F.broadcast(aliased), cond).drop(*[f"__ps_r_{c}" for c in on])
+
+
 def cumulative_sum(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -99,7 +117,7 @@ def cumulative_sum(
     )
 
     return (
-        local.join(F.broadcast(offsets), [_PID, *pcols])
+        _null_safe_broadcast_join(local, offsets, [_PID, *pcols])
         .withColumn(out_col, _merge_local_and_offset(out_col))
         .drop(_PID, _OFF)
     )
@@ -160,7 +178,7 @@ def cumulative_sum_keyed(
         bounds = df.groupBy(*pcols).agg(
             F.min(key).alias("__ps_min"), F.max(key).alias("__ps_max")
         )
-        with_bounds = df.join(F.broadcast(bounds), pcols)
+        with_bounds = _null_safe_broadcast_join(df, bounds, pcols)
         mn, mx = F.col("__ps_min"), F.col("__ps_max")
     else:
         # group-less case: the bounds are TWO SCALARS — collect them
@@ -204,7 +222,7 @@ def cumulative_sum_keyed(
     )
 
     return (
-        local.join(F.broadcast(offsets), [_PID, *pcols])
+        _null_safe_broadcast_join(local, offsets, [_PID, *pcols])
         .withColumn(out_col, _merge_local_and_offset(out_col))
         .drop(_PID, _OFF)
     )

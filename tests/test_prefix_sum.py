@@ -182,3 +182,22 @@ def test_no_single_global_window_partition(spark, sf_small):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__ps_pid" in line or "partitionBy" not in line
+
+
+@pytest.mark.parametrize("fn_name", ["cumulative_sum", "cumulative_sum_keyed"])
+def test_null_partition_key_group_is_kept(spark, fn_name):
+    """SUM() OVER (PARTITION BY p ...) keeps a NULL p as its own group; the
+    distributed variants' broadcast bounds/offsets joins must not drop
+    those rows (r6 advisor: a plain equi-join never matches NULL keys)."""
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), (None, 3, 5), (None, 4, 7), ("b", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "p: string, k: long, v: long")
+    fn = getattr(prefix_sum, fn_name)
+    got = fn(df, ["k"], "v", partition_cols=["p"]).orderBy("k")
+    want = _naive(df, ["k"], "v", partition_cols=["p"]).orderBy("k")
+    g = [(r["p"], r["k"], r["cum"]) for r in got.collect()]
+    w = [(r["p"], r["k"], r["cum"]) for r in want.collect()]
+    assert g == w
+    assert (None, 3, 5) in [(a, b, c) for a, b, c in g]
+    assert (None, 4, 12) in [(a, b, c) for a, b, c in g]
