@@ -489,6 +489,50 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
 
+def _parse_ffprobe_dims(stdout: bytes):
+    """Parse ffprobe's ``csv=p=0`` width,height line → (w, h) or None.
+    Split out of decode_ffmpeg so the subprocess-output parsing is
+    testable in containers without the binary (VERDICT r6 #8: the seam's
+    gate was covered, its logic was not)."""
+    try:
+        w, h = (int(x) for x in stdout.decode().strip().split(","))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    return w, h
+
+
+def _video_features_from_gray(stdout: bytes, w: int, h: int):
+    """8-bin normalized luma histogram from ffmpeg's rawvideo gray bytes
+    (same feature definition as decode_png/decode_avi); None when the
+    stream is short (decode failed mid-frame)."""
+    import numpy as np
+
+    gray = np.frombuffer(stdout, dtype=np.uint8)
+    if gray.size < w * h:
+        return None
+    hist, _ = np.histogram(gray[: w * h], bins=8, range=(0, 256))
+    total = float(hist.sum()) or 1.0
+    return [float(c) / total for c in hist]
+
+
+def _audio_features_from_s16le(stdout: bytes):
+    """8-segment RMS loudness at 16-bit full scale from ffmpeg's mono
+    s16le stream (same feature definition as decode_wav); None on empty."""
+    import numpy as np
+
+    samples = np.frombuffer(
+        stdout[: len(stdout) - (len(stdout) % 2)], dtype=np.int16
+    ).astype(np.float64)
+    if samples.size == 0:
+        return None
+    seg = np.array_split(samples, 8)
+    return [
+        float(np.sqrt(np.mean(s * s)) / 32768.0) if len(s) else 0.0 for s in seg
+    ]
+
+
 def decode_ffmpeg(payload: bytes, kind: str):
     """Compressed-codec VIDEO/AUDIO decoder backed by an ffmpeg subprocess
     when the binary exists — the escape hatch past the dependency-free
@@ -513,8 +557,6 @@ def decode_ffmpeg(payload: bytes, kind: str):
     import subprocess
     import tempfile
 
-    import numpy as np
-
     try:
         with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
             tf.write(payload)
@@ -528,9 +570,10 @@ def decode_ffmpeg(payload: bytes, kind: str):
                     ],
                     capture_output=True, timeout=30,
                 )
-                w, h = (int(x) for x in probe.stdout.decode().strip().split(","))
-                if w <= 0 or h <= 0:
+                dims = _parse_ffprobe_dims(probe.stdout)
+                if dims is None:
                     return decode_stub(payload, kind)
+                w, h = dims
                 out = subprocess.run(
                     [
                         "ffmpeg", "-v", "error", "-i", tf.name,
@@ -539,12 +582,10 @@ def decode_ffmpeg(payload: bytes, kind: str):
                     ],
                     capture_output=True, timeout=60,
                 )
-                gray = np.frombuffer(out.stdout, dtype=np.uint8)
-                if gray.size < w * h:
+                feat = _video_features_from_gray(out.stdout, w, h)
+                if feat is None:
                     return decode_stub(payload, kind)
-                hist, _ = np.histogram(gray[: w * h], bins=8, range=(0, 256))
-                total = float(hist.sum()) or 1.0
-                return w, h, [float(c) / total for c in hist]
+                return w, h, feat
             out = subprocess.run(
                 [
                     "ffmpeg", "-v", "error", "-i", tf.name,
@@ -552,14 +593,9 @@ def decode_ffmpeg(payload: bytes, kind: str):
                 ],
                 capture_output=True, timeout=60,
             )
-            samples = np.frombuffer(out.stdout, dtype=np.int16).astype(np.float64)
-            if samples.size == 0:
+            feat = _audio_features_from_s16le(out.stdout)
+            if feat is None:
                 return decode_stub(payload, kind)
-            seg = np.array_split(samples, 8)
-            feat = [
-                float(np.sqrt(np.mean(s * s)) / 32768.0) if len(s) else 0.0
-                for s in seg
-            ]
             return None, None, feat
     except Exception:
         return decode_stub(payload, kind)

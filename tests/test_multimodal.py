@@ -413,3 +413,48 @@ def test_decode_ffmpeg_real_compressed_audio(tmp_path):
     # full-scale-ish sine: RMS ≈ 0.7 of peak; mp3 encoding keeps it well
     # above silence and below clipping in every segment
     assert all(0.05 < f < 1.0 for f in feat)
+
+
+def test_ffprobe_dims_parse_golden():
+    """The subprocess-output PARSE layer runs in any container (VERDICT r6
+    #8): golden ffprobe csv=p=0 outputs, including the malformed shapes a
+    failed probe emits."""
+    p = multimodal._parse_ffprobe_dims
+    assert p(b"320,240\n") == (320, 240)
+    assert p(b"1920,1080") == (1920, 1080)
+    assert p(b"") is None                 # probe failed, empty stdout
+    assert p(b"N/A,N/A\n") is None        # stream without dims
+    assert p(b"0,240\n") is None          # degenerate width
+    assert p(b"320\n") is None            # missing height field
+    assert p(b"\xff\xfe\x00garbage") is None  # binary junk
+
+
+def test_ffmpeg_video_feature_parse_golden():
+    """rawvideo-gray → 8-bin histogram layer on synthetic frames: a flat
+    mid-gray frame lands in exactly one bin; short reads return None."""
+    import numpy as np
+
+    w, h = 16, 8
+    frame = np.full(w * h, 130, dtype=np.uint8).tobytes()  # bin 4 (128-159)
+    feat = multimodal._video_features_from_gray(frame, w, h)
+    assert feat is not None and len(feat) == 8
+    assert feat[4] == 1.0 and sum(feat) == 1.0
+    # trailing bytes past one frame are ignored (ffmpeg may emit more)
+    assert multimodal._video_features_from_gray(frame + b"\x00" * 7, w, h) == feat
+    assert multimodal._video_features_from_gray(frame[:-1], w, h) is None
+
+
+def test_ffmpeg_audio_feature_parse_golden():
+    """s16le → 8-segment RMS layer: a known square wave gives RMS = amp/32768
+    in every segment; empty and odd-length streams handled."""
+    import numpy as np
+
+    amp = 16384
+    samples = np.tile(np.array([amp, -amp], dtype=np.int16), 400)
+    feat = multimodal._audio_features_from_s16le(samples.tobytes())
+    assert feat is not None and len(feat) == 8
+    assert all(abs(f - 0.5) < 1e-9 for f in feat)
+    assert multimodal._audio_features_from_s16le(b"") is None
+    # odd trailing byte (truncated pipe) must not crash the frombuffer
+    feat_odd = multimodal._audio_features_from_s16le(samples.tobytes() + b"\x7f")
+    assert feat_odd is not None and all(abs(f - 0.5) < 1e-9 for f in feat_odd)
