@@ -64,3 +64,60 @@ def contamination_report(
             F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination_ratio"),
         )
     )
+
+
+def fuzzy_contamination_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    prefix_words: int = 8,
+    tau: int = 10,
+    probe_mod: int = 50,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY decontamination: (doc, probe) pairs whose normalized
+    ``prefix_words``-word prefixes are within Levenshtein ``tau`` — the
+    near-verbatim eval-set leakage (reformatted whitespace, one swapped
+    word, truncated tail) that exact n-gram overlap misses.
+
+    ``probes`` defaults to a deterministic md5-bucket sample of the corpus
+    itself (doc_id hash % ``probe_mod`` == 0), standing in for a benchmark
+    prompt set; pass a real benchmark DataFrame (id_col, lang_col,
+    text_col) in production.
+
+    Scale shape: the probe side is bounded (a benchmark is thousands of
+    rows, never corpus-scale) and BROADCASTS; the corpus joins it on the
+    ``lang_col`` equi-key with the edit distance as a residual join filter
+    — a BroadcastHashJoin, not a cartesian/BNLJ (the fleet-wide plan lint
+    enforces this), so every doc row scores only its own language's probes
+    map-side. Cost is linear in corpus size × probes-per-language, with
+    only 8-word prefixes (bounded strings) entering the O(m·n) Levenshtein
+    — never full documents. No corpus shuffle at all."""
+    from .dedup import normalize_text
+
+    norm = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col(text_col)), " "), 1, prefix_words), " "
+        ).alias("pfx"),
+    )
+    if probes is None:
+        bucket = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+        ).cast("bigint")
+        probes = norm.filter(bucket % probe_mod == 0).select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("lang").alias("p_lang"),
+            F.col("pfx").alias("probe_pfx"),
+        )
+    dist = F.levenshtein(F.col("pfx"), F.col("probe_pfx"))
+    return (
+        norm.join(
+            F.broadcast(probes),
+            (F.col("lang") == F.col("p_lang")) & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .filter(dist <= tau)
+        .select("doc_id", "probe_id", dist.cast("bigint").alias("edit_dist"))
+    )

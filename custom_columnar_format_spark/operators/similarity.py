@@ -801,3 +801,88 @@ def semdedup_prune(
         .join(doomed.withColumn("pruned", F.lit(True)), id_col, "left")
         .select(id_col, "sem_cluster", F.coalesce("pruned", F.lit(False)).alias("pruned"))
     )
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    trunc_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MRL-style truncated-dimension retrieval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): rank by cosine over only the
+    FIRST ``trunc_dim`` dimensions, report both the truncated and the
+    full-dimension cosine for the winners.
+
+    Scale shape: with Matryoshka-trained embeddings the leading dims carry
+    most of the signal, so serving scans ``trunc_dim/d`` of the vector
+    bytes per row (here 16/64 = 4× less compute and — with a truncated
+    projection stored column-wise — 4× less I/O); the top-k is the same
+    per-partition-heap TakeOrderedAndProject as ``brute_force_topk``, no
+    global sort. The full-dim cosine is computed ONLY for display on the
+    k winners' rows (the expression rides the same projection; at scale
+    one would re-score k rows, not the corpus). No reference counterpart
+    (reference is storage-only, SURVEY.md §2); oracle replays the exact
+    slice + cosine arithmetic."""
+    q_tr = lit_vector(list(query_vec)[:trunc_dim])
+    q_full = lit_vector(query_vec)
+    tr = F.slice(F.col(vec_col), 1, trunc_dim)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(tr, q_tr), 4).alias("cos_trunc"),
+            F.round(cosine(F.col(vec_col), q_full), 4).alias("cos_full"),
+        )
+        .orderBy(F.desc("cos_trunc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def int8_quantization_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Scalar int8 quantization audit: quantize every embedding dimension
+    to 8 bits against PER-DIMENSION corpus min/max (the standard
+    symmetric-range scalar quantizer vector stores ship — 4× smaller than
+    float32), dequantize at bucket centers, and report per-label
+    reconstruction error — the go/no-go number before switching ANN
+    serving to compressed vectors.
+
+    Quantizer (integer-exact cross-engine): with per-dim bounds (mn, mx),
+    ``q = least(255, floor((x - mn) / (mx - mn) * 256))`` (0 when the dim
+    is constant), ``deq = mn + (q + 0.5) * (mx - mn) / 256`` — floor keeps
+    the code deterministic under IEEE doubles on any engine, bucket-center
+    dequantization halves worst-case error vs bucket-left.
+
+    Scale shape: one ``posexplode`` posting pass (narrow) feeds a per-dim
+    partial+final aggregate whose result is DIM rows — broadcast back onto
+    the posting stream (64 rows; never corpus-scale), then one partial+
+    final rollup keyed by label. No window, no driver collect, both
+    shuffles are on bounded-cardinality keys (dim, label)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "xr"),
+    ).select("id", "label", "pos", F.col("xr").cast("double").alias("x"))
+    bounds = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    span = F.col("mx") - F.col("mn")
+    q = F.when(span > 0, F.least(F.lit(255.0), F.floor((F.col("x") - F.col("mn")) / span * 256))).otherwise(
+        F.lit(0.0)
+    )
+    deq = F.col("mn") + (q + 0.5) * span / 256
+    err = (F.col("x") - deq) * (F.col("x") - deq)
+    return (
+        ex.join(F.broadcast(bounds), "pos")
+        .withColumn("sq", err)
+        .groupBy("label")
+        .agg(
+            F.countDistinct("id").alias("n_vecs"),
+            (F.floor(F.avg("sq") * 1e8 + 0.5) / 1e8).alias("mse"),
+        )
+        .orderBy("label")
+    )

@@ -603,9 +603,13 @@ def dsir_importance(
     the plan as literals (no 1-row join for Catalyst to fold into a
     BNLJ). The scoring join follows the fleet's broadcast-the-model-iff-
     small policy; the corpus-sized posting stream is never broadcast.
-    Cache lifecycle mirrors bigram_logprob_quality: under "auto" the
-    counts table is persisted for the sizing count, unpersisted right away
-    when broadcast wins, else left cached with the caller owning it.
+    Cache lifecycle mirrors bigram_logprob_quality: with ``persist=True``
+    the vocab-bounded counts table stays cached on EVERY path (eagerly
+    unpersisting on the broadcast-wins path would force the lazy
+    BroadcastExchange to recompute the whole posting aggregate at
+    execution time — the exact +130% bug r6 fixed in the bigram scorer);
+    the CALLER owns the unpersist/clearCache once the result is
+    materialized.
 
     Returns (id_col, n_tokens, importance) over RAW docs, importance in
     nats rounded via the cross-engine floor(x*1e4+0.5)/1e4 idiom.
@@ -855,4 +859,82 @@ def backoff_trigram_quality(
             (F.floor(F.avg(-F.log(s)) * 1e4 + 0.5) / 1e4).alias("avg_neg_logscore"),
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "avg_neg_logscore")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_max_frac: float = 0.20,
+    dup_max_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1: boilerplate
+    and generation loops show up as one n-gram dominating the character
+    mass, or as wholesale repeated passages):
+
+    - ``top_bigram_frac`` — characters covered by the most frequent word
+      bigram (count × gram length, clamped to 1.0 — overlapping
+      occurrences can over-count) over the normalized doc length;
+    - ``dup_5gram_frac`` — fraction of 5-gram OCCURRENCES that are
+      repeats of an earlier occurrence, i.e. (n − distinct)/n;
+    - ``keep`` — both fracs at-or-under their Gopher-style thresholds
+      (0.20 / 0.30), compared on the floor-rounded 1e-4 values so an
+      engine's ulp cannot flip the flag.
+
+    Docs with fewer words than the gram order score 0.0 on that stat (the
+    clamped whole-text gram would otherwise brand every one-word doc 100%
+    repetitive). Scale shape: two explode-first posting passes
+    (``gram_postings`` — no HOF-array Generate trap), per-doc partial+
+    final aggregates, a doc-keyed window over the tiny per-(doc, bigram)
+    count table, three doc-keyed joins; nothing corpus-scale is ever
+    broadcast or windowed globally."""
+    from .dedup import gram_postings, normalize_text
+
+    norm = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+    )
+    meta = norm.select(
+        "id",
+        F.size(F.split(F.col("t"), " ")).alias("nw"),
+        F.length("t").alias("chars"),
+    )
+    big = (
+        gram_postings(df, text_col, id_col, k=2)
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        big.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("gram").alias("top_gram"), F.col("cnt").alias("top_cnt"))
+    )
+    five = (
+        gram_postings(df, text_col, id_col, k=5)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n5"), F.countDistinct("gram").alias("d5"))
+    )
+    top_frac = F.when(
+        F.col("nw") >= 2,
+        F.least(F.lit(1.0), F.col("top_cnt") * F.length("top_gram") / F.col("chars")),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("nw") >= 5,
+        (F.col("n5") - F.col("d5")) / F.col("n5").cast("double"),
+    ).otherwise(F.lit(0.0))
+    r4 = lambda c: F.floor(c * 1e4 + 0.5) / 1e4  # noqa: E731
+    return (
+        meta.join(top, "id")
+        .join(five, "id")
+        .select(
+            F.col("id").alias(id_col),
+            r4(top_frac).alias("top_bigram_frac"),
+            r4(dup_frac).alias("dup_5gram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_frac") <= top_max_frac)
+            & (F.col("dup_5gram_frac") <= dup_max_frac),
+        )
     )

@@ -47,7 +47,7 @@ _CHUNK_WORDS = 10
     )
     SELECT source, COUNT(*) AS n_docs,
            floor(AVG(dup_frac)*1e4+0.5)/1e4 AS avg_dup_frac,
-           SUM(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS n_boilerplate_docs
+           CAST(SUM(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_docs
     FROM per_doc GROUP BY source
     """,
     doc="PARAGRAPH-level dedup signal (RefinedWeb-style): docs split into "
@@ -358,7 +358,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM b GROUP BY 1, 2
     """,
     doc="deterministic train/val/test assignment (80/10/10) by hashing the "
@@ -635,7 +635,7 @@ def _semdedup_oracle_sql(nlist: int = _SEM_NLIST, tau: float = _SEM_TAU) -> str:
     ),
     doomed AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
     SELECT l.cid AS sem_cluster, COUNT(*) AS n_vectors,
-           SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_pruned
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
     FROM lists l LEFT JOIN doomed d USING (vec_id)
     GROUP BY 1
     """
@@ -811,7 +811,7 @@ _TOKEN_BUDGET = 12_000
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY alpha DESC, doc_id) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY alpha DESC, doc_id) AS BIGINT) AS cum_tokens
       FROM d
     )
     SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
@@ -1184,7 +1184,7 @@ _MIX_BUDGET = 20_000
     ),
     c AS (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY alpha DESC, doc_id) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY alpha DESC, doc_id) AS BIGINT) AS cum_tokens
       FROM d
     )
     SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget
@@ -1443,7 +1443,7 @@ _CCNET_TAU = 3.43
     )
     SELECT doc_id, lang, COUNT(*) AS n_chunks,
            MAX(s4) / 1e4 AS max_chunk_neg_logprob,
-           SUM(CASE WHEN s4 > {int(round(_CCNET_TAU * 1e4))} THEN 1 ELSE 0 END) AS n_bad_chunks
+           CAST(SUM(CASE WHEN s4 > {int(round(_CCNET_TAU * 1e4))} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_chunks
     FROM pc GROUP BY 1, 2
     """,
     doc="CCNet-style per-passage LM filtering (Wenzek et al. 2020): docs "
@@ -1568,8 +1568,8 @@ _DSIR_BUDGET = 20_000
     ),
     c AS (
       SELECT doc_id, n_tokens, importance,
-             SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM imp
     )
     SELECT doc_id, n_tokens, importance, cum_tokens
@@ -1602,4 +1602,173 @@ def q_dsir_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.filter(F.col("cum_tokens") <= _DSIR_BUDGET).select(
         "doc_id", "n_tokens", "importance", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: Gopher repetition filters, Zipf diagnostics, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_gopher_repetition",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (
+      SELECT doc_id, string_split(t, ' ') AS w, length(t) AS chars FROM norm
+    ),
+    big AS (
+      SELECT doc_id, g AS gram, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                      i -> array_to_string(w[i:i+1], ' '))) AS g
+        FROM w
+      ) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM big
+      ) WHERE rn = 1
+    ),
+    five AS (
+      SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS d5
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                      i -> array_to_string(w[i:i+4], ' '))) AS g
+        FROM w
+      ) GROUP BY 1
+    ),
+    scored AS (
+      SELECT w.doc_id,
+             floor((CASE WHEN len(w.w) >= 2
+                    THEN least(1.0, t.cnt * length(t.gram) / w.chars)
+                    ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS top_bigram_frac,
+             floor((CASE WHEN len(w.w) >= 5
+                    THEN (f.n5 - f.d5) / CAST(f.n5 AS DOUBLE)
+                    ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS dup_5gram_frac
+      FROM w JOIN top t USING (doc_id) JOIN five f USING (doc_id)
+    )
+    SELECT doc_id, top_bigram_frac, dup_5gram_frac,
+           (top_bigram_frac <= 0.20 AND dup_5gram_frac <= 0.30) AS keep
+    FROM scored
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021): per doc the "
+    "character fraction covered by the most frequent word bigram and the "
+    "duplicate-occurrence fraction of 5-grams, plus a keep flag at the "
+    "0.20/0.30 thresholds compared on floor-rounded 1e-4 values — the "
+    "boilerplate/generation-loop screens every crawl pipeline runs. Two "
+    "explode-first posting passes, doc-keyed partial+final aggs, a window "
+    "over the tiny per-(doc,bigram) count table; nothing global.",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    return text_ops.repetition_stats(_docs_spread(spark, sf_dir))
+
+
+@query(
+    "q_zipf_slope",
+    f"""
+    WITH norm AS (
+      SELECT source, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+      SELECT source, unnest(string_split(t, ' ')) AS tok FROM norm
+    ),
+    freq AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+      FROM freq
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           floor(regr_slope(ln(cnt), ln(rank)) * 1e4 + 0.5) / 1e4 AS zipf_slope
+    FROM ranked WHERE rank <= 500
+    GROUP BY source
+    """,
+    doc="per-source Zipf diagnostic: regression slope of log frequency vs "
+    "log rank over each source's top-500 vocabulary — natural text sits "
+    "near −1; spam/template/machine-generated sources drift off, making "
+    "the slope a cheap corpus-health monitor. One posting pass, a "
+    "source-keyed rank window over the top of the vocab table (bounded "
+    "rows per source), regr_slope partial+final aggregate; deterministic "
+    "rank tiebreak (cnt DESC, tok) so both engines regress identical "
+    "point sets.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+
+    docs = _docs_spread(spark, sf_dir)
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 500)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            (F.floor(F.regr_slope(F.log("cnt"), F.log("rank")) * 1e4 + 0.5) / 1e4).alias(
+                "zipf_slope"
+            ),
+        )
+    )
+
+
+_FUZZY_TAU = 26
+_FUZZY_PREFIX_WORDS = 8
+_FUZZY_PROBE_MOD = 50
+
+
+@query(
+    "q_decontaminate_fuzzy",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             array_to_string((string_split({_NORM_SQL}, ' '))[1:{_FUZZY_PREFIX_WORDS}], ' ') AS pfx
+      FROM documents WHERE trim(text) <> ''
+    ),
+    probes AS (
+      SELECT doc_id AS probe_id, lang, pfx AS probe_pfx FROM norm
+      WHERE {_hexparse_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)} % {_FUZZY_PROBE_MOD} = 0
+    )
+    SELECT n.doc_id, p.probe_id,
+           CAST(levenshtein(n.pfx, p.probe_pfx) AS BIGINT) AS edit_dist
+    FROM norm n JOIN probes p ON n.lang = p.lang
+    WHERE n.doc_id <> p.probe_id
+      AND levenshtein(n.pfx, p.probe_pfx) <= {_FUZZY_TAU}
+    """,
+    doc="FUZZY decontamination: docs whose normalized 8-word prefix is "
+    "within Levenshtein tau of a benchmark probe's prefix (tau=26 here — "
+    "the synthetic corpus has no planted near-verbatim leaks, so the "
+    "threshold sits where the prefix-distance distribution's tail "
+    "actually produces pairs; production uses a tight tau) — catches the "
+    "near-verbatim eval leakage (reformatted whitespace, a swapped word) "
+    "that exact n-gram decontamination misses. Probes here are a "
+    "deterministic md5-bucket sample standing in for a benchmark set. "
+    "Scale shape: the bounded probe table broadcasts; the corpus side "
+    "joins on the lang equi-key with the edit-distance as a residual "
+    "filter (BroadcastHashJoin, never a cartesian/BNLJ), so each doc row "
+    "scores only its language's probes map-side — linear in corpus size "
+    "with a small constant, no corpus shuffle at all.",
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import fuzzy_contamination_pairs
+
+    return fuzzy_contamination_pairs(
+        _docs_spread(spark, sf_dir),
+        prefix_words=_FUZZY_PREFIX_WORDS,
+        tau=_FUZZY_TAU,
+        probe_mod=_FUZZY_PROBE_MOD,
     )

@@ -1201,14 +1201,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
     FROM c GROUP BY lang, bin
     """,
     doc="sequence packing (training-batch assembly): docs fill 2048-token "
     "context bins per language in doc_id order — bin id = exclusive running "
     "token count / budget. The running sum uses "
     "prefix_sum.cumulative_sum_keyed: slice ids derived from doc_id values "
-    "against broadcast per-lang min/max (exact int64 arithmetic), so the "
+    "against broadcast per-lang min/max (a MONOTONE double mapping — ids "
+    "above 2^53 can collapse slices, which only costs balance, never "
+    "correctness: ties stay within a slice and the remaining order cols "
+    "break them), so the "
     "result is a pure function of the data under ANY physical plan — no "
     "RangePartitioner sampling, no partition-id capture, nothing for two "
     "Exchanges to disagree about (the r4/r5 driver hash-mismatch surface). "
@@ -1261,7 +1264,7 @@ def _pack_sequences_impl(spark: SparkSession, sf_dir: str, keyed: bool) -> DataF
       FROM d
     )
     SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
     FROM c GROUP BY lang, bin
     """,
     doc="bisect twin of q_pack_sequences on the ORIGINAL range-partitioned "
@@ -1768,3 +1771,68 @@ def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "n_rows", "n_null", "n_distinct", "min_value", "max_value",
         (F.floor(F.col("avg_len") * 10000 + 0.5) / 10000).alias("avg_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: embedding compression + truncated-dim retrieval
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sim_matryoshka_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             {_cos_sql('(embedding[1:16])', '(qv[1:16])')} AS ct,
+             {_cos_sql('embedding', 'qv')} AS cf
+      FROM embeddings, q
+    )
+    SELECT vec_id, ROUND(ct, 4) AS cos_trunc, ROUND(cf, 4) AS cos_full
+    FROM scored ORDER BY cos_trunc DESC, vec_id LIMIT 10
+    """,
+    doc="Matryoshka (MRL) truncated-dimension retrieval: rank by cosine over "
+    "the FIRST 16 of 64 dims (4x less per-row compute/IO at serving time), "
+    "report truncated + full cosine for the winners — the dimension-"
+    "truncation ANN tier next to LSH/IVF/PQ. Top-k is per-partition heaps "
+    "(TakeOrderedAndProject), no global sort; oracle replays the exact "
+    "slice + fold arithmetic.",
+)
+def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.matryoshka_topk(emb, qv, trunc_dim=16, k=10)
+
+
+@query(
+    "q_embed_int8_quant",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    b AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+    qz AS (
+      SELECT label, vec_id, x, mn, mx,
+             CASE WHEN (mx - mn) > 0
+                  THEN least(255.0, floor((x - mn) / (mx - mn) * 256))
+                  ELSE 0.0 END AS q
+      FROM ex JOIN b USING (pos)
+    ),
+    e2 AS (
+      SELECT label, vec_id,
+             (x - (mn + (q + 0.5) * (mx - mn) / 256)) AS d
+      FROM qz
+    )
+    SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+           floor(AVG(d * d) * 1e8 + 0.5) / 1e8 AS mse
+    FROM e2 GROUP BY label ORDER BY label
+    """,
+    doc="scalar int8 quantization audit: every dim quantized to 8 bits "
+    "against per-dim corpus min/max (4x smaller vectors), dequantized at "
+    "bucket centers, per-label reconstruction MSE — the go/no-go check "
+    "before switching ANN serving to compressed vectors. One posexplode "
+    "pass, a 64-row per-dim bounds table broadcast back, one label-keyed "
+    "rollup; floor-based codes are integer-exact cross-engine.",
+)
+def q_embed_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.int8_quantization_error(_emb_spread(spark, sf_dir))

@@ -382,3 +382,43 @@ def test_semdedup_arrow_scorer_bit_identical_to_expr(spark):
         for r in similarity.semdedup_pairs(df, cent, threshold=-1.0, scorer="arrow").collect()
     }
     assert a == b and len(a) > 1000
+
+
+def test_matryoshka_topk_constructed(spark):
+    """Truncated-dim ranking uses ONLY the leading dims: a vector aligned
+    with the query's first 4 dims but opposite in the tail must outrank a
+    vector that is mediocre up front — and cos_full still reports the
+    true full-dim similarity."""
+    from custom_columnar_format_spark.operators.similarity import matryoshka_topk
+
+    q = [1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, q),
+        (1, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),  # perfect head, bad tail
+        (2, [0.5, 0.5, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),      # weak head
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = [r.asDict() for r in matryoshka_topk(df, q, trunc_dim=4, k=3).collect()]
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+    assert got[1]["cos_trunc"] == 1.0          # head-perfect
+    assert got[1]["cos_full"] < got[0]["cos_full"]  # full cosine sees the tail
+
+
+def test_int8_quantization_error_bounds(spark):
+    """Bucket-center dequantization bounds per-value error by half a bucket:
+    mse <= (span/256/2)^2 per dim; constant dims quantize exactly."""
+    from custom_columnar_format_spark.operators.similarity import (
+        int8_quantization_error,
+    )
+
+    rows = [
+        (i, [float(i), 7.0, float(i % 3)], i % 2) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    got = {r["label"]: r for r in int8_quantization_error(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_vecs"] == 32 and got[1]["n_vecs"] == 32
+    # dim0 span 63 -> half-bucket 63/512; dim1 constant (exact); dim2 span 2
+    worst = (63.0 / 256 / 2) ** 2
+    for lbl in (0, 1):
+        assert 0.0 < got[lbl]["mse"] <= worst + 1e-9

@@ -379,3 +379,22 @@ def test_backoff_trigram_bigram_arm(spark):
     s = 0.4 * 2 / 2  # c23(a,b)=2, c1(a)=2
     want = math.floor(-math.log(s) * 1e4 + 0.5) / 1e4
     assert out[0]["avg_neg_logscore"] == pytest.approx(want, abs=1e-9)
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition screens: a looping doc is caught by the top-bigram
+    fraction, a copy-paste doc by the duplicate-5gram fraction, clean prose
+    passes, and sub-gram-order docs score 0.0 (not the clamped 100%)."""
+    from custom_columnar_format_spark.operators.text import repetition_stats
+
+    loop = "buy now " * 20                       # one bigram dominates chars
+    paste = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    clean = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    rows = [(1, loop), (2, paste), (3, clean), (4, "solo"), (5, "two words")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert got[1]["top_bigram_frac"] > 0.5 and not got[1]["keep"]
+    assert got[2]["dup_5gram_frac"] > 0.3 and not got[2]["keep"]
+    assert got[3]["keep"]
+    assert got[4]["top_bigram_frac"] == 0.0 and got[4]["dup_5gram_frac"] == 0.0
+    assert got[5]["dup_5gram_frac"] == 0.0  # 2 words: bigram scored, 5-gram not
