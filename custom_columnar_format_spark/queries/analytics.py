@@ -743,8 +743,8 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (SELECT DISTINCT day FROM acts)
     SELECT strftime(s.day, '%Y-%m-%d') AS day,
            COALESCE(n.new_users, 0) AS new_users,
-           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY s.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM spine s LEFT JOIN news n ON s.day = n.day
     """,
     doc="daily new-user counts and the cumulative distinct-user curve — "

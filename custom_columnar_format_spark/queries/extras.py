@@ -228,7 +228,12 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_count_distinct",
     None,  # HLL estimators differ across engines — pinned to <2% relative error in tests/test_extras.py
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
-    "cardinalities — mergeable sketches, no expand+exact-distinct shuffle.",
+    "cardinalities — mergeable sketches, no expand+exact-distinct shuffle. "
+    "Oracle-exempt BY DESIGN: HLL register layouts differ per engine "
+    "(Spark HLL++ vs DuckDB's), so equal inputs give different estimates; "
+    "Spark's default rsd=0.05 bounds relative error at ~5% (typ. <2%), and "
+    "tests/test_extras.py::test_approx_count_distinct_close_to_exact pins "
+    "every group's estimate within 5% of the exact count_distinct.",
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

@@ -715,8 +715,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            ROUND(ABS(p_retailprice - 1000), 2) AS abs_diff,
-           CEIL(p_retailprice) AS price_ceil,
-           FLOOR(p_retailprice) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
            ROUND(SQRT(p_retailprice), 4) AS price_sqrt,
            ROUND(LN(p_retailprice + 1), 4) AS price_ln,
            ROUND(POWER(p_size, 2), 1) AS size_sq,
@@ -1012,8 +1012,11 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # engine-specific estimator (Spark KLL/GK vs DuckDB t-digest) — pinned vs exact in tests/test_extras.py
     doc="approximate percentiles (percentile_approx, accuracy 10000): the "
     "100 TB path — fixed-size mergeable sketch per group, one partial+final "
-    "aggregate, no per-group sort; error bound pinned against the exact "
-    "percentile in tests.",
+    "aggregate, no per-group sort. Oracle-exempt BY DESIGN: Spark's GK "
+    "sketch and DuckDB's t-digest return different (both valid) answers; "
+    "accuracy=10000 bounds rank error at 1/10000 of the group, and "
+    "tests/test_extras.py::test_approx_percentiles_close_to_exact pins "
+    "p50/p90/p99 within 1% of the exact percentile per group.",
 )
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

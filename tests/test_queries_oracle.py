@@ -6,6 +6,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from custom_columnar_format_spark.compare import strict_dtype_problems
 from custom_columnar_format_spark.queries.registry import all_queries
 from custom_columnar_format_spark.queries.tables import TABLES
 
@@ -40,6 +41,11 @@ def test_query_vs_oracle(spark, sf_small, duck, name, qd):
         assert len(sdf) >= 0  # rows-only check (driver does the same)
         return
     odf = duck.execute(qd.sql).fetchdf()
+    # driver-faithful strict check on the RAW frames: the driver hashes raw
+    # cell reprs, so an int64-vs-float64 column pair mismatches there even
+    # when every value is equal (the r4-r6 HUGEINT red class) — this must
+    # fail LOCALLY, before normalize() coerces ints to float64
+    assert strict_dtype_problems(sdf, odf) == [], f"{name}: strict dtype"
     s, o = normalize(sdf), normalize(odf)
     assert list(s.columns) == list(o.columns), f"{name}: column mismatch"
     assert len(s) == len(o), f"{name}: row count {len(s)} != {len(o)}"

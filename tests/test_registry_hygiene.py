@@ -10,7 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from query_catalog import _REF_RE, lint_registry  # noqa: E402
+import pytest  # noqa: E402
+from query_catalog import _REF_RE, lint_oracle_schemas, lint_registry  # noqa: E402
 
 from custom_columnar_format_spark.queries.registry import all_queries  # noqa: E402
 
@@ -50,6 +51,36 @@ def test_ref_regex_skips_subqueries_and_functions():
     refs = {m.group(1).lower() for m in _REF_RE.finditer(sql)}
     assert "documents" in refs and "a" in refs and "b" in refs
     assert "unnest" not in refs and "select" not in refs
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="driver testdata absent"
+)
+def test_oracle_schemas_have_no_hugeint_finals():
+    """The round-4..6 driver red class: DuckDB SUM(BIGINT) -> HUGEINT ->
+    pandas float64 -> raw value-hash mismatch vs Spark int64.  Every
+    oracle's bound final schema must be free of HUGEINT/UBIGINT/UHUGEINT."""
+    assert lint_oracle_schemas() == []
+
+
+def test_oracle_schema_lint_catches_uncast_sum():
+    from custom_columnar_format_spark.queries.registry import QueryDef
+
+    bad = {
+        "q_uncast": QueryDef(
+            fn=lambda spark, sf: None,
+            sql="SELECT SUM(CAST(doc_id AS BIGINT)) AS s FROM documents",
+            doc="x" * 60,
+        ),
+        "q_cast": QueryDef(
+            fn=lambda spark, sf: None,
+            sql="SELECT CAST(SUM(doc_id) AS BIGINT) AS s FROM documents",
+            doc="x" * 60,
+        ),
+    }
+    problems = lint_oracle_schemas(bad)
+    assert any("q_uncast" in p and "HUGEINT" in p for p in problems)
+    assert not any("q_cast" in p for p in problems)
 
 
 def test_every_query_has_callable_and_distinct_name():

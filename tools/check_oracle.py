@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from custom_columnar_format_spark.compare import strict_dtype_problems
 from custom_columnar_format_spark.plans.session import get_spark
 from custom_columnar_format_spark.queries.registry import all_queries
 from custom_columnar_format_spark.queries.tables import TABLES
@@ -63,6 +64,11 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        strict = strict_dtype_problems(sdf, odf)
+        if strict:
+            failures.append(name)
+            print(f"FAIL  {name}: strict dtype: {'; '.join(strict)}")
             continue
         s, o = normalize(sdf), normalize(odf)
         if list(s.columns) != list(o.columns):

@@ -91,9 +91,54 @@ def lint_registry(qs=None) -> list[str]:
     return problems
 
 
+# DuckDB types pandas cannot round-trip as int64: the driver materializes
+# them as float64, so a value-hash against Spark's int64 output mismatches
+# even when every value is identical ("2098.0" vs "2098").  This exact
+# artifact cost rounds 4-6 a persistent driver red on q_pack_sequences
+# (root-caused in VERDICT r6: DuckDB SUM(BIGINT) -> HUGEINT).
+_BANNED_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+def lint_oracle_schemas(qs=None, sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Bind every oracle SQL in DuckDB (schema resolution only — no rows are
+    fetched) and flag any final output column whose type pandas would
+    silently coerce to float64, breaking the driver's raw value-hash
+    against Spark's int64.  Returns human-readable violations."""
+    import duckdb
+
+    qs = qs or all_queries()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    problems: list[str] = []
+    for name in sorted(qs):
+        sql = qs[name].sql
+        if sql is None:
+            continue
+        try:
+            rel = con.sql(sql)
+            hits = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, (str(t) for t in rel.types))
+                if t in _BANNED_DUCK_TYPES
+            ]
+        except Exception as e:  # noqa: BLE001 — binding error is itself a lint hit
+            problems.append(f"{name}: oracle SQL failed to bind in DuckDB: {e}")
+            continue
+        if hits:
+            problems.append(
+                f"{name}: oracle final schema has pandas-unrepresentable int "
+                f"column(s) {hits} — CAST(... AS BIGINT) the output"
+            )
+    con.close()
+    return problems
+
+
 def main() -> None:
     qs = all_queries()
-    problems = lint_registry(qs)
+    problems = lint_registry(qs) + lint_oracle_schemas(qs)
     if problems:
         for p in problems:
             print(f"LINT: {p}", file=sys.stderr)
