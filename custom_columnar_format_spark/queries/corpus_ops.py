@@ -1772,3 +1772,121 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_FUZZY_TAU,
         probe_mod=_FUZZY_PROBE_MOD,
     )
+
+
+# FineWeb-Edu-style model-scored filtering: a linear scorer with FIXED
+# literal weights over the fleet's quality signals stands in for the
+# classifier head (this container has no model runtime; the Spark-side
+# plumbing — broadcast-free literal weights, JVM-only scoring, per-source
+# retention accounting — is the real artifact and is exactly what a real
+# logistic head compiles to).
+_EDU_W = {"alpha": 3.0, "stop": 8.0, "len": 0.002, "bias": -2.5}
+_EDU_TAU = 0.55
+
+
+@query(
+    "q_edu_score_filter",
+    f"""
+    WITH feat AS (
+      SELECT source,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha,
+             (length(' ' || lower(text) || ' ')
+              - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+               / greatest(len(string_split(trim(text), ' ')), 1) AS stop,
+             least(length(text), 2000) AS chars
+      FROM documents WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT source,
+             1.0 / (1.0 + exp(-({_EDU_W['alpha']} * alpha + {_EDU_W['stop']} * stop
+                               + {_EDU_W['len']} * chars + {_EDU_W['bias']}))) AS s
+      FROM feat
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s >= {_EDU_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           floor(AVG(s) * 1e4 + 0.5) / 1e4 AS avg_score
+    FROM scored GROUP BY source
+    """,
+    doc="model-scored quality filtering (FineWeb-Edu shape): a logistic "
+    "scorer with fixed literal weights over alphabetic ratio, stopword "
+    "density, and clamped length gates each doc; per-source kept counts "
+    "and mean score report what a threshold would discard. The weights "
+    "ride the plan as literals (what a trained linear head compiles to — "
+    "a real classifier would swap in an Arrow-batched scorer UDF at the "
+    "same seam); scoring is JVM-only, one scan, one source-keyed rollup. "
+    "The sigmoid is monotone so cross-engine float noise below 1e-12 "
+    "cannot cross the 0.55 threshold except on exact ties, which the "
+    "synthetic corpus does not produce.",
+)
+def q_edu_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double") / F.length(t)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5.0
+    ) / F.greatest(F.size(F.split(F.trim(t), " ")), F.lit(1))
+    chars = F.least(F.length(t), F.lit(2000))
+    z = (
+        _EDU_W["alpha"] * alpha
+        + _EDU_W["stop"] * stop
+        + _EDU_W["len"] * chars
+        + _EDU_W["bias"]
+    )
+    s = 1.0 / (1.0 + F.exp(-z))
+    return (
+        docs.select("source", s.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("s") >= _EDU_TAU, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            (F.floor(F.avg("s") * 1e4 + 0.5) / 1e4).alias("avg_score"),
+        )
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks,
+             len(string_split(trim(text), ' ')) AS words,
+             length(text) AS chars
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           floor(SUM(toks) / CAST(SUM(words) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility,
+           floor(SUM(chars) / CAST(SUM(toks) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chars_per_token
+    FROM d WHERE words > 0 AND toks > 0
+    GROUP BY lang
+    """,
+    doc="tokenizer fertility audit: per language, tokens-per-word and "
+    "chars-per-token under the fleet's regex tokenizer — THE health metric "
+    "before committing a tokenizer to a multilingual training run (a lang "
+    "with fertility far above the corpus mean pays proportionally more "
+    "context budget per sentence). One scan, per-doc arithmetic folded "
+    "into a lang-keyed partial+final aggregate; corpus-scale ratios are "
+    "computed from the SUMS (not averaged per-doc ratios), so the number "
+    "is the true corpus-level rate.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    d = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)).alias("toks"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("words"),
+        F.length("text").alias("chars"),
+    ).filter((F.col("words") > 0) & (F.col("toks") > 0))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.floor(F.sum("toks") / F.sum("words").cast("double") * 1e4 + 0.5) / 1e4).alias(
+            "fertility"
+        ),
+        (F.floor(F.sum("chars") / F.sum("toks").cast("double") * 1e4 + 0.5) / 1e4).alias(
+            "chars_per_token"
+        ),
+    )
