@@ -56,6 +56,12 @@ REPORT = [
     "q_equidepth_bins",
     "q_funnel_4step_lags",
     "q_rolling_median_7d",
+    # round 7
+    "q_gopher_repetition",
+    "q_zipf_slope",
+    "q_decontaminate_fuzzy",
+    "q_sim_matryoshka_topk",
+    "q_embed_int8_quant",
 ]
 
 R4_NOTE = """
@@ -84,6 +90,34 @@ transform-over-sequence rewrite of the 64 signature expressions changed
 nothing (the compile cost is not in that operator). The xxhash64 fast path
 remains available via scheme="xxhash64"; at any real scale the one-time
 compile cost amortizes to zero.
+
+## Round-5 note: bench trend and the HOF-explode fix
+
+Mid-round bench (warm container): headline km-md5 MinHash 6.31 s (r4) →
+4.98 s, q01 1.54 → 0.70, exact-dedup 1.70 → 0.70 — plan-unchanged wins
+consistent with the fresh-vs-warm-container noise documented in round 4.
+Three new heavy entries joined the suite (paragraph dedup 1.68 s,
+containment 3.84 s, PQ/ADC 5.92 s — the last is fixed planning/codegen for
+a 128-distance expression, amortized at scale: 500k vectors stress at ~16k
+vecs/s). The round's big perf find: `Generate` re-evaluates HOF-built
+arrays per emitted element (160×) — fixed fleet-wide (see SCALE.md); the
+same stress run exposed SHJ build-map OOM on corpus×corpus joins, now
+pinned sort-merge. Sweep timing caveat: `q_ngram_jaccard`'s ~700 s in the
+sf0.1 sweep is ~680 s of DuckDB ORACLE replay (single-threaded pair
+expansion in SQL); the Spark side is 23.1 s.
+
+## Round-7 note: containment probe gating, bench contract restored
+
+BENCH_r06 never parsed (diagnostics outgrew the driver's tail buffer) —
+the contract line is now minimal with extended numbers in
+BENCH_DETAIL.json. Round-7 bench (fresh container, cal_factor 0.9954):
+suite 46.6 s vs r6's ~49.8 s reconstruction. `q_containment_pairs`
+pass-1 4.48 s vs pass-2 4.15 s (r6: 5.77/4.34) — the skew-guard's
+sampled probe is now skipped outright on corpora below
+heavy_df_cap × probe_modulus docs (any heavy/light split is exact, and
+below that size the worst unguarded block is a bounded one-task sort),
+so the clean-corpus bench path pays only a column-pruned id count. The
+guard itself is unchanged and stress-proven at 250k docs.
 """
 
 
