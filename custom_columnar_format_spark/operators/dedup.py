@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_NUM_HASHES = 64
 DEFAULT_NUM_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -1137,3 +1138,159 @@ def containment_pairs(
         .filter(F.instr(pad(F.col("t_out")), pad(F.col("t_in"))) > 0)
     )
     return verified.select("id_inner", "id_outer")
+
+
+def duplicate_block_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_chars: int = 30,
+    min_df: int = 2,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact duplicated-substring SPANS at K-char block granularity — the
+    ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for a shared-nothing engine: the
+    paper builds one suffix array over the concatenated corpus (inherently
+    single-address-space); here each doc is tiled into K-char blocks, block
+    document-frequency is one corpus-wide hash aggregation, and ADJACENT
+    duplicated blocks coalesce into maximal spans with a gaps-and-islands
+    window (granularity K instead of the suffix array's byte-exact spans —
+    every detected span IS an exact cross-doc duplicate; spans shorter than
+    K or straddling a tile boundary without covering a full tile are missed,
+    the standard block-tiling trade).
+
+    Scale shape: blocks shuffle once on their text for the frequency count
+    (map-side partial combine; at production scale key by a 16-byte digest
+    like ``exact_dedup`` to shrink the shuffle), the posting stream rejoins
+    co-partitioned on the same key (SMJ-pinned so stats can never broadcast
+    a corpus side), and the islands window partitions per doc — bounded by
+    len(doc)/K rows, never corpus-wide. Document bodies never travel.
+
+    Returns per-doc span stats for docs with >= 1 duplicated span:
+    (id, *keep_cols, n_chars, n_spans, dup_blocks, max_span_chars).
+    """
+    docs = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    k = block_chars
+    nblk = F.floor(F.col("n_chars") / k).cast("int")
+    blocks = (
+        docs.filter(F.col("n_chars") >= k)
+        .select(
+            "id",
+            *keep_cols,
+            "n_chars",
+            "_t",
+            F.explode(F.sequence(F.lit(0), nblk - 1)).alias("blk_idx"),
+        )
+        .select(
+            "id",
+            *keep_cols,
+            "n_chars",
+            "blk_idx",
+            F.col("_t").substr(F.col("blk_idx") * k + 1, F.lit(k)).alias("block"),
+        )
+        # feeds BOTH the frequency aggregate and the rejoin stream — same
+        # persist policy as chunk_postings' caller (q_paragraph_dedup).
+        .persist()
+    )
+    freq = (
+        blocks.groupBy("block")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    dup = blocks.hint("merge").join(freq.hint("merge"), "block").drop("df", "block")
+    w = Window.partitionBy("id").orderBy("blk_idx")
+    isl = dup.withColumn("island", F.col("blk_idx") - F.row_number().over(w))
+    spans = isl.groupBy("id", "island").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.count("*").cast("long").alias("span_blocks"),
+    )
+    return spans.groupBy("id").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_blocks").cast("long").alias("dup_blocks"),
+        (F.max("span_blocks") * k).cast("long").alias("max_span_chars"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 3,
+    threshold: float = 0.5,
+    block_prefix_chars: int = 2,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort records
+    on a key, compare each record only to its next ``window`` neighbors in
+    sort order — the classic linear-comparison alternative to LSH blocking
+    for record linkage. Blocking key = (*block_cols, first
+    ``block_prefix_chars`` of the normalized text); sort key = (normalized
+    text, id) within each block.
+
+    Scale shape: ONE shuffle on the blocking key, then a window whose
+    neighbor expansion is ``lead`` k=1..w — each row emits at most w
+    candidate pairs, so comparisons are O(n*w), never quadratic. Window
+    partitions are per-block: the blocking key is the knob that bounds
+    partition size (at production scale use a longer prefix / more block
+    columns so no block exceeds an executor task; skewed natural-language
+    prefixes are exactly why the prefix length is a parameter). Similarity
+    is exact Jaccard over distinct word sets carried THROUGH the window as
+    arrays — no second join back to the corpus.
+
+    Returns (id_a, id_b, jaccard) for neighbor pairs with Jaccard >=
+    threshold; id_a < id_b.
+    """
+    norm = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            *block_cols,
+            normalize_text(F.col(text_col)).alias("t"),
+        )
+        .withColumn("wset", F.array_distinct(F.split(F.col("t"), " ")))
+        .withColumn("blk", F.substring(F.col("t"), 1, block_prefix_chars))
+    )
+    w = Window.partitionBy(*block_cols, "blk").orderBy("t", "id")
+    widened = norm.select(
+        "id",
+        "wset",
+        *[
+            c
+            for i in range(1, window + 1)
+            for c in (
+                F.lead("id", i).over(w).alias(f"nid_{i}"),
+                F.lead("wset", i).over(w).alias(f"nset_{i}"),
+            )
+        ],
+    )
+    pairs = widened.select(
+        "id",
+        "wset",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"nid_{i}").alias("nid"), F.col(f"nset_{i}").alias("nset")
+                    )
+                    for i in range(1, window + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).filter(F.col("nb.nid").isNotNull())
+    inter = F.size(F.array_intersect("wset", F.col("nb.nset")))
+    union = F.size("wset") + F.size(F.col("nb.nset")) - inter
+    out = pairs.select(
+        F.least("id", F.col("nb.nid")).alias("id_a"),
+        F.greatest("id", F.col("nb.nid")).alias("id_b"),
+        (inter.cast("double") / union).alias("j"),
+    ).filter(F.col("j") >= threshold)
+    return out.select(
+        "id_a", "id_b", (F.floor(F.col("j") * 10000 + 0.5) / 10000).alias("jaccard")
+    )

@@ -53,6 +53,7 @@ def _load_modules() -> None:
     from . import (  # noqa: F401
         analytics,
         corpus_ops,
+        curation_ops,
         extras,
         llm_ops,
         relational,

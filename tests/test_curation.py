@@ -1,0 +1,209 @@
+"""Round-7 curation operators: distributed k-means, duplicated-block spans,
+sorted-neighborhood blocking, readability, curriculum ordering.
+
+The five oracled queries are value-checked by the registry oracle gate
+(test_queries_oracle.py); these tests pin the OPERATOR semantics against
+independent in-test references (pure NumPy / brute-force Python), the same
+strategy the BPE trainer and containment guard use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from custom_columnar_format_spark.operators import dedup, kmeans
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _numpy_lloyd(x: np.ndarray, seeds: np.ndarray, iters: int):
+    """Reference Lloyd: argmin by (distance, cid), empty clusters keep their
+    previous centroid — the exact contract kmeans_fit documents."""
+    cent = seeds.astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)  # argmin ties -> lowest index, same as engine
+        for c in range(cent.shape[0]):
+            pts = x[cid == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cent, d.argmin(axis=1)
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, sf_small):
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    return df, ids, x
+
+
+def test_kmeans_fit_matches_numpy(emb_small):
+    df, ids, x = emb_small
+    k, iters = 8, 3
+    centroids, assigned = kmeans.kmeans_fit(df, "embedding", "vec_id", k=k, iters=iters)
+    ref_cent, ref_cid = _numpy_lloyd(x, x[:k], iters)
+
+    got = np.array(centroids)
+    # fp tolerance: the engine averages in shuffle order, NumPy in row order
+    assert got.shape == ref_cent.shape
+    np.testing.assert_allclose(got, ref_cent, rtol=1e-9, atol=1e-9)
+
+    got_assign = {r.vec_id: r.cid for r in assigned.select("vec_id", "cid").collect()}
+    mismatches = sum(int(got_assign[i]) != int(c) for i, c in zip(ids, ref_cid))
+    assert mismatches == 0
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_cid(spark):
+    # two identical centroids: every point is exactly equidistant -> cid 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    out = kmeans.lloyd_assign(df, [[5.0, 5.0], [5.0, 5.0]])
+    assert {r.cid for r in out.collect()} == {0}
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # k=2 over two identical points: cluster 1 gets nothing after iteration 1
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    centroids, _ = kmeans.kmeans_fit(df, "embedding", "vec_id", k=2, iters=2)
+    assert centroids[0] == [0.0, 0.0]
+    assert centroids[1] == [0.0, 0.0]  # seeded from the identical point
+
+
+# ---------------------------------------------------------------------------
+# duplicated-block spans
+# ---------------------------------------------------------------------------
+
+
+def _brute_spans(texts: dict, k: int):
+    """Pure-python reference: tile, cross-doc df, coalesce adjacent dups."""
+    blocks = {
+        i: [t[j * k : (j + 1) * k] for j in range(len(t) // k)]
+        for i, t in texts.items()
+    }
+    df = {}
+    for i, bs in blocks.items():
+        for b in set(bs):
+            df[b] = df.get(b, 0) + 1
+    out = {}
+    for i, bs in blocks.items():
+        dup = [j for j, b in enumerate(bs) if df[b] >= 2]
+        if not dup:
+            continue
+        spans = []
+        start = prev = dup[0]
+        for j in dup[1:]:
+            if j == prev + 1:
+                prev = j
+            else:
+                spans.append(prev - start + 1)
+                start = prev = j
+        spans.append(prev - start + 1)
+        out[i] = dict(
+            n_spans=len(spans),
+            dup_blocks=sum(spans),
+            max_span_chars=max(spans) * k,
+        )
+    return out
+
+
+def test_duplicate_block_spans_matches_bruteforce(spark):
+    shared = "x" * 95  # 3 full 30-char tiles + tail, shared by docs 1 and 2
+    texts = {
+        1: shared + "unique tail one that is long enough to add blocks",
+        2: shared + "a totally different continuation of the document",
+        3: "no duplication here at all " * 6,
+        4: "short",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id: long, text: string"
+    )
+    got = {
+        r.id: (r.n_spans, r.dup_blocks, r.max_span_chars)
+        for r in dedup.duplicate_block_spans(df, "text", "doc_id", block_chars=30).collect()
+    }
+    ref = _brute_spans(texts, 30)
+    assert got == {
+        i: (v["n_spans"], v["dup_blocks"], v["max_span_chars"]) for i, v in ref.items()
+    }
+    assert 1 in got and 2 in got and 3 not in got and 4 not in got
+    # the shared prefix tiles into 3 duplicated blocks = ONE maximal span
+    assert got[1] == (1, 3, 90)
+
+
+def test_duplicate_block_spans_gap_splits_span(spark):
+    # doc A and B share tiles 0 and 2 but differ at tile 1 -> two 1-block spans
+    blk = lambda c: c * 30  # noqa: E731
+    a = blk("a") + blk("b") + blk("c")
+    b = blk("a") + blk("z") + blk("c")
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id: long, text: string")
+    got = {
+        r.id: (r.n_spans, r.dup_blocks, r.max_span_chars)
+        for r in dedup.duplicate_block_spans(df, "text", "doc_id", block_chars=30).collect()
+    }
+    assert got == {1: (2, 2, 30), 2: (2, 2, 30)}
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_finds_near_duplicates(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup of 1
+        (3, "the quick brown fox jumps over a sleeping cat"),
+        (4, "completely unrelated text about database engines"),
+        (5, "zebra stripes pattern recognition methods survey"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # normalization strips '!'
+    assert all(a < b for a, b in pairs)
+    assert (4, 5) not in pairs
+
+
+def test_sorted_neighborhood_is_linear_not_quadratic(spark):
+    # every row shares a block; window=1 must yield at most n-1 pairs even
+    # when ALL texts are identical (the quadratic trap SNM exists to avoid)
+    rows = [(i, "identical text body") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup.sorted_neighborhood_pairs(df, "text", "doc_id", window=1, threshold=0.1)
+    assert out.count() == 9
+
+
+# ---------------------------------------------------------------------------
+# curriculum order / readability smoke (value gates live in the oracle sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_plan_is_top_k(spark, sf_small):
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    df = all_queries()["q_curriculum_order"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_readability_bands_are_sane(spark, sf_small):
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    rows = all_queries()["q_readability"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_easy <= r.n_docs

@@ -62,6 +62,11 @@ REPORT = [
     "q_decontaminate_fuzzy",
     "q_sim_matryoshka_topk",
     "q_embed_int8_quant",
+    "q_exact_substring_spans",
+    "q_kmeans_iter",
+    "q_sorted_neighborhood_pairs",
+    "q_readability",
+    "q_curriculum_order",
 ]
 
 R4_NOTE = """
