@@ -74,6 +74,11 @@ HEADLINE = [
     # and the bigram-LM perplexity filter (posting-stream + broadcast model)
     "q_semdedup_prune",
     "q_bigram_logprob",
+    # round 7: full-corpus clustering, block-granular ExactSubstr spans,
+    # sorted-neighborhood blocking — the new curation heavyweights
+    "q_kmeans_iter",
+    "q_exact_substring_spans",
+    "q_sorted_neighborhood_pairs",
 ]
 
 

@@ -175,3 +175,40 @@ def bpe_token_counts(
     ).filter(F.col("word") != "")
     toked = words.select("id", F.size(_tokens_udf(merges)(F.col("word"))).alias("nt"))
     return toked.groupBy("id").agg(F.sum("nt").alias("n_tokens"))
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer INFERENCE audit: per-group word/token counts and fertility
+    (tokens per word) under a trained merge list. The Arrow-batched encode
+    UDF runs on the DISTINCT word vocabulary only (bounded, like the trainer
+    itself) — never on the occurrence stream; occurrences join the scored
+    vocab on the word key (stats-driven broadcast when the vocab is small,
+    shuffle join when it is not — the corpus side is never broadcast)."""
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    occ = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    wtok = (
+        occ.select("w")
+        .distinct()
+        .select("w", F.size(_tokens_udf(merges)(F.col("w"))).alias("nt"))
+    )
+    return occ.join(wtok, "w").groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        (
+            F.floor(F.sum("nt").cast("double") / F.count("*") * 10000 + 0.5) / 10000
+        ).alias("tokens_per_word"),
+    )

@@ -777,3 +777,117 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, floor(SUM(value) * 1e6 + 0.5) / 1e6 AS rev
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT median(rev) AS m FROM daily),
+    mad AS (SELECT median(abs(rev - med.m)) AS md FROM daily, med)
+    SELECT strftime(d, '%Y-%m-%d') AS day, rev,
+           floor(abs(rev - med.m) / (1.4826 * mad.md) * 10000 + 0.5) / 10000 AS robust_z
+    FROM daily, med, mad
+    WHERE mad.md > 0 AND abs(rev - med.m) / (1.4826 * mad.md) > 2.5
+    """,
+    doc="robust outlier detection via median absolute deviation (Hampel "
+    "identifier, 1.4826 consistency constant): days whose total event value "
+    "deviates > 2.5 robust sigmas from the median day — the z-score variant "
+    "that a single whale day cannot mask (mean/stddev are themselves "
+    "dragged by the outlier; medians are not). Scale shape: events shuffle "
+    "once into the bounded DAILY table; both medians aggregate that table "
+    "(date-bounded rows) into 1-row builds broadcast back — the raw stream "
+    "never shuffles twice. Daily sums are floor-rounded at 1e-6 before the "
+    "medians so both engines take medians of identical doubles.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("rev")
+    )
+    med = daily.agg(F.median("rev").alias("m"))
+    with_m = daily.join(F.broadcast(med))
+    mad = with_m.agg(F.median(F.abs(F.col("rev") - F.col("m"))).alias("md"))
+    rz = F.abs(F.col("rev") - F.col("m")) / (F.lit(1.4826) * F.col("md"))
+    return (
+        with_m.join(F.broadcast(mad))
+        .filter((F.col("md") > 0) & (rz > 2.5))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "rev",
+            (F.floor(rz * 10000 + 0.5) / 10000).alias("robust_z"),
+        )
+    )
+
+
+@query(
+    "q_freq_pairs_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    item_n AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           floor(CAST(support AS DOUBLE) / ia.cnt * 10000 + 0.5) / 10000 AS confidence,
+           floor(CAST(support AS DOUBLE) * n_orders.n / (ia.cnt * ib.cnt) * 10000 + 0.5) / 10000 AS lift
+    FROM pairs
+    JOIN item_n ia ON pairs.part_a = ia.l_partkey
+    JOIN item_n ib ON pairs.part_b = ib.l_partkey
+    CROSS JOIN n_orders
+    """,
+    doc="market-basket frequent-pair mining with association strength: "
+    "co-occurring part pairs within an order (support >= 3) scored by "
+    "confidence P(b|a) and lift. Scale shape: the pair self-join is an "
+    "EQUI-join on the order key — co-partitioned single shuffle with "
+    "basket-size-bounded expansion (the A-Priori candidate step, never "
+    "item-cross-item); item counts are a dimension-bounded table joined "
+    "back stats-driven, and the order total is a 1-row broadcast build.",
+)
+def q_freq_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_n = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item_n.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "support",
+        (
+            F.floor(F.col("support").cast("double") / F.col("cnt_a") * 10000 + 0.5)
+            / 10000
+        ).alias("confidence"),
+        (
+            F.floor(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("lift"),
+    )

@@ -1890,3 +1890,76 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "q_bpe_apply_fertility",
+    # Inference twin of q_bpe_train_2merges: the SAME unrolled 2-merge
+    # training CTEs (proven greedy semantics), then the trained merges are
+    # APPLIED to the whole vocabulary and joined back onto the occurrence
+    # stream — fertility (tokens per word) per source under the tokenizer
+    # the corpus itself induced.
+    f"""
+    WITH norm AS (SELECT source, {_NORM_SQL} AS t FROM documents WHERE trim(text) <> ''),
+    occ AS (
+      SELECT source, w
+      FROM (SELECT source, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> ''
+    ),
+    wd AS (SELECT w, COUNT(*) AS n FROM occ GROUP BY w),
+    sym0 AS (
+      SELECT w, n, list_append(list_transform(generate_series(1, length(w)),
+                                              i -> substr(w, i, 1)), '</w>') AS s
+      FROM wd
+    ),
+    p1 AS (
+      SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+      FROM sym0, unnest(range(1, len(s))) AS u(i) GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    sym1 AS (
+      SELECT w, n,
+             list_reduce(list_transform(s, x -> [x]),
+               (acc, x) -> CASE WHEN acc[len(acc)] = m1.a AND x[1] = m1.b
+                                THEN list_append(acc[1:len(acc)-1], m1.a || m1.b)
+                                ELSE list_concat(acc, x) END) AS s
+      FROM sym0, m1
+    ),
+    p2 AS (
+      SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+      FROM sym1, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2 GROUP BY 1, 2
+    ),
+    m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    sym2 AS (
+      SELECT w,
+             list_reduce(list_transform(s, x -> [x]),
+               (acc, x) -> CASE WHEN acc[len(acc)] = m2.a AND x[1] = m2.b
+                                THEN list_append(acc[1:len(acc)-1], m2.a || m2.b)
+                                ELSE list_concat(acc, x) END) AS s
+      FROM sym1, m2
+    ),
+    wtok AS (SELECT w, len(s) AS nt FROM sym2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           floor(CAST(SUM(nt) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS tokens_per_word
+    FROM occ JOIN wtok USING (w)
+    GROUP BY source
+    """,
+    doc="tokenizer INFERENCE under the corpus's own 2-merge BPE vocabulary: "
+    "train (the oracled 2-merge unroll), then encode every word and report "
+    "per-source word/token counts and fertility (tokens per word) — the "
+    "audit that decides whether a tokenizer fits a corpus before a training "
+    "run commits to it. Scale shape: the encode UDF runs on the DISTINCT "
+    "vocabulary only (bounded, Arrow-batched), occurrences join the scored "
+    "vocab on the word key (stats-driven broadcast), the corpus is read "
+    "once and never broadcast.",
+)
+def q_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenizer
+
+    docs = _docs_spread(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, "text", n_merges=2)
+    return tokenizer.bpe_fertility(docs, merges, "text", "source").select(
+        F.col("grp").alias("source"), "n_words", "n_tokens", "tokens_per_word"
+    )

@@ -207,3 +207,49 @@ def test_readability_bands_are_sane(spark, sf_small):
     assert rows
     for r in rows:
         assert 0 <= r.n_easy <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# BPE apply / fertility and MAD outliers (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fertility_matches_manual(spark):
+    from custom_columnar_format_spark.operators import tokenizer
+
+    rows = [
+        (1, "aa ab aa", "s1"),
+        (2, "ab ab", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    # merges chosen by hand: ('a','a') then ('a','b')
+    merges = [("a", "a"), ("a", "b")]
+    out = {
+        r.grp: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in tokenizer.bpe_fertility(df, merges, "text", "source").collect()
+    }
+    # 'aa' -> [aa, </w>] = 2 tokens; 'ab' -> [ab, </w>] = 2 tokens
+    assert out["s1"] == (3, 6, 2.0)
+    assert out["s2"] == (2, 4, 2.0)
+
+
+def test_mad_outliers_flags_planted_spike(spark, tmp_path):
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(11):
+        # varying baseline (so MAD > 0) with a planted spike on day 5
+        v = 100.0 + day * 2 if day != 5 else 10000.0
+        rows.append((eid, base + datetime.timedelta(days=day), 1, "click", v, "{}"))
+        eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    got = all_queries()["q_mad_outliers"].fn(spark, str(tmp_path)).collect()
+    assert [r.day for r in got] == ["2024-01-06"]

@@ -167,6 +167,8 @@ def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
         "q_mutual_info_lang_source",  # scalar total-count row (1-row build)
         "q_funnel_4step_lags",     # summary row joins k single-row aggregates
         "q_mix_weights",           # scalar normalizer over a 20-row group table
+        "q_mad_outliers",          # median + MAD scalar rows (1-row builds)
+        "q_freq_pairs_lift",       # lift normalizer = 1-row order-count build
         # exact-quadratic tier ON PURPOSE: it is the oracle-checkable answer;
         # the production path is the LSH-bucketed tier (equi-join on lsh_sig,
         # recall-tested in tests/test_similarity.py)
