@@ -891,3 +891,47 @@ def q_freq_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("lift"),
     )
+
+
+@query(
+    "q_acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, floor(SUM(value) * 1e6 + 0.5) / 1e6 AS rev
+      FROM events GROUP BY 1
+    ),
+    shifted AS (
+      SELECT lag, d + CAST(lag || ' days' AS INTERVAL) AS d2, rev AS rev_base
+      FROM daily, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(lag)
+    )
+    SELECT lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor(corr(rev_base, daily.rev) * 10000 + 0.5) / 10000 AS acf
+    FROM shifted JOIN daily ON shifted.d2 = daily.d
+    GROUP BY lag
+    """,
+    doc="autocorrelation of the daily event-revenue series at lags 1..7 "
+    "(seasonality / burst diagnostics for a streaming corpus): instead of a "
+    "single-partition global-order window, each daily row emits 7 "
+    "(lag, date+lag) probes that EQUI-join back to the daily table — "
+    "co-partitioned shuffle on the date key, missing days drop out of the "
+    "pair set identically in both engines. corr's n-normalization cancels "
+    "in the ratio, so sample-vs-population conventions cannot diverge. The "
+    "daily table is date-bounded, so every stage after the one corpus "
+    "shuffle is small at any corpus size.",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("rev")
+    )
+    shifted = daily.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+        F.col("d"),
+        F.col("rev").alias("rev_base"),
+    ).select("lag", F.expr("date_add(d, lag)").alias("d2"), "rev_base")
+    joined = shifted.join(daily.select(F.col("d").alias("d2"), "rev"), "d2")
+    return joined.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (F.floor(F.corr("rev_base", "rev") * 10000 + 0.5) / 10000).alias("acf"),
+    )

@@ -353,3 +353,85 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(32)
         .drop("_h")
     )
+
+
+# lexicon chosen to HIT the synthetic corpus ("dup" ~5% doc frequency) so
+# the rate math is exercised; the others prove absent terms cost nothing
+_BLOCKWORDS = ("dup", "casino", "viagra", "lottery")
+_BLOCK_RE = "(" + "|".join(_BLOCKWORDS) + ")"
+
+
+@query(
+    "q_blocklist_filter",
+    f"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '\\b{_BLOCK_RE}\\b')) AS n_hits
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+           floor(AVG(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000
+             AS block_rate
+    FROM d GROUP BY source
+    """,
+    doc="C4-style blocklist filtering audit: word-boundary lexicon matches "
+    "per doc (the production lexicon rides a broadcast set or a compiled "
+    "regex exactly like this one), per-source blocked-doc counts, total "
+    "hits and removal rate. Narrow regexp scan + one partial-agg rollup — "
+    "the cheapest filter in the pipeline and the first one run, so its "
+    "plan shape (no shuffle of bodies, count-only rollup) matters at the "
+    "raw-crawl tier where data is largest.",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    n_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{_BLOCK_RE}\b"), 0)
+    )
+    d = docs.select("source", n_hits.alias("n_hits"))
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).cast("long").alias("n_blocked"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        (
+            F.floor(
+                F.avg(F.when(F.col("n_hits") > 0, 1.0).otherwise(0.0)) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("block_rate"),
+    )
+
+
+@query(
+    "q_kanonymity_audit",
+    """
+    WITH b AS (
+      SELECT lang, source, n_chars // 256 AS len_bucket, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_buckets,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS docs_at_risk
+    FROM b GROUP BY lang
+    """,
+    doc="k-anonymity release audit (k=5) over the quasi-identifier tuple "
+    "(lang, source, 256-char length bucket): buckets smaller than k "
+    "re-identify their members by metadata alone; reports per-lang bucket "
+    "counts and the number of at-risk docs — the privacy gate a corpus "
+    "release runs AFTER PII scrubbing (q_pii_scan) because scrubbed text "
+    "with unique metadata still leaks. One hash aggregation on the "
+    "bounded quasi-identifier grid, then a lang rollup — no bodies move.",
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 256).cast("long").alias("len_bucket")
+    ).agg(F.count("*").alias("n"))
+    return b.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("long").alias("n_small_buckets"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("long").alias("docs_at_risk"),
+    )

@@ -67,6 +67,10 @@ REPORT = [
     "q_sorted_neighborhood_pairs",
     "q_readability",
     "q_curriculum_order",
+    "q_bpe_apply_fertility",
+    "q_mad_outliers",
+    "q_freq_pairs_lift",
+    "q_acf_daily_revenue",
 ]
 
 R4_NOTE = """
