@@ -435,3 +435,61 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("long").alias("n_small_buckets"),
         F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("long").alias("docs_at_risk"),
     )
+
+
+@query(
+    "q_kmeans_purity",
+    f"""
+    WITH init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, i.cid,
+             list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c[j] AS DOUBLE))
+                  * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c[j] AS DOUBLE)))) AS dist
+      FROM embeddings e, init i
+    ),
+    a AS (
+      SELECT vec_id, label, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    ),
+    cl AS (
+      SELECT cid, label, COUNT(*) AS cnt FROM a WHERE rn = 1 GROUP BY cid, label
+    ),
+    ranked AS (
+      SELECT cid, label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS r,
+             SUM(cnt) OVER (PARTITION BY cid) AS n_points
+      FROM cl
+    )
+    SELECT cid, CAST(n_points AS BIGINT) AS n_points, label AS top_label,
+           floor(CAST(cnt AS DOUBLE) / n_points * 10000 + 0.5) / 10000 AS purity
+    FROM ranked WHERE r = 1
+    """,
+    doc="cluster-purity evaluation of the seeded k-means assignment against "
+    "the ground-truth label column: per cluster, the member count, the "
+    "majority label (ties to the smallest label id) and its share — the "
+    "standard external clustering metric, and the audit that tells a "
+    "curation pipeline whether embedding clusters track labeled domains. "
+    "Scale shape: the narrow literal-centroid assignment (same plan as "
+    "q_kmeans_iter) feeds ONE (cid,label) hash aggregation — the windows "
+    "run over the k×|labels| grid, never the corpus.",
+)
+def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    seeds = kmeans.seed_centroids(emb, "embedding", "vec_id", k=_KMEANS_K)
+    assigned = kmeans.lloyd_assign(emb, seeds, "embedding")
+    cl = assigned.groupBy("cid", "label").agg(F.count("*").alias("cnt"))
+    return cl.groupBy("cid").agg(
+        F.sum("cnt").cast("long").alias("n_points"),
+        # max cnt, ties to the SMALLEST label id -> maximize (cnt, -label)
+        F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias(
+            "top_label"
+        ),
+        (
+            F.floor(F.max("cnt").cast("double") / F.sum("cnt") * 10000 + 0.5) / 10000
+        ).alias("purity"),
+    )

@@ -71,6 +71,7 @@ REPORT = [
     "q_mad_outliers",
     "q_freq_pairs_lift",
     "q_acf_daily_revenue",
+    "q_kmeans_purity",
 ]
 
 R4_NOTE = """
