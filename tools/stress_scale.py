@@ -393,6 +393,60 @@ def main():
                       "planted_recall": round(planted_pruned / planted_sem, 4)}), flush=True)
     marked.unpersist()
 
+    # Round-7 stages -------------------------------------------------------
+
+    # Full-corpus Lloyd iteration: assignment is a literal-centroid codegen
+    # pass (no join), the update shuffles k*dim partials — must stream all
+    # n_vecs rows with no Python in the loop and no corpus collect.
+    from custom_columnar_format_spark.operators import kmeans as km
+
+    seeds = km.seed_centroids(emb, "embedding", "vec_id", k=8)
+    t0 = time.time()
+    kmrows = km.lloyd_iteration(emb, seeds, "embedding").count()
+    print(json.dumps({"stage": "kmeans_iteration", "rows": kmrows,
+                      "seconds": round(time.time() - t0, 2),
+                      "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
+
+    # ExactSubstr block spans: every 100th doc copies its predecessor, so
+    # all K-char tiles of each planted pair are cross-doc duplicates —
+    # both docs must surface with >= 1 span (block-aligned by construction).
+    before = completed_stage_ids(spark)
+    t0 = time.time()
+    spans = dedup.duplicate_block_spans(docs, "text", "doc_id", block_chars=30)
+    planted_span_docs = spans.filter(
+        (F.col("id") % 100 == 0) | ((F.col("id") + 1) % 100 == 0)
+    ).count()
+    dt = time.time() - t0
+    ratio, sid = straggler_ratio(spark, before)
+    expect_span_docs = 2 * (n_docs // 100)
+    print(json.dumps({"stage": "exact_substring_spans", "rows": planted_span_docs,
+                      "seconds": round(dt, 2),
+                      "docs_per_sec": round(n_docs / dt),
+                      "planted_recall": round(planted_span_docs / expect_span_docs, 4),
+                      "straggler_ratio": ratio, "straggler_stage": sid}), flush=True)
+
+    # Sorted-neighborhood at scale: the synthetic vocab gives ~10 coarse
+    # 2-char prefixes, so this measures the DOCUMENTED skew knob — a finer
+    # 6-char prefix must keep window partitions bounded (straggler ratio
+    # reported for the honest number). Planted pairs share their full
+    # prefix, so they sort adjacent and window=3 must recover them.
+    before = completed_stage_ids(spark)
+    t0 = time.time()
+    snm = dedup.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", window=3, threshold=0.5, block_prefix_chars=6
+    )
+    planted_snm = snm.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 100 == 0)
+    ).count()
+    dt = time.time() - t0
+    ratio, sid = straggler_ratio(spark, before)
+    print(json.dumps({"stage": "sorted_neighborhood", "rows": planted_snm,
+                      "seconds": round(dt, 2),
+                      "docs_per_sec": round(n_docs / dt),
+                      "planted_recall": round(planted_snm / (n_docs // 100), 4),
+                      "straggler_ratio": ratio, "straggler_stage": sid,
+                      "bounded": ratio is None or ratio <= 8.0}), flush=True)
+
     print(json.dumps({"stage": "TOTAL", "n_docs": n_docs, "n_vecs": n_vecs,
                       "seconds": round(time.time() - total0, 2)}), flush=True)
     spark.stop()
