@@ -493,3 +493,102 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.max("cnt").cast("double") / F.sum("cnt") * 10000 + 0.5) / 10000
         ).alias("purity"),
     )
+
+
+_LOGREG_LR = 0.5
+
+_LOGREG_W2_CTES = f"""
+    e AS (
+      SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, embedding
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, y, j, CAST(embedding[j] AS DOUBLE) AS xj
+      FROM e, range(1, {_EMB_DIM} + 1) r(j)
+    ),
+    g1 AS (SELECT j, AVG((0.5 - y) * xj) AS g FROM x GROUP BY j),
+    w1 AS (SELECT j, -{_LOGREG_LR} * g AS w FROM g1),
+    m2 AS (
+      SELECT x.vec_id, x.y, SUM(w1.w * x.xj) AS m
+      FROM x JOIN w1 USING (j) GROUP BY 1, 2
+    ),
+    p2 AS (SELECT vec_id, 1.0/(1.0 + exp(-m)) AS p FROM m2),
+    g2 AS (
+      SELECT x.j, AVG((p2.p - x.y) * x.xj) AS g
+      FROM x JOIN p2 USING (vec_id) GROUP BY x.j
+    ),
+    w2 AS (
+      SELECT w1.j, w1.w - {_LOGREG_LR} * g2.g AS w
+      FROM w1 JOIN g2 USING (j)
+    )"""
+
+
+@query(
+    "q_logreg_step2",
+    # The GD loop unrolled to depth 2 as chained CTEs (the q_bpe_train_2merges
+    # trick): step 1 starts from w = 0 where sigmoid is EXACTLY 0.5 in every
+    # engine, so the whole replay is pure aggregate arithmetic.
+    f"""
+    WITH {_LOGREG_W2_CTES}
+    SELECT j - 1 AS pos, floor(w * 1e8 + 0.5) / 1e8 AS weight FROM w2
+    """,
+    doc="distributed logistic-regression training, 2 full-batch GD steps "
+    f"(lr={_LOGREG_LR}, y = label==0) — the FineWeb-Edu-style 'train the "
+    "quality classifier ON the engine' primitive. Per iteration: the margin "
+    "w.x is a fixed-order fold against LITERAL weights (no join, codegen), "
+    "the gradient is one dim-keyed hash aggregation after posexplode "
+    "(shuffle = dim x partials, corpus-size-independent), and the driver "
+    "receives exactly the dim-sized model update. Oracle = the loop "
+    "unrolled as chained CTEs from the exact w=0 start.",
+)
+def q_logreg_step2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import logreg
+
+    emb = _emb_spread(spark, sf_dir).withColumn(
+        "y", F.when(F.col("label") == 0, 1.0).otherwise(0.0)
+    )
+    w = logreg.logreg_fit(emb, "embedding", "y", dim=_EMB_DIM, iters=2, lr=_LOGREG_LR)
+    import math
+
+    return spark.createDataFrame(
+        [(pos, math.floor(wi * 1e8 + 0.5) / 1e8) for pos, wi in enumerate(w)],
+        "pos: int, weight: double",
+    )
+
+
+@query(
+    "q_logreg_apply",
+    f"""
+    WITH {_LOGREG_W2_CTES},
+    m3 AS (
+      SELECT x.vec_id, SUM(w2.w * x.xj) AS m
+      FROM x JOIN w2 USING (j) GROUP BY 1
+    ),
+    scored AS (
+      SELECT e.vec_id, e.y, 1.0/(1.0 + exp(-m3.m)) AS p
+      FROM e JOIN m3 USING (vec_id)
+    )
+    SELECT CAST(y AS INT) AS is_target,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(AVG(p) * 1e6 + 0.5) / 1e6 AS avg_score
+    FROM scored GROUP BY y
+    """,
+    doc="corpus-wide APPLY of the 2-step trained classifier: one narrow "
+    "codegen pass scores every row (weights as literals, no join), then a "
+    "2-group calibration rollup — mean score among targets vs non-targets "
+    "(separation > 0 shows the 2 steps learned signal). This is the shape "
+    "of every model-based quality filter at 100 TB: train once (bounded "
+    "artifact), score with a broadcast-free literal expression.",
+)
+def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import logreg
+
+    emb = _emb_spread(spark, sf_dir).withColumn(
+        "y", F.when(F.col("label") == 0, 1.0).otherwise(0.0)
+    )
+    w = logreg.logreg_fit(emb, "embedding", "y", dim=_EMB_DIM, iters=2, lr=_LOGREG_LR)
+    scored = logreg.predictions(emb, w, "embedding")
+    return scored.groupBy(F.col("y").cast("int").alias("is_target")).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.avg("p") * 1e6 + 0.5) / 1e6).alias("avg_score"),
+    )

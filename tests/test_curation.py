@@ -253,3 +253,43 @@ def test_mad_outliers_flags_planted_spike(spark, tmp_path):
 
     got = all_queries()["q_mad_outliers"].fn(spark, str(tmp_path)).collect()
     assert [r.day for r in got] == ["2024-01-06"]
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (distributed full-batch GD)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_logreg(x: np.ndarray, y: np.ndarray, iters: int, lr: float) -> np.ndarray:
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        g = ((p - y)[:, None] * x).mean(axis=0)
+        w = w - lr * g
+    return w
+
+
+def test_logreg_fit_matches_numpy(emb_small):
+    from pyspark.sql import functions as F
+
+    from custom_columnar_format_spark.operators import logreg
+
+    df, ids, x = emb_small
+    dfy = df.withColumn("y", F.when(F.col("label") == 0, 1.0).otherwise(0.0))
+    labels = {r.vec_id: r.label for r in df.select("vec_id", "label").collect()}
+    y = np.array([1.0 if labels[i] == 0 else 0.0 for i in ids])
+
+    w = np.array(logreg.logreg_fit(dfy, "embedding", "y", dim=64, iters=4, lr=0.5))
+    ref = _numpy_logreg(x, y, iters=4, lr=0.5)
+    np.testing.assert_allclose(w, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_logreg_apply_separates_labels(spark, sf_small):
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    rows = {
+        r.is_target: r.avg_score
+        for r in all_queries()["q_logreg_apply"].fn(spark, sf_small).collect()
+    }
+    # two GD steps must move target scores above non-target scores
+    assert rows[1] > rows[0]

@@ -72,6 +72,7 @@ REPORT = [
     "q_freq_pairs_lift",
     "q_acf_daily_revenue",
     "q_kmeans_purity",
+    "q_logreg_apply",
 ]
 
 R4_NOTE = """
