@@ -1169,6 +1169,14 @@ def duplicate_block_spans(
 
     Returns per-doc span stats for docs with >= 1 duplicated span:
     (id, *keep_cols, n_chars, n_spans, dup_blocks, max_span_chars).
+
+    Cache contract (same as the minhash shingle table / chunk_postings
+    callers): the returned plan holds the block-posting table PERSISTED
+    (it feeds both the frequency aggregate and the rejoin — without the
+    persist the tile+substr pass runs twice). The CALLER owns the
+    lifecycle: call ``spark.catalog.clearCache()`` (what the bench harness
+    does) or unpersist after materializing downstream results; library
+    pipelines that loop over corpora must not rely on GC.
     """
     docs = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("id"),
