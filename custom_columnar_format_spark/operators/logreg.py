@@ -25,15 +25,13 @@ from typing import List, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import lit_vector
+from ..functions.vector import dot, lit_vector
 
 
 def margin_expr(weights: Sequence[float], vec_col: str) -> F.Column:
-    """w . x as a fixed-order fold against literal weights."""
-    prods = F.zip_with(
-        F.col(vec_col), lit_vector(weights), lambda x, w: x.cast("double") * w
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    """w . x as a fixed-order fold against literal weights — the shared
+    ``functions.vector.dot`` fold, the exact arithmetic the oracles replay."""
+    return dot(F.col(vec_col), lit_vector(weights))
 
 
 def sigmoid(col: F.Column) -> F.Column:

@@ -184,11 +184,14 @@ def bpe_fertility(
     group_col: str = "source",
 ) -> DataFrame:
     """Tokenizer INFERENCE audit: per-group word/token counts and fertility
-    (tokens per word) under a trained merge list. The Arrow-batched encode
-    UDF runs on the DISTINCT word vocabulary only (bounded, like the trainer
-    itself) — never on the occurrence stream; occurrences join the scored
-    vocab on the word key (stats-driven broadcast when the vocab is small,
-    shuffle join when it is not — the corpus side is never broadcast)."""
+    (tokens per word) under a trained merge list. ONE corpus pass: the
+    occurrence stream collapses immediately to a (group, word, count) table
+    (bounded by groups x vocab), the Arrow-batched encode UDF scores the
+    DISTINCT vocabulary derived from that table — never the occurrence
+    stream — and the final rollup weights token counts by occurrence count.
+    The scoring join runs on vocab-bounded tables only (stats-driven
+    broadcast when small); nothing corpus-scale is persisted, rejoined, or
+    broadcast."""
     from ..shipping import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
@@ -200,15 +203,22 @@ def bpe_fertility(
         )
         .filter(F.col("w") != "")
     )
+    # the one corpus-wide shuffle: (grp, w) -> occurrence count
+    wg = occ.groupBy("grp", "w").agg(F.count("*").alias("c"))
     wtok = (
-        occ.select("w")
+        wg.select("w")
         .distinct()
         .select("w", F.size(_tokens_udf(merges)(F.col("w"))).alias("nt"))
     )
-    return occ.join(wtok, "w").groupBy("grp").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum("nt").cast("long").alias("n_tokens"),
+    j = wg.join(wtok, "w")
+    return j.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.col("nt")).cast("long").alias("n_tokens"),
         (
-            F.floor(F.sum("nt").cast("double") / F.count("*") * 10000 + 0.5) / 10000
+            F.floor(
+                F.sum(F.col("c") * F.col("nt")).cast("double") / F.sum("c") * 10000
+                + 0.5
+            )
+            / 10000
         ).alias("tokens_per_word"),
     )

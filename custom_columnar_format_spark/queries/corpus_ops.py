@@ -1929,7 +1929,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
       FROM sym1, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2 GROUP BY 1, 2
     ),
-    m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    -- always exactly 1 row: a NULL sentinel when no second merge exists, so
+    -- the cross join below cannot empty sym2 (the fold's CASE never matches
+    -- NULL and applies no merge — same as the engine training only 1 merge)
+    m2 AS (
+      SELECT a, b FROM (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1)
+      UNION ALL
+      SELECT NULL, NULL WHERE (SELECT COUNT(*) FROM p2) = 0
+    ),
     sym2 AS (
       SELECT w,
              list_reduce(list_transform(s, x -> [x]),

@@ -403,9 +403,10 @@ def main():
     seeds = km.seed_centroids(emb, "embedding", "vec_id", k=8)
     t0 = time.time()
     kmrows = km.lloyd_iteration(emb, seeds, "embedding").count()
+    dt = time.time() - t0
     print(json.dumps({"stage": "kmeans_iteration", "rows": kmrows,
-                      "seconds": round(time.time() - t0, 2),
-                      "vecs_per_sec": round(n_vecs / (time.time() - t0))}), flush=True)
+                      "seconds": round(dt, 2),
+                      "vecs_per_sec": round(n_vecs / dt)}), flush=True)
 
     # ExactSubstr block spans: every 100th doc copies its predecessor, so
     # all K-char tiles of each planted pair are cross-doc duplicates —
@@ -419,6 +420,7 @@ def main():
     dt = time.time() - t0
     ratio, sid = straggler_ratio(spark, before)
     expect_span_docs = 2 * (n_docs // 100)
+    spark.catalog.clearCache()  # duplicate_block_spans' caller-owned persist
     print(json.dumps({"stage": "exact_substring_spans", "rows": planted_span_docs,
                       "seconds": round(dt, 2),
                       "docs_per_sec": round(n_docs / dt),
