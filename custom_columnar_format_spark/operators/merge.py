@@ -128,18 +128,108 @@ def merge_into(
         shutil.copy2(p, os.path.join(staging, os.path.basename(p)))
 
     if out_path is None:
-        backup = staging_path(target_path, ".merge-old")
-        shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
-        os.rename(target_path, backup)
-        os.rename(staging, target_path)
-        # carry dataset metadata (snapshot manifests etc.) across the swap
-        for name in os.listdir(backup):
-            if name.startswith("_"):
-                os.rename(os.path.join(backup, name), os.path.join(target_path, name))
-        shutil.rmtree(backup)
+        _swap_into_place(target_path, staging)
 
     return {
         "files_total": len(files),
         "files_rewritten": len(touched),
         "files_carried_over": len(untouched),
+    }
+
+
+def _swap_into_place(target_path: str, staging: str) -> None:
+    """Backup-rename-swap with dataset metadata carry-over (snapshot
+    manifests etc.); the swap is the LAST step so a crash before it leaves
+    the target untouched and vacuum.recover() heals a crash inside it."""
+    backup = staging_path(target_path, ".merge-old")
+    shutil.rmtree(backup, ignore_errors=True)  # stale backup from a prior crash
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    for name in os.listdir(backup):
+        if name.startswith("_"):
+            os.rename(os.path.join(backup, name), os.path.join(target_path, name))
+    shutil.rmtree(backup)
+
+
+def delete_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key: str,
+    out_path: str | None = None,
+    n_files: int = 8,
+    rows_per_group: int | None = None,
+    broadcast_keys: bool | None = None,
+) -> dict:
+    """DELETE-by-key with file-level copy-on-write — the right-to-be-
+    forgotten / retention-purge primitive (SQL ``DELETE FROM t WHERE key IN
+    (SELECT key FROM keys)``), sharing MERGE's machinery:
+
+    - footer min/max stats prove which files CANNOT contain a doomed key;
+      those are carried over byte-identical, never read (at 100 TB with a
+      narrow deletion set that is almost every file);
+    - only possibly-touched files are scanned, LEFT ANTI-joined against the
+      key set (stats-driven broadcast by default; ``broadcast_keys=False``
+      pins shuffle so a bad estimate can never driver-build a huge set),
+      and rewritten; staged write, swap last, metadata carried over.
+
+    Returns {files_total, files_rewritten, files_carried_over,
+    rows_deleted}."""
+    _vacuum.recover(target_path)
+    files = _target_files(target_path)
+    if not files:
+        raise ValueError(f"no SCBF files at {target_path}")
+
+    b = keys.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).collect()[0]
+    if b.mn is None:  # empty deletion set: nothing to do, nothing rewritten
+        return {
+            "files_total": len(files),
+            "files_rewritten": 0,
+            "files_carried_over": len(files),
+            "rows_deleted": 0,
+        }
+    touched, untouched = split_touched_files(files, key, b.mn, b.mx)
+
+    final_dest = out_path or target_path
+    staging = staging_path(final_dest, ".merge-tmp") if out_path is None else out_path
+    os.makedirs(staging, exist_ok=True)
+
+    schema = spark.read.format("scbf").load(target_path).schema
+    rows_deleted = 0
+    if touched:
+        link_dir = staging_path(final_dest, ".merge-tmp") + ".touched"
+        os.makedirs(link_dir, exist_ok=True)
+        for p in touched:
+            dst = os.path.join(link_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.symlink(os.path.abspath(p), dst)
+        touched_df = spark.read.format("scbf").load(link_dir)
+        keys_df = keys.select(key).distinct()
+        if broadcast_keys is True:
+            keys_df = F.broadcast(keys_df)
+        elif broadcast_keys is False:
+            keys_df = keys_df.hint("shuffle_hash")
+        kept = touched_df.join(keys_df, key, "left_anti")
+        rows_deleted = touched_df.count() - kept.count()
+        w = (
+            kept.repartition(max(1, min(n_files, len(touched))))
+            .write.format("scbf")
+            .option("version", "2")
+            .mode("overwrite")
+        )
+        if rows_per_group:
+            w = w.option("rows_per_group", str(rows_per_group))
+        w.save(staging)
+        shutil.rmtree(link_dir, ignore_errors=True)
+    for p in untouched:
+        shutil.copy2(p, os.path.join(staging, os.path.basename(p)))
+
+    if out_path is None:
+        _swap_into_place(target_path, staging)
+
+    return {
+        "files_total": len(files),
+        "files_rewritten": len(touched),
+        "files_carried_over": len(untouched),
+        "rows_deleted": int(rows_deleted),
     }

@@ -935,3 +935,65 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         (F.floor(F.corr("rev_base", "rev") * 10000 + 0.5) / 10000).alias("acf"),
     )
+
+
+@query(
+    "q_session_features",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT event_id,
+           user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS BIGINT)
+             AS pos_in_session,
+           CAST(floor(epoch(ts)) - floor(epoch(MIN(ts) OVER (PARTITION BY user_id, session_id))) AS BIGINT)
+             AS secs_since_start
+    FROM s
+    """,
+    doc="per-EVENT session features for behavioral training data: gap-based "
+    "session id (30-min inactivity), 1-based position within the session, "
+    "and seconds since session start — the feature-extraction pass that "
+    "turns a raw event log into sequence-model rows (q_sessionize is its "
+    "per-SESSION rollup twin). Deterministic total order via the "
+    "(ts, event_id) tiebreak. Scale shape: every window partitions by "
+    "user (or user+session) — bounded by one user's history, shuffled "
+    "once; no global window, no join.",
+)
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(wo)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.select("event_id", "user_id", "ts", new_sess.alias("new_sess")).withColumn(
+        "session_id", F.sum("new_sess").over(wc).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wsa = Window.partitionBy("user_id", "session_id")
+    return s.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.row_number().over(ws).cast("long").alias("pos_in_session"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(wsa)))
+        .cast("long")
+        .alias("secs_since_start"),
+    )

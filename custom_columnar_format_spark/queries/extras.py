@@ -1076,3 +1076,54 @@ def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(items).alias("e")).select(
         "e.col", "e.n", "e.n_null", "e.ndv", "e.min_v", "e.max_v", "e.avg_v"
     )
+
+
+@query(
+    "q_scbf_changes_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderpriority
+    """,
+    doc="SCBF incremental change feed (read_changes): write batch 1 (even "
+    "orderkeys), snapshot, append batch 2 (odd), snapshot — then aggregate "
+    "ONLY the rows appended between the two snapshots. The oracle sees "
+    "exactly batch 2, proving the delta read pins the appended files and "
+    "never rescans history (operators/snapshot.py:read_changes — the "
+    "downstream-consumer primitive at 100 TB: process the delta, not the "
+    "table).",
+)
+def q_scbf_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import snapshot as snap_op
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|chg".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_chg_{tag}")
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    if not os.path.isdir(path):
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .coalesce(2)
+            .write.format("scbf").option("version", "2").mode("overwrite").save(path)
+        )
+        snap_op.create_snapshot(path, tag="base")
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .coalesce(2)
+            .write.format("scbf").option("version", "2").mode("append").save(path)
+        )
+        snap_op.create_snapshot(path, tag="plus_batch2")
+    return (
+        snap_op.read_changes(spark, path, "base", "plus_batch2")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

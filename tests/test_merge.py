@@ -194,3 +194,66 @@ def test_merge_into_rows_per_group(spark, tmp_path):
     df = spark.read.format("scbf").load(out)
     assert df.count() == 10000
     assert df.filter(F.col("v") == "new").count() == 100
+
+
+# ---------------------------------------------------------------------------
+# DELETE-by-key (right-to-be-forgotten / retention purge)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_keys_semantics_and_cow(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_del")
+    o = _write_target(spark, sf_small, target)
+    n0 = o.count()
+
+    doomed = o.filter(F.col("o_orderkey").between(100, 140)).select("o_orderkey")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+
+    before = {os.path.basename(p): os.path.getsize(p) for p in glob.glob(f"{target}/*.scbf")}
+    stats = merge.delete_keys(spark, target, doomed, "o_orderkey")
+
+    # fresh load() per differently-filtered query: PythonDataSourceV2 caches
+    # the pruned readInfo per relation (upstream limitation, documented in
+    # ScbfReader.partitions and pinned by test_stale_scan_reuse_upstream_behavior)
+    load = lambda: spark.read.format("scbf").load(target)  # noqa: E731
+    assert load().count() == n0 - n_doomed
+    assert stats["rows_deleted"] == n_doomed
+    assert load().filter(F.col("o_orderkey").between(100, 140)).count() == 0
+    # values of survivors intact
+    e = (
+        o.join(doomed, "o_orderkey", "left_anti")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    )
+    g = load().agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0].s
+    assert g == e
+
+    # copy-on-write: a narrow key range must rewrite only the files whose
+    # envelope covers it; the rest are carried over byte-identical
+    assert stats["files_rewritten"] < stats["files_total"]
+    after = {os.path.basename(p): os.path.getsize(p) for p in glob.glob(f"{target}/*.scbf")}
+    carried = set(before) & set(after)
+    assert len(carried) == stats["files_carried_over"]
+    for name in carried:
+        assert before[name] == after[name]
+
+
+def test_delete_keys_empty_set_is_noop(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_del_empty")
+    o = _write_target(spark, sf_small, target)
+    empty = o.filter(F.lit(False)).select("o_orderkey")
+    stats = merge.delete_keys(spark, target, empty, "o_orderkey")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    assert spark.read.format("scbf").load(target).count() == o.count()
+
+
+def test_delete_keys_survives_snapshot_metadata(spark, sf_small, tmp_path):
+    from custom_columnar_format_spark.operators import snapshot as snap_op
+
+    target = str(tmp_path / "orders_del_snap")
+    o = _write_target(spark, sf_small, target)
+    snap_op.create_snapshot(target, tag="pre_delete")
+    doomed = o.orderBy("o_orderkey").limit(5).select("o_orderkey")
+    merge.delete_keys(spark, target, doomed, "o_orderkey")
+    # manifests survive the swap (carried like merge does)
+    assert snap_op.list_snapshots(target)
