@@ -1127,3 +1127,48 @@ def q_scbf_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@query(
+    "q_scbf_delete_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 160
+    GROUP BY o_orderpriority
+    """,
+    doc="SCBF DELETE-by-key (merge.delete_keys): write the dataset range-"
+    "partitioned on the key, delete keys 100-160 copy-on-write, aggregate "
+    "what remains. The oracle computes the complement directly; the "
+    "key-range footer stats mean only the files whose envelope covers "
+    "100-160 were read and rewritten — the right-to-be-forgotten / "
+    "retention-purge primitive at 100 TB.",
+)
+def q_scbf_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from custom_columnar_format_spark.operators import merge as merge_op
+    from custom_columnar_format_spark.sources.scbf_datasource import register
+
+    register(spark)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{app}|del".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"scbf_del_{tag}")
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    if not os.path.isdir(path):
+        (
+            o.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.format("scbf").option("version", "2").mode("overwrite").save(path)
+        )
+        doomed = o.filter(F.col("o_orderkey").between(100, 160)).select("o_orderkey")
+        merge_op.delete_keys(spark, path, doomed, "o_orderkey")
+    return (
+        spark.read.format("scbf").load(path)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
