@@ -224,6 +224,15 @@ def delete_keys(
     for p in untouched:
         shutil.copy2(p, os.path.join(staging, os.path.basename(p)))
 
+    if not glob.glob(os.path.join(staging, "*.scbf")):
+        # every row was deleted and the Spark sink wrote no files for the
+        # empty result — materialize one explicit 0-row v2 file so the
+        # dataset stays readable (the DataSource errors on empty dirs)
+        import pyarrow as pa
+
+        empty = pa.Table.from_pylist([], schema=spark.createDataFrame([], schema).toArrow().schema)
+        codec_v2.write_arrow_table(os.path.join(staging, "part-empty.scbf"), empty)
+
     if out_path is None:
         _swap_into_place(target_path, staging)
 

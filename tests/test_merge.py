@@ -257,3 +257,13 @@ def test_delete_keys_survives_snapshot_metadata(spark, sf_small, tmp_path):
     merge.delete_keys(spark, target, doomed, "o_orderkey")
     # manifests survive the swap (carried like merge does)
     assert snap_op.list_snapshots(target)
+
+
+def test_delete_keys_all_rows_leaves_readable_empty_dataset(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_del_all")
+    o = _write_target(spark, sf_small, target)
+    stats = merge.delete_keys(spark, target, o.select("o_orderkey"), "o_orderkey")
+    assert stats["rows_deleted"] == o.count()
+    got = spark.read.format("scbf").load(target)
+    assert got.count() == 0
+    assert got.schema == o.schema  # typed empty dataset, not an error
