@@ -1110,18 +1110,26 @@ def q_scbf_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     if not os.path.isdir(path):
+        # build under a scratch name, publish atomically last (see
+        # q_scbf_delete_agg): a mid-setup crash must not leave a dir the
+        # isdir() guard would trust with only the base snapshot written
+        import shutil
+
+        build = path + ".build"
+        shutil.rmtree(build, ignore_errors=True)
         (
             o.filter(F.col("o_orderkey") % 2 == 0)
             .coalesce(2)
-            .write.format("scbf").option("version", "2").mode("overwrite").save(path)
+            .write.format("scbf").option("version", "2").mode("overwrite").save(build)
         )
-        snap_op.create_snapshot(path, tag="base")
+        snap_op.create_snapshot(build, tag="base")
         (
             o.filter(F.col("o_orderkey") % 2 == 1)
             .coalesce(2)
-            .write.format("scbf").option("version", "2").mode("append").save(path)
+            .write.format("scbf").option("version", "2").mode("append").save(build)
         )
-        snap_op.create_snapshot(path, tag="plus_batch2")
+        snap_op.create_snapshot(build, tag="plus_batch2")
+        os.rename(build, path)
     return (
         snap_op.read_changes(spark, path, "base", "plus_batch2")
         .groupBy("o_orderpriority")
@@ -1160,13 +1168,21 @@ def q_scbf_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     if not os.path.isdir(path):
+        # build under a scratch name, publish with an atomic rename LAST: a
+        # crash mid-setup can never leave a half-built dataset that a later
+        # invocation's isdir() guard would silently trust (pre-delete rows)
+        import shutil
+
+        build = path + ".build"
+        shutil.rmtree(build, ignore_errors=True)
         (
             o.repartitionByRange(8, "o_orderkey")
             .sortWithinPartitions("o_orderkey")
-            .write.format("scbf").option("version", "2").mode("overwrite").save(path)
+            .write.format("scbf").option("version", "2").mode("overwrite").save(build)
         )
         doomed = o.filter(F.col("o_orderkey").between(100, 160)).select("o_orderkey")
-        merge_op.delete_keys(spark, path, doomed, "o_orderkey")
+        merge_op.delete_keys(spark, build, doomed, "o_orderkey")
+        os.rename(build, path)
     return (
         spark.read.format("scbf").load(path)
         .groupBy("o_orderpriority")

@@ -267,3 +267,42 @@ def test_delete_keys_all_rows_leaves_readable_empty_dataset(spark, sf_small, tmp
     got = spark.read.format("scbf").load(target)
     assert got.count() == 0
     assert got.schema == o.schema  # typed empty dataset, not an error
+
+
+def test_delete_keys_clears_stale_crashed_staging(spark, sf_small, tmp_path):
+    """A crashed prior run's staged part files and symlink scratch must be
+    cleared on entry — never swapped into the live dataset (silent dup rows)."""
+    from custom_columnar_format_spark.operators._staging import staging_path
+
+    target = str(tmp_path / "orders_stale")
+    o = _write_target(spark, sf_small, target)
+    n0 = o.count()
+
+    # simulate the crash: staged parts + stale symlinks left behind
+    staging = staging_path(target, ".merge-tmp")
+    os.makedirs(staging)
+    real = glob.glob(f"{target}/*.scbf")[0]
+    import shutil as sh
+
+    sh.copy2(real, os.path.join(staging, "part-stale.scbf"))
+    link_dir = staging + ".touched"
+    os.makedirs(link_dir)
+    os.symlink(real, os.path.join(link_dir, os.path.basename(real)))
+
+    # a delete whose key range misses every file envelope (touched == [])
+    doomed = spark.createDataFrame([(10_000_000,)], "o_orderkey: long")
+    stats = merge.delete_keys(spark, target, doomed, "o_orderkey")
+    assert stats["files_rewritten"] <= 1  # at most the conservative match
+    got = spark.read.format("scbf").load(target)
+    assert got.count() == n0  # no duplicated rows from the stale part file
+
+
+def test_delete_keys_empty_set_materializes_out_path(spark, sf_small, tmp_path):
+    target = str(tmp_path / "orders_eo")
+    o = _write_target(spark, sf_small, target)
+    out = str(tmp_path / "purged")
+    empty = o.filter(F.lit(False)).select("o_orderkey")
+    stats = merge.delete_keys(spark, target, empty, "o_orderkey", out_path=out)
+    assert stats["rows_deleted"] == 0
+    # the output dataset EXISTS (full copy) even though nothing was deleted
+    assert spark.read.format("scbf").load(out).count() == o.count()
