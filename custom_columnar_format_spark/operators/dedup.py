@@ -1147,6 +1147,7 @@ def duplicate_block_spans(
     block_chars: int = 30,
     min_df: int = 2,
     keep_cols: Sequence[str] = (),
+    handles: list | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring SPANS at K-char block granularity — the
     ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1157,8 +1158,14 @@ def duplicate_block_spans(
     duplicated blocks coalesce into maximal spans with a gaps-and-islands
     window (granularity K instead of the suffix array's byte-exact spans —
     every detected span IS an exact cross-doc duplicate; spans shorter than
-    K or straddling a tile boundary without covering a full tile are missed,
-    the standard block-tiling trade).
+    K are missed, and — the serious gap — a duplicate is detected ONLY when
+    its start offsets in the two docs are congruent mod K: fixed tiles are
+    PHASE-ALIGNMENT-BLIND, so an arbitrarily long shared substring at
+    mismatched phase produces zero identical blocks. Use
+    ``duplicate_chunk_spans`` (content-defined chunk boundaries, offset-
+    invariant) as the ExactSubstr stand-in; this fixed-tile tier remains
+    only as the cheaper same-phase scan, e.g. for re-checking known-aligned
+    shards).
 
     Scale shape: blocks shuffle once on their text for the frequency count
     (map-side partial combine; at production scale key by a 16-byte digest
@@ -1206,6 +1213,11 @@ def duplicate_block_spans(
         # persist policy as chunk_postings' caller (q_paragraph_dedup).
         .persist()
     )
+    if handles is not None:
+        # deterministic lifecycle for library pipelines (ADVICE r7): the
+        # caller unpersists each handle after materializing downstream
+        # results instead of relying on spark.catalog.clearCache()
+        handles.append(blocks)
     freq = (
         blocks.groupBy("block")
         .agg(F.countDistinct("id").alias("df"))
@@ -1223,6 +1235,240 @@ def duplicate_block_spans(
         F.count("*").cast("long").alias("n_spans"),
         F.sum("span_blocks").cast("long").alias("dup_blocks"),
         (F.max("span_blocks") * k).cast("long").alias("max_span_chars"),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    boundary_hex: str = "0",
+    keep_cols: Sequence[str] = (),
+    with_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each doc into variable-length
+    chunks whose boundaries are derived from the TEXT, not from byte
+    offsets — the fix for fixed-tile phase blindness. Position ``i``
+    (1-based) ends a chunk iff the md5 of the trailing ``window`` chars ends
+    with ``boundary_hex`` (plus the doc end); identical text therefore
+    yields identical interior chunks at ANY offset in any doc, which is what
+    makes cross-doc duplicate detection offset-invariant (the rolling-hash
+    anchoring idea behind LBFS/rsync chunking and restic/borg dedup — all
+    public designs). Expected chunk length = 16^len(boundary_hex) chars.
+
+    Everything is a JVM codegen expression: the boundary set is one
+    ``filter`` over ``sequence(window, n)`` evaluating md5 on a sliding
+    w-char substring (O(n) hashes per doc — the inherent CDC cost; a
+    production build swaps md5 for a gear/rolling hash or ``xxhash64``, md5
+    is kept here because the DuckDB oracle replays it verbatim), chunk
+    extraction is one ``transform`` over boundary pairs, and docs shorter
+    than ``window`` become a single whole-doc chunk (so short exact dups
+    still surface).
+
+    Returns one row per chunk: (id, *keep_cols, n_chars, chunk_idx,
+    chunk_len, chunk_hash[, chunk]) — chunks partition the doc exactly
+    (sum(chunk_len) == n_chars). Only the 16-byte ``chunk_hash`` travels
+    into corpus-wide shuffles unless ``with_text`` is set (the clean/rebuild
+    path needs the text; it stays co-partitioned per doc).
+    """
+    w = window
+    nh = len(boundary_hex)
+    docs = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    t = F.col("_t")
+    n_int = F.col("n_chars").cast("int")
+    # interior anchor positions scan w..n-1 (the doc end n always closes the
+    # last chunk, so an anchor AT n would only duplicate it — excluding it
+    # keeps the boundary list strictly increasing with no distinct() needed,
+    # which matters because DuckDB's list_distinct does not preserve order)
+    interior = F.filter(
+        F.sequence(F.lit(w), n_int - 1),
+        lambda i: F.substring(
+            F.md5(t.substr(i - w + 1, F.lit(w)).cast("binary")), 33 - nh, nh
+        )
+        == boundary_hex,
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        F.when(n_int > w, interior).otherwise(F.array().cast("array<int>")),
+        F.array(n_int),
+    )
+    b = F.col("_b")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda j: F.struct(
+            F.element_at(b, j).alias("s"),
+            (F.element_at(b, j + 1) - F.element_at(b, j)).alias("ln"),
+        ),
+    )
+    chunk_txt = t.substr(F.col("c.s") + 1, F.col("c.ln"))
+    out_cols = [
+        "id",
+        *keep_cols,
+        "n_chars",
+        "chunk_idx",
+        F.col("c.ln").cast("long").alias("chunk_len"),
+        F.md5(chunk_txt.cast("binary")).alias("chunk_hash"),
+    ]
+    if with_text:
+        out_cols.append(chunk_txt.alias("chunk"))
+    return (
+        docs.withColumn("_b", bounds)
+        .select(
+            "id",
+            *keep_cols,
+            "n_chars",
+            "_t",
+            F.posexplode(spans).alias("chunk_idx", "c"),
+        )
+        .select(*out_cols)
+    )
+
+
+def duplicate_chunk_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    boundary_hex: str = "0",
+    min_chunk: int = 20,
+    min_df: int = 2,
+    keep_cols: Sequence[str] = (),
+    handles: list | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS at content-defined-chunk granularity
+    — the ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") re-expressed for a shared-nothing engine.
+    The paper builds one suffix array over the concatenated corpus
+    (single-address-space); here docs split into content-defined chunks
+    (``cdc_chunks``: boundaries anchored by the md5 of the trailing w
+    chars), chunk document-frequency is one corpus-wide hash aggregation on
+    16-byte digests, and adjacent duplicated chunks coalesce into maximal
+    spans with a gaps-and-islands window. Because boundaries are
+    content-derived, a shared substring produces identical interior chunks
+    at ANY pair of offsets — unlike fixed tiling (``duplicate_block_spans``)
+    there is no phase-alignment blindness; what is still missed is only a
+    duplicate none of whose interior chunks reaches ``min_chunk`` chars
+    (expected chunk 16 chars at the default 1-hex anchor, so a shared region
+    of a few hundred chars is detected with near-certainty, and every
+    detected span IS an exact cross-doc duplicate — no false positives).
+
+    Scale shape: chunk digests shuffle once for the frequency count
+    (map-side partial combine), the posting stream rejoins co-partitioned on
+    the digest (SMJ-pinned so stats can never broadcast a corpus side), and
+    the islands window partitions per doc — bounded by len(doc)/16 rows,
+    never corpus-wide. Document bodies never travel.
+
+    Returns per-doc span stats for docs with >= 1 duplicated span:
+    (id, *keep_cols, n_chars, n_spans, dup_chunks, dup_chars,
+    max_span_chars).
+
+    Cache contract: the chunk table is persisted (it feeds both the
+    frequency aggregate and the rejoin). Pass ``handles`` (a list) to
+    receive the persisted DataFrame for deterministic unpersist; otherwise
+    the caller owns ``spark.catalog.clearCache()``.
+    """
+    chunks = cdc_chunks(
+        df, text_col, id_col, window=window, boundary_hex=boundary_hex,
+        keep_cols=keep_cols,
+    ).persist()
+    if handles is not None:
+        handles.append(chunks)
+    q = chunks.filter(F.col("chunk_len") >= min_chunk)
+    freq = (
+        q.groupBy("chunk_hash")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    dup = q.hint("merge").join(freq.hint("merge"), "chunk_hash").drop("df", "chunk_hash")
+    w_ = Window.partitionBy("id").orderBy("chunk_idx")
+    isl = dup.withColumn("island", F.col("chunk_idx") - F.row_number().over(w_))
+    spans = isl.groupBy("id", "island").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.count("*").cast("long").alias("span_chunks"),
+        F.sum("chunk_len").cast("long").alias("span_chars"),
+    )
+    return spans.groupBy("id").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_chunks").cast("long").alias("dup_chunks"),
+        F.sum("span_chars").cast("long").alias("dup_chars"),
+        F.max("span_chars").cast("long").alias("max_span_chars"),
+    )
+
+
+def exactsubstr_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    boundary_hex: str = "0",
+    min_chunk: int = 20,
+    min_df: int = 2,
+    keep_cols: Sequence[str] = (),
+    handles: list | None = None,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the second half of Lee et al.'s ExactSubstr
+    (they don't just report duplicated spans, they cut them and keep one
+    copy). Every content-defined chunk of length >= ``min_chunk`` that
+    occurs in >= ``min_df`` distinct docs is removed from every doc EXCEPT
+    its first occurrence corpus-wide (smallest (doc id, chunk idx) — a
+    deterministic, coordination-free rule), and each doc's cleaned text is
+    re-emitted as the concatenation of its kept chunks in order.
+
+    Scale shape: the keeper election is one hash aggregation on chunk
+    digests (min(struct(id, idx)) — map-side combinable); the mark join is
+    digest-keyed and SMJ-pinned; the rebuild groups per doc, so the
+    collect_list it holds is bounded by a single document's size — bodies
+    shuffle exactly once, on their own doc id. Nothing is quadratic and
+    nothing corpus-sized reaches the driver.
+
+    Returns one row per input doc (empty-text docs excluded):
+    (id, *keep_cols, n_chars, clean_text, chars_removed) — chars_removed ==
+    n_chars - length(clean_text), and under the same boundary rule the
+    cleaned corpus contains no cross-doc duplicate chunk except the elected
+    keepers (property-tested).
+    """
+    chunks = cdc_chunks(
+        df, text_col, id_col, window=window, boundary_hex=boundary_hex,
+        keep_cols=keep_cols, with_text=True,
+    ).persist()
+    if handles is not None:
+        handles.append(chunks)
+    q = chunks.filter(F.col("chunk_len") >= min_chunk)
+    dupk = (
+        q.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("id").alias("df"),
+            F.min(F.struct(F.col("id"), F.col("chunk_idx"))).alias("keeper"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("chunk_hash", "keeper")
+    )
+    # joining ALL chunks is safe: dupk holds only hashes of >=min_chunk
+    # texts, and equal md5 implies equal text implies equal length
+    marked = chunks.hint("merge").join(dupk.hint("merge"), "chunk_hash", "left")
+    cut = F.col("keeper").isNotNull() & ~(
+        (F.col("keeper.id") == F.col("id"))
+        & (F.col("keeper.chunk_idx") == F.col("chunk_idx"))
+    )
+    marked = marked.withColumn("cut", cut)
+    kept_arr = F.array_sort(
+        F.collect_list(F.when(~F.col("cut"), F.struct("chunk_idx", "chunk")))
+    )
+    return marked.groupBy("id").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.array_join(
+            F.transform(kept_arr, lambda x: x.getField("chunk")), ""
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("cut"), F.col("chunk_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chars_removed"),
     )
 
 
@@ -1262,6 +1508,10 @@ def sorted_neighborhood_pairs(
             *block_cols,
             normalize_text(F.col(text_col)).alias("t"),
         )
+        # a doc of only punctuation normalizes to '' (wset=['']): two such
+        # unrelated docs would pair at jaccard 1.0 — drop them, matching the
+        # oracle's WHERE t <> '' (ADVICE r7)
+        .filter(F.col("t") != "")
         .withColumn("wset", F.array_distinct(F.split(F.col("t"), " ")))
         .withColumn("blk", F.substring(F.col("t"), 1, block_prefix_chars))
     )

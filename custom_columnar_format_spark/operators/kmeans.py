@@ -119,6 +119,10 @@ def kmeans_fit(
     trainer's 1-row argmax (``tokenizer.py``). Empty clusters keep their
     previous centroid. Returns (centroids, final assignment DataFrame)."""
     centroids = seed_centroids(df, vec_col, id_col, k)
+    if not centroids:
+        # empty input would otherwise surface as an opaque analysis error
+        # from array_min over an empty literal array inside the Lloyd loop
+        raise ValueError("kmeans_fit: input DataFrame has no rows to seed from")
     dim = len(centroids[0]) if centroids else 0
     for _ in range(iters):
         rows = lloyd_iteration(df, centroids, vec_col).collect()

@@ -103,12 +103,27 @@ def _cow_rewrite(
     # hidden-sibling scratch (operators/_staging.py): invisible to the
     # DataSource's file lister, so a crash can't surface half-written rows
     staging = staging_path(final_dest, ".merge-tmp") if out_path is None else out_path
+    if out_path is not None:
+        # caller-supplied destination: it must be NEW ground. Refusing an
+        # out_path that aliases the target or already holds data files is
+        # what keeps the crashed-run cleanup below from ever deleting a
+        # live dataset (the cleanup only runs on the hidden scratch dir).
+        if os.path.abspath(out_path) == os.path.abspath(target_path):
+            raise ValueError("out_path must differ from target_path (use in-place mode)")
+        if glob.glob(os.path.join(out_path, "*.scbf")):
+            raise ValueError(
+                f"out_path {out_path!r} already contains .scbf data files; "
+                "refusing to overwrite an existing dataset"
+            )
     os.makedirs(staging, exist_ok=True)
-    # A CRASHED prior run can leave staged part files and symlink scratch.
-    # Clear both BEFORE planning: the write below may be skipped entirely
-    # (DELETE with nothing touched), and stale parts must never swap live.
-    for f in glob.glob(os.path.join(staging, "*.scbf")):
-        os.unlink(f)
+    if out_path is None:
+        # A CRASHED prior run can leave staged part files and symlink
+        # scratch in the hidden sibling. Clear both BEFORE planning: the
+        # write below may be skipped entirely (DELETE with nothing touched),
+        # and stale parts must never swap live. Guarded to the hidden
+        # scratch dir ONLY — never a caller-supplied path.
+        for f in glob.glob(os.path.join(staging, "*.scbf")):
+            os.unlink(f)
     link_dir = staging_path(final_dest, ".merge-tmp") + ".touched"
     shutil.rmtree(link_dir, ignore_errors=True)
 

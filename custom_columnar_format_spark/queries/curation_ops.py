@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, kmeans
-from .llm_ops import _NORM_SQL, _docs_spread, _emb_spread
+from .llm_ops import _NORM_SQL, _docs_spread, _emb_spread, _hexparse_sql
 from .registry import query
 from .tables import load
 
@@ -23,67 +23,95 @@ _BLOCK_CHARS = 30
 _KMEANS_K = 8
 _EMB_DIM = 64
 
+# content-defined chunking parameters shared by the ExactSubstr span report
+# and the span-removal query: 8-char rolling window, 1-hex anchor (expected
+# chunk 16 chars), duplicates counted only for chunks >= 20 chars
+_CDC_W = 8
+_CDC_MINC = 20
+
+# the chunker replayed in DuckDB, verbatim: interior anchors are positions
+# i in [w, n-1] where md5 of the trailing w chars ends in '0'; chunks are
+# the half-open ranges between consecutive boundaries (0 and n included).
+# NOTE: no list_distinct anywhere — DuckDB's does not preserve order, so the
+# boundary list is kept strictly increasing by construction instead.
+_CDC_CHUNK_CTES = f"""
+    docs AS (
+      SELECT doc_id, source, text AS t, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bnd AS (
+      SELECT doc_id, source, n, t,
+             list_concat(list_concat([0],
+               list_filter(range({_CDC_W}, CAST(n AS INT)),
+                 i -> substr(md5(substr(t, i - {_CDC_W} + 1, {_CDC_W})), 32, 1) = '0')),
+               [CAST(n AS INT)]) AS b
+      FROM docs
+    ),
+    ch AS (
+      SELECT doc_id, source, n, t,
+             unnest(list_transform(range(1, len(b)),
+               j -> struct_pack(idx := j - 1, s := b[j], ln := b[j+1] - b[j]))) AS c
+      FROM bnd
+    ),
+    ck AS (
+      SELECT doc_id, source, n, c.idx AS idx, CAST(c.ln AS BIGINT) AS ln,
+             substr(t, c.s + 1, c.ln) AS chunk,
+             md5(substr(t, c.s + 1, c.ln)) AS h
+      FROM ch
+    )"""
+
 
 @query(
     "q_exact_substring_spans",
     f"""
-    WITH docs AS (
-      SELECT doc_id, source, text, length(text) AS n
-      FROM documents WHERE trim(text) <> ''
-    ),
-    w1 AS (
-      SELECT doc_id, source, n, text,
-             unnest(generate_series(0, n//{_BLOCK_CHARS} - 1)) AS blk_idx
-      FROM docs WHERE n >= {_BLOCK_CHARS}
-    ),
-    b AS (
-      SELECT doc_id, source, n, blk_idx,
-             substr(text, blk_idx*{_BLOCK_CHARS}+1, {_BLOCK_CHARS}) AS block
-      FROM w1
-    ),
-    freq AS (
-      SELECT block FROM b GROUP BY block HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
-    dup AS (SELECT b.doc_id, b.source, b.n, b.blk_idx FROM b JOIN freq USING (block)),
+    WITH {_CDC_CHUNK_CTES},
+    q AS (SELECT * FROM ck WHERE ln >= {_CDC_MINC}),
+    freq AS (SELECT h FROM q GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT q.doc_id, q.source, q.n, q.idx, q.ln FROM q JOIN freq USING (h)),
     isl AS (
-      SELECT doc_id, source, n, blk_idx,
-             blk_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY blk_idx) AS island
+      SELECT doc_id, source, n, idx, ln,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS island
       FROM dup
     ),
     spans AS (
-      SELECT doc_id, source, n, island, COUNT(*) AS span_blocks
+      SELECT doc_id, source, n, island, COUNT(*) AS span_chunks, SUM(ln) AS span_chars
       FROM isl GROUP BY 1, 2, 3, 4
     ),
     per_doc AS (
       SELECT doc_id, source, n, COUNT(*) AS n_spans,
-             SUM(span_blocks) AS dup_blocks, MAX(span_blocks) AS max_blocks
+             SUM(span_chars) AS dup_chars, MAX(span_chars) AS max_span_chars
       FROM spans GROUP BY 1, 2, 3
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs_with_spans,
            CAST(SUM(n_spans) AS BIGINT) AS n_spans,
-           CAST(MAX(max_blocks) * {_BLOCK_CHARS} AS BIGINT) AS max_span_chars,
-           floor(AVG(CAST(dup_blocks * {_BLOCK_CHARS} AS DOUBLE) / n) * 10000 + 0.5) / 10000
+           CAST(MAX(max_span_chars) AS BIGINT) AS max_span_chars,
+           floor(AVG(CAST(dup_chars AS DOUBLE) / n) * 10000 + 0.5) / 10000
              AS avg_dup_frac
     FROM per_doc GROUP BY source
     """,
-    doc="exact duplicated-substring SPANS (Lee et al. 2022 ExactSubstr, "
-    f"block-tiled at {_BLOCK_CHARS} chars): docs tile into K-char blocks, "
-    "corpus-wide block document-frequency marks cross-doc duplicates, and "
-    "adjacent duplicated blocks coalesce into maximal spans via a "
-    "gaps-and-islands window. Per-source report of span counts, the longest "
-    "span, and the mean duplicated-char fraction. Scale shape: one shuffle "
-    "on block text for the frequency count (digest-keyable), SMJ-pinned "
-    "co-partitioned rejoin, islands window bounded per doc (len/K rows) — "
-    "the suffix array the paper builds is single-address-space; this is the "
-    "shared-nothing equivalent at block granularity.",
+    doc="exact duplicated-substring SPANS (Lee et al. 2022 ExactSubstr) at "
+    "content-defined-chunk granularity: chunk boundaries are anchored by "
+    f"the md5 of the trailing {_CDC_W} chars (expected chunk 16 chars), so "
+    "identical text yields identical interior chunks at ANY offset — the "
+    "r7-flagged phase-alignment blindness of fixed tiling is gone "
+    "(offset-shifted planted duplicates recall 1.0, tests/test_curation). "
+    "Corpus-wide chunk document-frequency on 16-byte digests marks "
+    "cross-doc duplicates; adjacent duplicated chunks coalesce into "
+    "maximal spans via a gaps-and-islands window. Per-source span counts, "
+    "longest span, mean duplicated-char fraction. Scale shape: one "
+    "digest-keyed shuffle for the frequency count, SMJ-pinned "
+    "co-partitioned rejoin, islands window bounded per doc — the paper's "
+    "suffix array is single-address-space; this is the shared-nothing "
+    "equivalent.",
 )
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = dedup.duplicate_block_spans(
+    per_doc = dedup.duplicate_chunk_spans(
         _docs_spread(spark, sf_dir),
         "text",
         "doc_id",
-        block_chars=_BLOCK_CHARS,
+        window=_CDC_W,
+        min_chunk=_CDC_MINC,
         keep_cols=["source"],
     )
     return per_doc.groupBy("source").agg(
@@ -92,14 +120,84 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_span_chars").cast("long").alias("max_span_chars"),
         (
             F.floor(
-                F.avg(
-                    (F.col("dup_blocks") * _BLOCK_CHARS).cast("double") / F.col("n_chars")
-                )
-                * 10000
+                F.avg(F.col("dup_chars").cast("double") / F.col("n_chars")) * 10000
                 + 0.5
             )
             / 10000
         ).alias("avg_dup_frac"),
+    )
+
+
+@query(
+    "q_exactsubstr_clean",
+    f"""
+    WITH {_CDC_CHUNK_CTES},
+    dupk AS (
+      SELECT h, MIN(struct_pack(id := doc_id, idx := idx)) AS keeper
+      FROM ck WHERE ln >= {_CDC_MINC}
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT ck.doc_id, ck.source, ck.n, ck.idx, ck.ln, ck.chunk,
+             dupk.keeper IS NOT NULL
+               AND NOT (dupk.keeper.id = ck.doc_id AND dupk.keeper.idx = ck.idx)
+               AS cut
+      FROM ck LEFT JOIN dupk USING (h)
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n,
+             COALESCE(string_agg(CASE WHEN NOT cut THEN chunk END, ''
+                                 ORDER BY idx), '') AS clean_text,
+             SUM(CASE WHEN cut THEN ln ELSE 0 END) AS chars_removed
+      FROM marked GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN chars_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(SUM(n) AS BIGINT) AS chars_before,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+           CAST(SUM(length(clean_text)) AS BIGINT) AS chars_after,
+           CAST(SUM({_hexparse_sql('md5(clean_text)', 1, 12)}) AS BIGINT)
+             AS clean_checksum
+    FROM per_doc GROUP BY source
+    """,
+    doc="duplicate-span REMOVAL (the second half of Lee et al.'s "
+    "ExactSubstr): every content-defined chunk >= 20 chars occurring in "
+    ">= 2 docs is cut from every doc except its first corpus-wide "
+    "occurrence (smallest (doc_id, chunk_idx) — deterministic, "
+    "coordination-free), and each doc re-emits as the concatenation of its "
+    "kept chunks. Per-source rollup: docs changed, chars before/removed/"
+    "after, plus a 48-bit md5 checksum SUM over every cleaned text so the "
+    "oracle value-checks the actual re-emitted corpus, not just counts. "
+    "Scale shape: keeper election is one digest-keyed hash aggregation "
+    "(min-struct, map-side combinable), the mark join is SMJ-pinned on the "
+    "digest, and the rebuild groups per doc (collect_list bounded by one "
+    "document) — bodies shuffle exactly once, on their own doc id. "
+    "Property-tested: the cleaned corpus contains no cross-doc duplicate "
+    "chunk under the same boundary rule.",
+)
+def q_exactsubstr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = dedup.exactsubstr_clean(
+        _docs_spread(spark, sf_dir),
+        "text",
+        "doc_id",
+        window=_CDC_W,
+        min_chunk=_CDC_MINC,
+        keep_cols=["source"],
+    )
+    checksum = F.conv(F.substring(F.md5(F.col("clean_text").cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("chars_removed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_changed"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+        F.sum(F.length("clean_text")).cast("long").alias("chars_after"),
+        F.sum(checksum).cast("long").alias("clean_checksum"),
     )
 
 
@@ -150,20 +248,99 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_unrolled_sql(iters: int, k: int, dim: int) -> str:
+    """The Lloyd loop unrolled to a fixed depth as GENERATED chained CTEs —
+    the hand-written depth-2 oracle (q_kmeans_2iter) pinned the
+    per-iteration semantics (update feeds the next assignment; empty
+    clusters keep their previous centroid); this generator extends the
+    identical CTE shape to the production depth plus the final-assignment
+    size census, so q_kmeans_fit is no longer rows-only. Argmin margins
+    measured >= 6.7e-6 at all test scales — nine orders of magnitude above
+    the cross-engine fold-order epsilon, so assignments can't flip."""
+    rng = f"range(1, {dim} + 1)"
+    ctes = [
+        f"""init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+        f"""c0 AS (
+      SELECT i.cid, r.j, CAST(i.c[r.j] AS DOUBLE) AS v
+      FROM init i CROSS JOIN {rng} r(j)
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             SUM((CAST(e.embedding[c.j] AS DOUBLE) - c.v)
+               * (CAST(e.embedding[c.j] AS DOUBLE) - c.v)) AS dist
+      FROM embeddings e CROSS JOIN c{i - 1} c
+      GROUP BY e.vec_id, e.embedding, c.cid
+    )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d{i}
+    )"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+      SELECT cid, j, AVG(CAST(embedding[j] AS DOUBLE)) AS v
+      FROM a{i}, {rng} r(j) WHERE rn = 1 GROUP BY cid, j
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT c.cid, c.j, COALESCE(u{i}.v, c.v) AS v
+      FROM c{i - 1} c LEFT JOIN u{i} ON u{i}.cid = c.cid AND u{i}.j = c.j
+    )"""
+        )
+    # size census = one more assignment against the FINAL centroids (the
+    # engine's kmeans_fit returns lloyd_assign(df, final_centroids))
+    f = iters + 1
+    ctes.append(
+        f"""d{f} AS (
+      SELECT e.vec_id, c.cid,
+             SUM((CAST(e.embedding[c.j] AS DOUBLE) - c.v)
+               * (CAST(e.embedding[c.j] AS DOUBLE) - c.v)) AS dist
+      FROM embeddings e CROSS JOIN c{iters} c
+      GROUP BY e.vec_id, c.cid
+    )"""
+    )
+    ctes.append(
+        f"""a{f} AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d{f}
+    )"""
+    )
+    ctes.append(f"sz AS (SELECT cid, COUNT(*) AS n FROM a{f} WHERE rn = 1 GROUP BY cid)")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.cid, c.j - 1 AS pos,
+           floor(c.v * 10000 + 0.5) / 10000 AS centroid_val,
+           CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_points
+    FROM c{iters} c LEFT JOIN sz ON sz.cid = c.cid"""
+    )
+
+
 @query(
     "q_kmeans_fit",
-    # rows-only: the Lloyd LOOP is iterative and data-dependent (each
-    # iteration's assignment depends on the previous update) — not one SQL
-    # statement. Its single iteration is fully oracled above
-    # (q_kmeans_iter), and the loop is pinned iteration-for-iteration
-    # against a pure-NumPy reference on the same rows in
-    # tests/test_curation.py::test_kmeans_fit_matches_numpy.
-    None,
+    # was rows-only through r7; now oracled by unrolling the fixed 3-iter
+    # Lloyd loop as generated chained CTEs (the q_kmeans_2iter shape,
+    # extended one level plus the final-assignment size census)
+    _kmeans_unrolled_sql(3, _KMEANS_K, _EMB_DIM),
     doc=f"full distributed k-means fit (k={_KMEANS_K}, 3 Lloyd iterations, "
     "deterministic first-k seeding): per iteration one corpus pass (narrow "
     "assign + k*dim-group shuffle) and a k*dim-double model collect — the "
     "trained artifact itself, like the BPE merge table. Returns the final "
-    "centroid table (cid, pos, centroid_val) plus per-cluster sizes.",
+    "centroid table (cid, pos, centroid_val) plus per-cluster sizes. "
+    "Oracle: the loop unrolled to its full fixed depth as generated CTEs "
+    "(was rows-only through r7).",
 )
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_spread(spark, sf_dir)

@@ -93,6 +93,27 @@ def test_merge_cow_carries_over_untouched_files(spark, sf_small, tmp_path):
         assert open(p, "rb").read() == open(src, "rb").read()
 
 
+def test_merge_out_path_refuses_existing_dataset(spark, sf_small, tmp_path):
+    """ADVICE r7: the crashed-run cleanup must never unlink a live dataset.
+    out_path aliasing the target, or pointing at a directory that already
+    holds .scbf files, is refused BEFORE anything is deleted."""
+    target = str(tmp_path / "orders_guard")
+    o = _write_target(spark, sf_small, target)
+    source = o.limit(1)
+    with pytest.raises(ValueError, match="differ from target_path"):
+        merge.merge_into(spark, target, source, "o_orderkey", out_path=target)
+    other = str(tmp_path / "orders_other")
+    _write_target(spark, sf_small, other)
+    files_before = sorted(glob.glob(f"{other}/*.scbf"))
+    with pytest.raises(ValueError, match="already contains"):
+        merge.merge_into(spark, target, source, "o_orderkey", out_path=other)
+    # nothing in the pre-existing dataset was touched
+    assert sorted(glob.glob(f"{other}/*.scbf")) == files_before
+    # and both datasets still read back fully
+    assert spark.read.format("scbf").load(other).count() == o.count()
+    assert spark.read.format("scbf").load(target).count() == o.count()
+
+
 def test_merge_in_place_swap(spark, sf_small, tmp_path):
     target = str(tmp_path / "orders_inplace")
     o = _write_target(spark, sf_small, target)
