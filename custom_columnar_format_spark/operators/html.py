@@ -1,0 +1,127 @@
+"""HTML / boilerplate text extraction — the first stage of every real
+web-scale corpus pipeline (the reference has no text operators at all;
+SURVEY.md §2.2). Every 100 TB crawl corpus starts as markup, and the
+curation stack downstream of this module (Gopher repetition, CCNet chunk
+filter, C4 blocklist — ``operators.text``) assumes clean text.
+
+Three tiers, all pure JVM regexp/HOF expressions (no per-row Python, no
+external parser — the rules are the public jusText/trafilatura-style
+heuristics re-expressed as codegen-friendly regexes):
+
+- ``strip_noise``: drop <script>/<style> elements and <!-- comments -->
+  BEFORE any tag stripping (their bodies are code, not text, and may
+  contain '<' that would corrupt a naive tag regex).
+- ``html_to_text``: noise removal → every remaining tag → ' ' → named
+  entity decode → whitespace collapse. The full-page text baseline.
+- ``main_content``: text-density block heuristic. The page splits into
+  blocks at closing block-level tags, each block becomes (text, n_links),
+  and a block is kept iff it has >= ``min_words`` words and link density
+  < 1/3 (``links * 3 < words`` — integer arithmetic, so the DuckDB oracle
+  replays the keep decision EXACTLY). Navigation, footers, and titles are
+  link-dense or too short; article bodies survive. This is the
+  link-density core of jusText (Pomikalek 2011) without the stoplist
+  refinement.
+
+Cross-engine notes (the oracle contract): patterns stay inside the
+Java-regex ∩ RE2 common subset — inline (?is) flags, non-greedy .*?,
+explicit [ \\t\\n\\r] classes (never \\s: Java's includes \\x0B, RE2's does
+not), no backreferences. Entity decode order matters: &amp; is decoded
+LAST so '&amp;lt;' single-decodes to '&lt;' in both engines. Java's
+split() drops trailing empty blocks while DuckDB's keeps them — harmless,
+because empty-text blocks are filtered by the keep rule in both.
+
+Scale shape: everything here is a narrow per-row projection — no shuffle,
+no join, no aggregation. At 100 TB this stage is embarrassingly parallel
+and scan-bound, which is exactly what the rawest, largest tier of the
+pipeline needs; the per-source rollups in the registered query are one
+partial-agg reduction on counts only (bodies never shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: closing tags that end a text block for the density heuristic
+BLOCK_CLOSERS = (
+    "p|div|li|h[1-6]|tr|td|table|ul|ol|nav|footer|header|section|article|title"
+)
+_BLOCK_SPLIT = rf"(?i)</(?:{BLOCK_CLOSERS})>"
+
+#: (entity, replacement) in decode order — &amp; LAST (single-decode rule)
+ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+_NOISE_PATTERNS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+
+
+def strip_noise(html: Column) -> Column:
+    """Remove script/style elements and comments (bodies and all)."""
+    out = html
+    for pat in _NOISE_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def decode_entities(text: Column) -> Column:
+    """Decode the common named entities, single-pass (&amp; last)."""
+    out = text
+    for ent, rep in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def _tagless_text(fragment: Column) -> Column:
+    """Tags → space, entities decoded, whitespace collapsed, trimmed.
+    Assumes noise (script/style/comments) is already gone."""
+    t = F.regexp_replace(fragment, r"<[^>]*>", " ")
+    t = decode_entities(t)
+    t = F.regexp_replace(t, r"[ \t\n\r]+", " ")
+    return F.trim(t)
+
+
+def html_to_text(html: Column) -> Column:
+    """Full-page plain text: noise removal + tag stripping + entity decode
+    + whitespace normalization."""
+    return _tagless_text(strip_noise(html))
+
+
+def block_stats(html: Column) -> Column:
+    """array<struct<txt, words, links>> — one entry per block-level text
+    block: its cleaned text, word count, and <a>-tag count (link-density
+    numerator). Noise is stripped page-wide BEFORE splitting so a '<'
+    inside script code cannot corrupt a block boundary."""
+    blocks = F.split(strip_noise(html), _BLOCK_SPLIT)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            _tagless_text(b).alias("txt"),
+            F.size(F.regexp_extract_all(F.lower(b), F.lit(r"<a[ >]"), 0)).alias(
+                "links"
+            ),
+        ),
+    )
+
+
+def main_content(html: Column, min_words: int = 3) -> Column:
+    """Main-content text by the link-density rule: keep blocks with >=
+    ``min_words`` words and ``links * 3 < words``; join survivors with a
+    single space. Deterministic, integer-exact — replayable in any SQL
+    engine with list HOFs."""
+    kept = F.filter(
+        block_stats(html),
+        lambda s: (s.getField("txt") != "")
+        & (F.size(F.split(s.getField("txt"), " ")) >= min_words)
+        & (s.getField("links") * 3 < F.size(F.split(s.getField("txt"), " "))),
+    )
+    return F.array_join(F.transform(kept, lambda s: s.getField("txt")), " ")

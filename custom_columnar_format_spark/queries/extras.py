@@ -224,22 +224,92 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 1024
+_HEX12 = 1 << 48  # 16^12: first-12-hex-digit hash space
+
+
+def _kmv_hexparse_sql(expr: str) -> str:
+    """First 12 hex digits of an md5 string → BIGINT, digit-by-digit
+    (DuckDB has no conv()); mirrors llm_ops._hexparse_sql."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+def _kmv_sql(col: str, alias: str) -> str:
+    return f"""
+    {alias}_d AS (
+      SELECT DISTINCT l_returnflag, md5(CAST({col} AS VARCHAR)) AS h FROM lineitem
+    ),
+    {alias}_r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM {alias}_d
+    ),
+    {alias}_a AS (
+      SELECT l_returnflag, COUNT(*) AS nd,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+      FROM {alias}_r WHERE rn <= {_KMV_K} GROUP BY l_returnflag
+    ),
+    {alias}_e AS (
+      SELECT l_returnflag,
+             CASE WHEN nd < {_KMV_K} THEN CAST(nd AS BIGINT)
+                  ELSE CAST({(_KMV_K - 1) * _HEX12} AS BIGINT)
+                       // greatest({_kmv_hexparse_sql('hk')}, 1)
+             END AS {alias}
+      FROM {alias}_a
+    )"""
+
+
 @query(
     "q_approx_count_distinct",
-    None,  # HLL estimators differ across engines — pinned to <2% relative error in tests/test_extras.py
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
-    "cardinalities — mergeable sketches, no expand+exact-distinct shuffle. "
-    "Oracle-exempt BY DESIGN: HLL register layouts differ per engine "
-    "(Spark HLL++ vs DuckDB's), so equal inputs give different estimates; "
-    "Spark's default rsd=0.05 bounds relative error at ~5% (typ. <2%), and "
-    "tests/test_extras.py::test_approx_count_distinct_close_to_exact pins "
-    "every group's estimate within 5% of the exact count_distinct.",
+    f"""
+    WITH {_kmv_sql('l_partkey', 'approx_parts')},
+    {_kmv_sql('l_suppkey', 'approx_supps')}
+    SELECT p.l_returnflag, p.approx_parts, s.approx_supps
+    FROM approx_parts_e p JOIN approx_supps_e s USING (l_returnflag)
+    """,
+    doc=f"approximate distinct counts via a KMV / bottom-k sketch (k="
+    f"{_KMV_K}) over md5 order statistics: per group, keep the k smallest "
+    "hashes of the distinct values; if fewer than k distinct exist the "
+    "count is exact, else the estimate is (k-1)/h_k with h_k = the k-th "
+    "smallest hash as a fraction of the 48-bit hash space — integer "
+    "arithmetic end-to-end, so DuckDB replays it EXACTLY (this replaced "
+    "the engine-specific HLL registered through r7, a standing "
+    "driver-red-by-construction; HLL stays available as the operator tier, "
+    "pinned by error-bound tests). KMV is mergeable (union = keep the k "
+    "smallest of the union), rsd ~ 1/sqrt(k-2) ~ 3%. Scale shape: one "
+    "distinct-projection shuffle on (group, 16-byte hash), then a "
+    "bottom-k per group — the window sorts only hashes, never rows, and "
+    "at 100 TB the same sketch is computed per-partition and merged.",
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+
+    def kmv(col: str, alias: str) -> DataFrame:
+        d = li.select(
+            "l_returnflag",
+            F.md5(F.col(col).cast("string").cast("binary")).alias("h"),
+        ).distinct()
+        w = Window.partitionBy("l_returnflag").orderBy("h")
+        r = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+        agg = r.groupBy("l_returnflag").agg(
+            F.count("*").alias("nd"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+        hk_long = F.greatest(
+            F.conv(F.substring(F.col("hk"), 1, 12), 16, 10).cast("long"), F.lit(1)
+        )
+        est = F.when(F.col("nd") < _KMV_K, F.col("nd").cast("long")).otherwise(
+            F.expr(f"CAST({(_KMV_K - 1) * _HEX12} AS BIGINT)") / hk_long
+        )
+        # integer division: both engines floor the positive ratio
+        est = F.floor(est).cast("long")
+        return agg.select("l_returnflag", est.alias(alias))
+
+    return kmv("l_partkey", "approx_parts").join(
+        kmv("l_suppkey", "approx_supps"), "l_returnflag"
     )
 
 

@@ -1,0 +1,79 @@
+"""HTML/boilerplate extraction (round 8): planted-markup tests for the
+regexp/HOF extraction tier — script/style/comment removal, tag stripping,
+entity decode order, and the jusText-style link-density block heuristic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import html
+
+
+def _one(spark, page, expr):
+    return (
+        spark.createDataFrame([(page,)], "h: string")
+        .select(expr(F.col("h")).alias("v"))
+        .collect()[0]
+        .v
+    )
+
+
+def test_html_to_text_strips_script_style_comments(spark):
+    page = (
+        "<html><head><style>body { color: red; }</style>"
+        '<script>if (1 < 2 && x > 0) { track("a<b"); }</script>'
+        "</head><body><!-- hidden < comment -->real body text here</body></html>"
+    )
+    assert _one(spark, page, html.html_to_text) == "real body text here"
+
+
+def test_html_to_text_decodes_entities_single_pass(spark):
+    # &amp;lt; must decode to the TEXT '&lt;', never double-decode to '<'
+    page = "<p>Q&amp;A &#39;x&#39; 1&lt;2 &quot;q&quot;&nbsp;z &amp;lt;</p>"
+    assert _one(spark, page, html.html_to_text) == "Q&A 'x' 1<2 \"q\" z &lt;"
+
+
+def test_html_to_text_collapses_whitespace_across_tags(spark):
+    page = "<div>alpha</div>\n\t <div>beta\n\ngamma</div>"
+    assert _one(spark, page, html.html_to_text) == "alpha beta gamma"
+
+
+def test_main_content_drops_linkdense_and_short_blocks(spark):
+    page = (
+        "<html><head><title>short title</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/a">about</a> <a href="/b">faq</a>'
+        " <a href=\"/c\">rss</a></nav>"
+        "<div><p>this is the long article body that should clearly survive"
+        " the density rule</p></div>"
+        '<footer><a href="/p">privacy</a> <a href="/t">terms</a> copy</footer>'
+        "</body></html>"
+    )
+    got = _one(spark, page, html.main_content)
+    assert "long article body" in got
+    assert "home" not in got and "privacy" not in got and "short title" not in got
+
+
+def test_main_content_keeps_multiple_blocks_in_order(spark):
+    page = "<p>first paragraph with enough words</p><p>second paragraph also long enough</p>"
+    got = _one(spark, page, html.main_content)
+    assert got == (
+        "first paragraph with enough words second paragraph also long enough"
+    )
+
+
+def test_main_content_script_angle_brackets_cannot_corrupt_blocks(spark):
+    # '</p>' INSIDE a script string must not split a block, because noise
+    # strips page-wide before block splitting
+    page = (
+        '<script>var s = "</p> not a block break";</script>'
+        "<p>only this real paragraph of article text remains</p>"
+    )
+    got = _one(spark, page, html.main_content)
+    assert got == "only this real paragraph of article text remains"
+
+
+def test_html_query_registered_and_oracled():
+    from custom_columnar_format_spark.queries.registry import all_queries
+
+    qd = all_queries()["q_html_extract_stats"]
+    assert qd.sql is not None and "md5(main_text)" in qd.sql
