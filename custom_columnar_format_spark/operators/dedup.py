@@ -441,8 +441,19 @@ def minhash_neardup_pairs(
     persist: bool = True,
     scheme: str = "km-md5",
     with_estimate: bool = False,
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
+
+    ``guard_stats`` (pass a dict, same contract as ``containment_pairs``):
+    filled EAGERLY with the bucket-cap audit — n_buckets, max_bucket_size,
+    n_oversized, oversized_member_rows, capped_pairs_skipped (Σ C(n,2) over
+    oversized buckets: the quadratic expansions the cap suppressed — an
+    upper bound on candidate pairs that must be re-found by other bands or
+    the full-signature star pass), full_sig_groups and star_edges (what the
+    second pass actually emitted). This is how silent recall loss under
+    band skew becomes MEASURABLE instead of invisible (r7 verdict #7);
+    costs one extra pass over the bucket table, only when requested.
 
     ``with_estimate=True`` additionally emits ``est_jaccard`` — the
     signature-level estimate (matching MinHash positions / num_hashes) next
@@ -539,6 +550,27 @@ def minhash_neardup_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if guard_stats is not None:
+        # audit pass: bucket table feeds three consumers now (stats, the
+        # capped expansion, the oversized tail) — persist it for the run
+        grouped = grouped.persist()
+        n = F.size("ids")
+        over = n > max_bucket
+        b_row = grouped.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max(n).alias("max_bucket_size"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_oversized"),
+            F.sum(F.when(over, n).otherwise(0)).cast("long").alias("oversized_member_rows"),
+            # C(n,2) in pure integer arithmetic (n*(n-1) is even; a double
+            # division would round above 2^53 at billion-row buckets)
+            F.sum(
+                F.when(over, F.shiftright(n.cast("long") * (n.cast("long") - 1), 1))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("capped_pairs_skipped"),
+        ).collect()[0]
+        guard_stats.update(b_row.asDict())
     cand_ok = _explode_pairs(grouped.filter(F.size("ids") <= max_bucket), "ids")
     # Second pass for oversized buckets: their members are grouped by FULL
     # signature (64 longs rendered once — exact-signature equality is the
@@ -563,6 +595,14 @@ def minhash_neardup_pairs(
         .filter(F.size("ids") >= 2)
         .select("ids")
     )
+    if guard_stats is not None:
+        s_row = over_groups.agg(
+            F.count(F.lit(1)).alias("full_sig_groups"),
+            F.coalesce(F.sum(F.size("ids") - 1), F.lit(0))
+            .cast("long")
+            .alias("star_edges"),
+        ).collect()[0]
+        guard_stats.update(s_row.asDict())
     cand_over = _explode_star(over_groups, "ids")
     cand = (
         cand_ok.unionByName(cand_over)
@@ -1353,10 +1393,16 @@ def duplicate_chunk_spans(
     content-derived, a shared substring produces identical interior chunks
     at ANY pair of offsets — unlike fixed tiling (``duplicate_block_spans``)
     there is no phase-alignment blindness; what is still missed is only a
-    duplicate none of whose interior chunks reaches ``min_chunk`` chars
-    (expected chunk 16 chars at the default 1-hex anchor, so a shared region
-    of a few hundred chars is detected with near-certainty, and every
-    detected span IS an exact cross-doc duplicate — no false positives).
+    duplicate none of whose interior chunks reaches ``min_chunk`` chars.
+    That tail is quantifiable: chunk lengths are ~1+Geometric(1/16) at the
+    default 1-hex anchor, so P(a chunk qualifies at min_chunk=20) =
+    (15/16)^19 ~ 0.29 and a shared region of c chars misses with
+    probability ~(1-0.29)^(c/16) — ~1e-3 at c=360, measured 0.9996 recall
+    on 10k unaligned 360-char plants at the 1M-doc stress (8 misses, right
+    on theory; SCALE.md). Every detected span IS an exact cross-doc
+    duplicate — no false positives. Lee et al.'s suffix array is exact
+    above its 50-token floor; this trades that last ~1e-3 of recall near
+    the floor for a shared-nothing plan.
 
     Scale shape: chunk digests shuffle once for the frequency count
     (map-side partial combine), the posting stream rejoins co-partitioned on

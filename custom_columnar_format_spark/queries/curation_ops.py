@@ -1,12 +1,13 @@
-"""Corpus-curation query catalog, round-7 additions: exact duplicated-
-substring spans (block-granular ExactSubstr), full-corpus distributed
-k-means, sorted-neighborhood record blocking, readability filtering, and
-deterministic curriculum/epoch ordering.
+"""Corpus-curation query catalog (rounds 7-8): exact duplicated-substring
+spans and duplicate-span REMOVAL (content-defined-chunk ExactSubstr),
+HTML/boilerplate extraction, full-corpus distributed k-means, sorted-
+neighborhood record blocking, readability filtering, and deterministic
+curriculum/epoch ordering.
 
-Every query is DuckDB-oracled except ``q_kmeans_fit`` (the iterative Lloyd
-loop — its single iteration IS oracled as ``q_kmeans_iter``, and the loop is
-pinned iteration-for-iteration against a pure-NumPy reference in
-``tests/test_curation.py``).
+Every query is DuckDB-oracled — including ``q_kmeans_fit``, whose fixed
+3-iteration Lloyd loop is unrolled into generated chained CTEs (r8); the
+loop is additionally pinned iteration-for-iteration against a pure-NumPy
+reference in ``tests/test_curation.py``.
 """
 
 from __future__ import annotations

@@ -14,9 +14,11 @@ Scale notes:
   pruning keeps the scan narrow;
 - the deterministic sample filters on md5(key) — pushes to the scan, needs
   no sort, and picks the same rows on any cluster size (unlike TABLESAMPLE);
-- approx_count_distinct is the 100 TB path for distinct cardinalities (HLL,
-  no expand+exact-distinct shuffle); it is oracle-exempt (estimator differs
-  from DuckDB's) and pinned to <2% relative error in tests/test_extras.py.
+- approximate distinct counts: the REGISTERED query is a KMV/bottom-k
+  sketch over md5 order statistics (r8) — mergeable, integer-exact, so the
+  DuckDB oracle replays it verbatim; the HLL `approx_count_distinct`
+  operator remains the cheapest 100 TB path and keeps its error-bound pin
+  in tests/test_extras.py.
 """
 
 from __future__ import annotations
@@ -298,15 +300,15 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("nd"),
             F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
         )
-        hk_long = F.greatest(
-            F.conv(F.substring(F.col("hk"), 1, 12), 16, 10).cast("long"), F.lit(1)
-        )
+        # exact BIGINT division (Spark DIV == DuckDB // on positive longs);
+        # the numerator is ~2.9e17 > 2^53, so double arithmetic would round
         est = F.when(F.col("nd") < _KMV_K, F.col("nd").cast("long")).otherwise(
-            F.expr(f"CAST({(_KMV_K - 1) * _HEX12} AS BIGINT)") / hk_long
+            F.expr(
+                f"CAST({(_KMV_K - 1) * _HEX12} AS BIGINT) DIV "
+                "greatest(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1L)"
+            )
         )
-        # integer division: both engines floor the positive ratio
-        est = F.floor(est).cast("long")
-        return agg.select("l_returnflag", est.alias(alias))
+        return agg.select("l_returnflag", est.cast("long").alias(alias))
 
     return kmv("l_partkey", "approx_parts").join(
         kmv("l_suppkey", "approx_supps"), "l_returnflag"

@@ -131,6 +131,28 @@ def test_minhash_oversized_bucket_second_pass_recalls_all(spark):
     assert out == {(0, i): pytest.approx(1.0) for i in range(1, 30)}
 
 
+def test_minhash_guard_stats_measures_cap_drops(spark):
+    """guard_stats makes the bucket cap's suppression measurable: 30
+    identical docs at max_bucket=10 flood all 16 band buckets, so the audit
+    must report exactly 16 oversized buckets, 16*C(30,2) skipped quadratic
+    pairs, and the one full-signature star group that re-covers them."""
+    text = " ".join(_BASE20)
+    df = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id: long, text: string"
+    )
+    stats: dict = {}
+    out = dedup.minhash_neardup_pairs(
+        df, "text", "doc_id", max_bucket=10, guard_stats=stats
+    )
+    n_pairs = out.count()
+    assert stats["n_buckets"] == 16 and stats["n_oversized"] == 16
+    assert stats["max_bucket_size"] == 30
+    assert stats["oversized_member_rows"] == 16 * 30
+    assert stats["capped_pairs_skipped"] == 16 * (30 * 29 // 2)
+    assert stats["full_sig_groups"] == 1 and stats["star_edges"] == 29
+    assert n_pairs == 29  # the star pass re-covered every member
+
+
 # ---------------------------------------------------------------------------
 # SimHash: the Hamming pigeonhole edge
 # ---------------------------------------------------------------------------

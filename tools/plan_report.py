@@ -73,6 +73,11 @@ REPORT = [
     "q_acf_daily_revenue",
     "q_kmeans_purity",
     "q_logreg_apply",
+    # round 8
+    "q_exactsubstr_clean",
+    "q_html_extract_stats",
+    "q_approx_count_distinct",
+    "q_percentiles_approx",
 ]
 
 R4_NOTE = """
