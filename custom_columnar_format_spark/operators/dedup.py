@@ -442,6 +442,7 @@ def minhash_neardup_pairs(
     scheme: str = "km-md5",
     with_estimate: bool = False,
     guard_stats: dict | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs via MinHash-LSH.
 
@@ -453,7 +454,14 @@ def minhash_neardup_pairs(
     the full-signature star pass), full_sig_groups and star_edges (what the
     second pass actually emitted). This is how silent recall loss under
     band skew becomes MEASURABLE instead of invisible (r7 verdict #7);
-    costs one extra pass over the bucket table, only when requested.
+    costs one extra pass over the bucket and star-group tables, only when
+    requested (both are persisted for the run so the eager audit never
+    recomputes work the main plan needs).
+
+    ``handles`` (pass a list, same contract as ``duplicate_chunk_spans``):
+    receives every DataFrame this call persisted (shingle/signature tables,
+    plus the audit's bucket/star tables), for deterministic unpersist by
+    library pipelines that cannot rely on ``spark.catalog.clearCache()``.
 
     ``with_estimate=True`` additionally emits ``est_jaccard`` — the
     signature-level estimate (matching MinHash positions / num_hashes) next
@@ -498,15 +506,21 @@ def minhash_neardup_pairs(
     recompute.
     """
     rows_per_band = num_hashes // num_bands
+
+    def _track(cached: DataFrame) -> DataFrame:
+        if handles is not None:
+            handles.append(cached)
+        return cached
+
     if scheme == "xxhash64":
         base = shingle_table(df, text_col, id_col, shingle_k)
         if persist:
-            base = base.persist()
+            base = _track(base.persist())
         sigs = base.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
     else:
         base = gram_table(df, text_col, id_col, shingle_k).withColumnRenamed("grams", "shingles")
         if persist:
-            base = base.persist()
+            base = _track(base.persist())
         hashed = km_hash_table(base.select("id", F.col("shingles").alias("grams")))
         sigs = hashed.select(
             "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
@@ -515,7 +529,7 @@ def minhash_neardup_pairs(
     # buckets exist) the full-signature second pass; it is tiny
     # (id + num_hashes longs) so always persist alongside the shingles.
     if persist:
-        sigs = sigs.persist()
+        sigs = _track(sigs.persist())
     banded = sigs.select(
         "id",
         F.explode(
@@ -553,19 +567,30 @@ def minhash_neardup_pairs(
     if guard_stats is not None:
         # audit pass: bucket table feeds three consumers now (stats, the
         # capped expansion, the oversized tail) — persist it for the run
-        grouped = grouped.persist()
+        grouped = _track(grouped.persist())
         n = F.size("ids")
         over = n > max_bucket
         b_row = grouped.agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.max(n).alias("max_bucket_size"),
-            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_oversized"),
-            F.sum(F.when(over, n).otherwise(0)).cast("long").alias("oversized_member_rows"),
+            # coalesce every aggregate: on a dedup-clean corpus `grouped`
+            # is EMPTY and max/sum return NULL, which would break the
+            # documented all-integers contract (int(v) in consumers)
+            F.coalesce(F.max(n), F.lit(0)).alias("max_bucket_size"),
+            F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_oversized"),
+            F.coalesce(F.sum(F.when(over, n).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("oversized_member_rows"),
             # C(n,2) in pure integer arithmetic (n*(n-1) is even; a double
             # division would round above 2^53 at billion-row buckets)
-            F.sum(
-                F.when(over, F.shiftright(n.cast("long") * (n.cast("long") - 1), 1))
-                .otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        over, F.shiftright(n.cast("long") * (n.cast("long") - 1), 1)
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("capped_pairs_skipped"),
@@ -596,6 +621,9 @@ def minhash_neardup_pairs(
         .select("ids")
     )
     if guard_stats is not None:
+        # persist: the eager audit below and the cand_over expansion both
+        # consume over_groups — without this the sigs-join/groupBy runs twice
+        over_groups = _track(over_groups.persist())
         s_row = over_groups.agg(
             F.count(F.lit(1)).alias("full_sig_groups"),
             F.coalesce(F.sum(F.size("ids") - 1), F.lit(0))

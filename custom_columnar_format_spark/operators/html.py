@@ -102,11 +102,14 @@ def block_stats(html: Column) -> Column:
     numerator). Noise is stripped page-wide BEFORE splitting so a '<'
     inside script code cannot corrupt a block boundary."""
     blocks = F.split(strip_noise(html), _BLOCK_SPLIT)
+    # the tag name may be followed by any whitespace, not just a space —
+    # '<a\nhref=...' is common in real markup and undercounting links would
+    # let navigation blocks through as main content
     return F.transform(
         blocks,
         lambda b: F.struct(
             _tagless_text(b).alias("txt"),
-            F.size(F.regexp_extract_all(F.lower(b), F.lit(r"<a[ >]"), 0)).alias(
+            F.size(F.regexp_extract_all(F.lower(b), F.lit(r"<a[ \t\n\r>]"), 0)).alias(
                 "links"
             ),
         ),

@@ -108,7 +108,9 @@ def _cow_rewrite(
         # out_path that aliases the target or already holds data files is
         # what keeps the crashed-run cleanup below from ever deleting a
         # live dataset (the cleanup only runs on the hidden scratch dir).
-        if os.path.abspath(out_path) == os.path.abspath(target_path):
+        # realpath, not abspath: a symlink alias of the target must be
+        # caught too, or staging would write into the live dataset
+        if os.path.realpath(out_path) == os.path.realpath(target_path):
             raise ValueError("out_path must differ from target_path (use in-place mode)")
         if glob.glob(os.path.join(out_path, "*.scbf")):
             raise ValueError(

@@ -4,8 +4,9 @@ calibration, and contrastive hard-negative mining — the operations a
 training-data pipeline runs between raw crawl and training batches, beyond
 the document-level dedup/similarity tier in ``llm_ops``.
 
-Every query here is DuckDB-oracled except ``q_bpe_train_merges`` (the
-iterative training loop is pinned by reference-equality tests instead); the
+Every query here is DuckDB-oracled — including ``q_bpe_train_merges``,
+whose fixed 8-merge greedy loop is unrolled into generated chained CTEs
+(r8; the loop is additionally pinned by reference-equality tests); the
 hash-free designs make the oracles plain relational SQL (no md5 replay
 needed).
 """

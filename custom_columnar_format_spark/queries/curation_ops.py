@@ -920,7 +920,7 @@ _BLOCK_SPLIT_SQL = f"(?i)</(?:{html.BLOCK_CLOSERS})>"
                list_transform(string_split_regex(clean, '{_BLOCK_SPLIT_SQL}'),
                  b -> struct_pack(
                         txt := {_html_text_sql('b')},
-                        links := len(regexp_extract_all(lower(b), '<a[ >]')))),
+                        links := len(regexp_extract_all(lower(b), '<a[ \t\n\r>]')))),
                s -> s.txt <> ''
                     AND len(string_split(s.txt, ' ')) >= 3
                     AND s.links * 3 < len(string_split(s.txt, ' '))) AS kept

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .llm_ops import _hexparse_sql
 from .registry import query
 from .tables import load
 
@@ -230,15 +231,6 @@ _KMV_K = 1024
 _HEX12 = 1 << 48  # 16^12: first-12-hex-digit hash space
 
 
-def _kmv_hexparse_sql(expr: str) -> str:
-    """First 12 hex digits of an md5 string → BIGINT, digit-by-digit
-    (DuckDB has no conv()); mirrors llm_ops._hexparse_sql."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) * {16 ** (11 - i)}"
-        for i in range(12)
-    )
-
-
 def _kmv_sql(col: str, alias: str) -> str:
     return f"""
     {alias}_d AS (
@@ -258,7 +250,7 @@ def _kmv_sql(col: str, alias: str) -> str:
       SELECT l_returnflag,
              CASE WHEN nd < {_KMV_K} THEN CAST(nd AS BIGINT)
                   ELSE CAST({(_KMV_K - 1) * _HEX12} AS BIGINT)
-                       // greatest({_kmv_hexparse_sql('hk')}, 1)
+                       // greatest({_hexparse_sql('hk', 1, 12)}, 1)
              END AS {alias}
       FROM {alias}_a
     )"""

@@ -153,6 +153,34 @@ def test_minhash_guard_stats_measures_cap_drops(spark):
     assert n_pairs == 29  # the star pass re-covered every member
 
 
+def test_minhash_guard_stats_zero_not_null_on_clean_corpus(spark):
+    """Review r8: on a dedup-clean corpus every band bucket is a singleton,
+    so the audit aggregates run over ZERO rows — they must coalesce to 0,
+    not surface SQL NULLs that break int() in consumers."""
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(25))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    stats: dict = {}
+    handles: list = []
+    n = dedup.minhash_neardup_pairs(
+        df, "text", "doc_id", guard_stats=stats, handles=handles
+    ).count()
+    assert n == 0
+    assert stats == {
+        "n_buckets": 0,
+        "max_bucket_size": 0,
+        "n_oversized": 0,
+        "oversized_member_rows": 0,
+        "capped_pairs_skipped": 0,
+        "full_sig_groups": 0,
+        "star_edges": 0,
+    }
+    assert all(isinstance(v, int) for v in stats.values())
+    # and every persisted intermediate is released via handles
+    assert handles and all(h.is_cached for h in handles)
+    for h in handles:
+        h.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash: the Hamming pigeonhole edge
 # ---------------------------------------------------------------------------

@@ -53,6 +53,19 @@ def test_main_content_drops_linkdense_and_short_blocks(spark):
     assert "home" not in got and "privacy" not in got and "short title" not in got
 
 
+def test_main_content_counts_links_across_newline_attributes(spark):
+    # review r8: '<a\nhref=...' is common in real markup — the link counter
+    # must see it, or navigation sneaks through as main content
+    page = (
+        '<nav><a\nhref="/">home</a> <a\thref="/t">tags</a> <a\nhref="/a">faq</a>'
+        " <a\nhref=\"/r\">rss</a> extra filler words</nav>"
+        "<p>the genuine article body with plenty of words here</p>"
+    )
+    got = _one(spark, page, html.main_content)
+    assert "genuine article body" in got
+    assert "home" not in got and "filler" not in got
+
+
 def test_main_content_keeps_multiple_blocks_in_order(spark):
     page = "<p>first paragraph with enough words</p><p>second paragraph also long enough</p>"
     got = _one(spark, page, html.main_content)

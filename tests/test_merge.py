@@ -112,6 +112,11 @@ def test_merge_out_path_refuses_existing_dataset(spark, sf_small, tmp_path):
     # and both datasets still read back fully
     assert spark.read.format("scbf").load(other).count() == o.count()
     assert spark.read.format("scbf").load(target).count() == o.count()
+    # a SYMLINK alias of the target must be caught too (realpath, not abspath)
+    link = str(tmp_path / "orders_guard_link")
+    os.symlink(target, link)
+    with pytest.raises(ValueError, match="differ from target_path"):
+        merge.merge_into(spark, target, source, "o_orderkey", out_path=link)
 
 
 def test_merge_in_place_swap(spark, sf_small, tmp_path):

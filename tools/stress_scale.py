@@ -319,10 +319,11 @@ def main():
     )
     n_bs = len(range(3, n_docs + 1, 10))
     gstats: dict = {}
+    bs_handles: list = []
     before = completed_stage_ids(spark)
     t0 = time.time()
     pairs_bs = dedup.minhash_neardup_pairs(
-        docs_bs, jaccard_threshold=0.5, guard_stats=gstats
+        docs_bs, jaccard_threshold=0.5, guard_stats=gstats, handles=bs_handles
     ).cache()
     pairs_bs.count()
     members_paired = (
@@ -335,6 +336,8 @@ def main():
     dt = time.time() - t0
     ratio, sid = straggler_ratio(spark, before)
     pairs_bs.unpersist()
+    for h in bs_handles:  # shingle/sig/bucket/star tables — release NOW so
+        h.unpersist()     # they can't squeeze the stages that follow
     print(json.dumps({"stage": "band_skew_10pct", "rows": members_paired,
                       "seconds": round(dt, 2),
                       "docs_per_sec": round(n_docs / dt),
@@ -362,9 +365,12 @@ def main():
         ).otherwise(F.col("text")),
     )
     planted_cdc = 2 * (n_docs // 100)  # both members of each pair must span
+    cdc_handles: list = []
     before = completed_stage_ids(spark)
     t0 = time.time()
-    spans_cdc = dedup.duplicate_chunk_spans(docs_cdc, "text", "doc_id").cache()
+    spans_cdc = dedup.duplicate_chunk_spans(
+        docs_cdc, "text", "doc_id", handles=cdc_handles
+    ).cache()
     spans_cdc.count()
     found_cdc = spans_cdc.filter(
         (F.col("id") % 100 == 0) | ((F.col("id") + 1) % 100 == 0)
@@ -372,6 +378,8 @@ def main():
     dt = time.time() - t0
     ratio, sid = straggler_ratio(spark, before)
     spans_cdc.unpersist()
+    for h in cdc_handles:  # the 1M-doc chunk table must not outlive its stage
+        h.unpersist()
     # recall floor: a ~360-char shared region misses iff NO interior chunk
     # reaches min_chunk=20 — P ~ (1 - (15/16)^19)^(360/16) ~ 1e-3 per pair
     # (the documented min-length tail, not phase blindness; offsets are
