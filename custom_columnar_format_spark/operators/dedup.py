@@ -1546,6 +1546,96 @@ def exactsubstr_clean(
     )
 
 
+def exactsubstr_clean_incremental(
+    new_df: DataFrame,
+    history_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    boundary_hex: str = "0",
+    min_chunk: int = 20,
+    min_df: int = 2,
+    keep_cols: Sequence[str] = (),
+    handles: list | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr clean: scrub a NEW batch against corpus
+    HISTORY — the shape every continuously-crawled pipeline actually runs
+    (the full corpus is cleaned once; each new crawl then dedups against
+    the accumulated digest table, never re-reading old bodies). Chunk-level
+    twin of ``incremental_dedup``.
+
+    ``history_hashes``: a DataFrame whose first column is the md5 chunk
+    digest of every qualifying (>= min_chunk chars) chunk already in the
+    corpus — i.e. ``cdc_chunks(history, ...).filter(chunk_len >=
+    min_chunk).select("chunk_hash")`` persisted as a table by the previous
+    run. Only 16-byte digests are stored and shuffled; history documents
+    never travel.
+
+    Cut rule: a qualifying chunk of a new doc is removed when its digest
+    exists in HISTORY (the corpus already holds a copy — history always
+    wins), or when it duplicates within the batch and this occurrence is
+    not the batch keeper (smallest (id, chunk_idx) — same election as
+    ``exactsubstr_clean``). Returns one row per new doc:
+    (id, *keep_cols, n_chars, clean_text, chars_removed).
+
+    Scale shape: both the history membership probe and the batch keeper
+    election are digest-keyed joins/aggregations, SMJ-pinned (history is
+    corpus-scale by definition — stats must never broadcast it); the
+    rebuild groups per doc as in ``exactsubstr_clean``.
+    """
+    chunks = cdc_chunks(
+        new_df, text_col, id_col, window=window, boundary_hex=boundary_hex,
+        keep_cols=keep_cols, with_text=True,
+    ).persist()
+    if handles is not None:
+        handles.append(chunks)
+    q = chunks.filter(F.col("chunk_len") >= min_chunk)
+    batch_dup = (
+        q.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("id").alias("df"),
+            F.min(F.struct(F.col("id"), F.col("chunk_idx"))).alias("keeper"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("chunk_hash", "keeper")
+    )
+    hist = (
+        history_hashes.select(F.col(history_hashes.columns[0]).alias("chunk_hash"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    marked = (
+        chunks.hint("merge")
+        .join(batch_dup.hint("merge"), "chunk_hash", "left")
+        .hint("merge")
+        .join(hist.hint("merge"), "chunk_hash", "left")
+    )
+    qualifies = F.col("chunk_len") >= min_chunk
+    cut = qualifies & (
+        F.coalesce(F.col("in_hist"), F.lit(False))
+        | (
+            F.col("keeper").isNotNull()
+            & ~(
+                (F.col("keeper.id") == F.col("id"))
+                & (F.col("keeper.chunk_idx") == F.col("chunk_idx"))
+            )
+        )
+    )
+    marked = marked.withColumn("cut", cut)
+    kept_arr = F.array_sort(
+        F.collect_list(F.when(~F.col("cut"), F.struct("chunk_idx", "chunk")))
+    )
+    return marked.groupBy("id").agg(
+        *[F.max(c).alias(c) for c in (*keep_cols, "n_chars")],
+        F.array_join(
+            F.transform(kept_arr, lambda x: x.getField("chunk")), ""
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("cut"), F.col("chunk_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     text_col: str,

@@ -35,31 +35,40 @@ _CDC_MINC = 20
 # the half-open ranges between consecutive boundaries (0 and n included).
 # NOTE: no list_distinct anywhere — DuckDB's does not preserve order, so the
 # boundary list is kept strictly increasing by construction instead.
-_CDC_CHUNK_CTES = f"""
-    docs AS (
+
+
+def _cdc_ctes(p: str = "", pred: str = "") -> str:
+    """The CDC chunk CTE chain, optionally name-prefixed (``p``) and with an
+    extra doc predicate — lets one oracle chunk two disjoint partitions
+    (history vs new batch) of the same table."""
+    extra = f" AND ({pred})" if pred else ""
+    return f"""{p}docs AS (
       SELECT doc_id, source, text AS t, CAST(length(text) AS BIGINT) AS n
-      FROM documents WHERE trim(text) <> ''
+      FROM documents WHERE trim(text) <> ''{extra}
     ),
-    bnd AS (
+    {p}bnd AS (
       SELECT doc_id, source, n, t,
              list_concat(list_concat([0],
                list_filter(range({_CDC_W}, CAST(n AS INT)),
                  i -> substr(md5(substr(t, i - {_CDC_W} + 1, {_CDC_W})), 32, 1) = '0')),
                [CAST(n AS INT)]) AS b
-      FROM docs
+      FROM {p}docs
     ),
-    ch AS (
+    {p}ch AS (
       SELECT doc_id, source, n, t,
              unnest(list_transform(range(1, len(b)),
                j -> struct_pack(idx := j - 1, s := b[j], ln := b[j+1] - b[j]))) AS c
-      FROM bnd
+      FROM {p}bnd
     ),
-    ck AS (
+    {p}ck AS (
       SELECT doc_id, source, n, c.idx AS idx, CAST(c.ln AS BIGINT) AS ln,
              substr(t, c.s + 1, c.ln) AS chunk,
              md5(substr(t, c.s + 1, c.ln)) AS h
-      FROM ch
+      FROM {p}ch
     )"""
+
+
+_CDC_CHUNK_CTES = _cdc_ctes()
 
 
 @query(
@@ -991,4 +1000,89 @@ def q_html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("avg_retained_frac"),
         F.sum(checksum).cast("long").alias("main_checksum"),
+    )
+
+
+@query(
+    "q_exactsubstr_clean_incremental",
+    f"""
+    WITH {_cdc_ctes('h_', 'doc_id % 3 <> 0')},
+    {_cdc_ctes('b_', 'doc_id % 3 = 0')},
+    histh AS (
+      SELECT DISTINCT h, TRUE AS in_hist FROM h_ck WHERE ln >= {_CDC_MINC}
+    ),
+    dupk AS (
+      SELECT h, MIN(struct_pack(id := doc_id, idx := idx)) AS keeper
+      FROM b_ck WHERE ln >= {_CDC_MINC}
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT b.doc_id, b.source, b.n, b.idx, b.ln, b.chunk,
+             (b.ln >= {_CDC_MINC}) AND (
+               COALESCE(histh.in_hist, FALSE)
+               OR (dupk.keeper IS NOT NULL
+                   AND NOT (dupk.keeper.id = b.doc_id AND dupk.keeper.idx = b.idx))
+             ) AS cut
+      FROM b_ck b LEFT JOIN dupk USING (h) LEFT JOIN histh USING (h)
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n,
+             COALESCE(string_agg(CASE WHEN NOT cut THEN chunk END, ''
+                                 ORDER BY idx), '') AS clean_text,
+             SUM(CASE WHEN cut THEN ln ELSE 0 END) AS chars_removed
+      FROM marked GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN chars_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(SUM(n) AS BIGINT) AS chars_before,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+           CAST(SUM(length(clean_text)) AS BIGINT) AS chars_after,
+           CAST(SUM({_hexparse_sql('md5(clean_text)', 1, 12)}) AS BIGINT)
+             AS clean_checksum
+    FROM per_doc GROUP BY source
+    """,
+    doc="INCREMENTAL ExactSubstr clean — the shape a continuously-crawled "
+    "corpus actually runs: the new batch (doc_id % 3 = 0 here; a fresh "
+    "crawl in production) is scrubbed against the accumulated HISTORY "
+    "digest table (chunks >= 20 chars of doc_id % 3 <> 0) without ever "
+    "re-reading old bodies. A new chunk is cut when history already holds "
+    "its digest (history always wins) or when it duplicates within the "
+    "batch and is not the batch keeper. Per-source rollup with an md5 "
+    "checksum SUM over every cleaned text. Scale shape: the history probe "
+    "is a digest-keyed SMJ (16-byte digests only — history documents never "
+    "travel), the keeper election one min-struct hash agg, the rebuild "
+    "per-doc bounded; chunk-level twin of q_dedup_incremental.",
+)
+def q_exactsubstr_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    hist_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    hist_hashes = (
+        dedup.cdc_chunks(hist_docs, "text", "doc_id", window=_CDC_W)
+        .filter(F.col("chunk_len") >= _CDC_MINC)
+        .select("chunk_hash")
+    )
+    per_doc = dedup.exactsubstr_clean_incremental(
+        batch,
+        hist_hashes,
+        "text",
+        "doc_id",
+        window=_CDC_W,
+        min_chunk=_CDC_MINC,
+        keep_cols=["source"],
+    )
+    checksum = F.conv(
+        F.substring(F.md5(F.col("clean_text").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("chars_removed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_changed"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+        F.sum(F.length("clean_text")).cast("long").alias("chars_after"),
+        F.sum(checksum).cast("long").alias("clean_checksum"),
     )

@@ -283,6 +283,50 @@ def test_exactsubstr_clean_keeps_first_occurrence_and_converges(spark):
     assert residual == 0
 
 
+_BATCH_SHARED = (
+    "seventeen violet umbrellas gathered beside the copper fountain while "
+    "jugglers practiced slow circles and vendors called out prices for warm "
+    "chestnuts roasted over iron braziers in the winter market square"
+)
+
+
+def test_exactsubstr_clean_incremental_history_wins(spark):
+    from pyspark.sql import functions as F
+
+    hist_rows = [(1, _SHARED + " " + _filler(21, 20)), (2, _filler(22, 40))]
+    batch_rows = [
+        (10, _filler(23, 5) + " " + _SHARED),          # dups HISTORY -> cut
+        (11, _filler(24, 30)),                          # clean -> untouched
+        # a batch-internal duplicate long enough to guarantee a qualifying
+        # chunk (the ~1e-3/360-chars miss tail needs length, not luck) and
+        # with NO substring shared with the history corpus
+        (12, _BATCH_SHARED + " " + _filler(25, 10)),
+        (13, _filler(26, 7) + " " + _BATCH_SHARED),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id: long, text: string")
+    batch = spark.createDataFrame(batch_rows, "doc_id: long, text: string")
+    hist_hashes = (
+        dedup.cdc_chunks(hist, "text", "doc_id")
+        .filter(F.col("chunk_len") >= 20)
+        .select("chunk_hash")
+    )
+    got = {
+        r.id: r
+        for r in dedup.exactsubstr_clean_incremental(
+            batch, hist_hashes, "text", "doc_id"
+        ).collect()
+    }
+    # history wins: doc 10 loses the shared region even though it is unique
+    # WITHIN the batch
+    assert got[10].chars_removed > len(_SHARED) // 2
+    assert got[11].chars_removed == 0 and got[11].clean_text == batch_rows[1][1]
+    # within-batch dup not in history: smallest (id, idx) keeps its copy
+    assert got[12].chars_removed == 0
+    assert got[13].chars_removed > 0
+    for r in got.values():
+        assert r.chars_removed == r.n_chars - len(r.clean_text)
+
+
 def test_exactsubstr_clean_handles_allow_deterministic_unpersist(spark):
     rows = [(1, _SHARED), (2, _SHARED)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")

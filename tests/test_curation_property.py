@@ -115,3 +115,92 @@ def test_sorted_neighborhood_fuzz(spark, corpus):
     assert set(got) == set(ref)
     for pair, j in got.items():
         assert abs(j - ref[pair]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-8 CDC ExactSubstr: engine vs pure-python (hashlib) reference
+# ---------------------------------------------------------------------------
+
+# mixed ASCII + BMP unicode (multi-byte UTF-8, no combining marks): Spark
+# substr/length count code points like Python, while md5 hashes the UTF-8
+# bytes — the fuzz proves the two stay aligned
+_uword = st.text(alphabet="ab1 é日", min_size=1, max_size=6)
+_udoc = st.lists(_uword, min_size=0, max_size=10).map(" ".join)
+_ucorpus = st.lists(_udoc, min_size=1, max_size=8)
+
+_CDC_W = 4
+_CDC_MINC = 4
+
+
+def _py_cdc_chunks(t: str, w: int = _CDC_W) -> list[str]:
+    """Python twin of dedup.cdc_chunks: interior anchor at 1-based position
+    i in [w, n-1] iff md5(utf8 of the trailing w chars) ends in '0'."""
+    import hashlib
+
+    n = len(t)
+    bounds = [0]
+    if n > w:
+        for i in range(w, n):  # positions w..n-1
+            win = t[i - w : i]
+            if hashlib.md5(win.encode("utf-8")).hexdigest()[-1] == "0":
+                bounds.append(i)
+    bounds.append(n)
+    return [t[bounds[j] : bounds[j + 1]] for j in range(len(bounds) - 1)]
+
+
+def _py_clean(texts: dict, w: int, minc: int):
+    from collections import defaultdict
+
+    chunks = {i: _py_cdc_chunks(t, w) for i, t in texts.items()}
+    occ = defaultdict(list)
+    for i, cs in chunks.items():
+        for idx, c in enumerate(cs):
+            if len(c) >= minc:
+                occ[c].append((i, idx))
+    dup = {c: min(v) for c, v in occ.items() if len({i for i, _ in v}) >= 2}
+    out = {}
+    for i, cs in chunks.items():
+        cut = [c in dup and dup[c] != (i, idx) for idx, c in enumerate(cs)]
+        out[i] = (
+            "".join(c for c, x in zip(cs, cut) if not x),
+            sum(len(c) for c, x in zip(cs, cut) if x),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_ucorpus)
+def test_cdc_chunks_fuzz_matches_python_md5(spark, corpus):
+    import hashlib
+
+    texts = {i: t for i, t in enumerate(corpus) if t.strip()}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = {}
+    for r in dedup.cdc_chunks(df, "text", "doc_id", window=_CDC_W, with_text=True).collect():
+        got.setdefault(r.id, {})[r.chunk_idx] = (r.chunk, r.chunk_len, r.chunk_hash)
+    ref = {
+        i: {
+            idx: (c, len(c), hashlib.md5(c.encode("utf-8")).hexdigest())
+            for idx, c in enumerate(_py_cdc_chunks(t))
+        }
+        for i, t in texts.items()
+    }
+    assert got == ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(_ucorpus)
+def test_exactsubstr_clean_fuzz_matches_python(spark, corpus):
+    texts = {i: t for i, t in enumerate(corpus) if t.strip()}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = {
+        r.id: (r.clean_text, r.chars_removed)
+        for r in dedup.exactsubstr_clean(
+            df, "text", "doc_id", window=_CDC_W, min_chunk=_CDC_MINC
+        ).collect()
+    }
+    assert got == _py_clean(texts, _CDC_W, _CDC_MINC)
