@@ -80,8 +80,11 @@ HEADLINE = [
     "q_exact_substring_spans",
     "q_sorted_neighborhood_pairs",
     # round 8: duplicate-span REMOVAL over content-defined chunks (the
-    # ExactSubstr spans query above also switched to CDC boundaries)
+    # ExactSubstr spans query above also switched to CDC boundaries),
+    # HTML extraction, and incremental near-dup vs stored history
     "q_exactsubstr_clean",
+    "q_html_extract_stats",
+    "q_dedup_minhash_incremental",
 ]
 
 

@@ -675,6 +675,126 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    scheme: str = "km-md5",
+) -> DataFrame:
+    """(id, sig) MinHash signature table — the STORED dedup artifact of a
+    corpus batch (id + ``num_hashes`` longs per doc, ~0.5 KB; the thing a
+    continuously-crawled pipeline persists so later batches can near-dup
+    against history without re-reading bodies). Same hash schemes as
+    ``minhash_neardup_pairs``; one narrow pass, no shuffle."""
+    if scheme == "xxhash64":
+        base = shingle_table(df, text_col, id_col, shingle_k)
+        return base.select(
+            "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        )
+    base = gram_table(df, text_col, id_col, shingle_k)
+    hashed = km_hash_table(base)
+    return hashed.select(
+        "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
+    )
+
+
+def band_table(
+    sigs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+) -> DataFrame:
+    """(band, band_hash, id) LSH band rows from an (id, sig) table — band
+    key = the raw signature slice rendered as a string (no extra hash,
+    identical text in any engine)."""
+    rows_per_band = num_hashes // num_bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+
+
+def minhash_history_matches(
+    new_df: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    est_threshold: float = 0.5,
+    scheme: str = "km-md5",
+    handles: list | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: match a new batch against the stored HISTORY
+    signature table (``minhash_signatures`` of every prior batch) — the
+    near-dup twin of ``incremental_dedup`` (exact) and
+    ``exactsubstr_clean_incremental`` (substring). History bodies are gone
+    by design, so verification is at the SIGNATURE level: est_jaccard =
+    matching MinHash positions / num_hashes (unbiased for true Jaccard,
+    rsd ~ 1/sqrt(num_hashes) ~ 12.5% at 64 — the standard trade for never
+    re-reading a 100 TB corpus; within-batch pairs still get exact
+    verification via ``minhash_neardup_pairs``).
+
+    Returns (id_new, id_hist, est_jaccard) with est >= ``est_threshold``.
+
+    Scale shape: candidates come from ONE (band, band_hash) equi-join of
+    two banded tables (id-only rows); signatures re-attach to the distinct
+    candidate pairs through shuffle_hash-pinned joins (the history side is
+    corpus-scale by definition — stats must never broadcast it); the est
+    filter is a zip_with fold, no Python anywhere.
+    """
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, shingle_k, num_hashes, scheme
+    ).persist()
+    if handles is not None:
+        handles.append(new_sigs)
+    hist_sigs = history_sigs.select(
+        F.col(history_sigs.columns[0]).alias("id"),
+        F.col(history_sigs.columns[1]).alias("sig"),
+    )
+    nb = band_table(new_sigs, num_hashes, num_bands).withColumnRenamed("id", "id_new")
+    hb = band_table(hist_sigs, num_hashes, num_bands).withColumnRenamed("id", "id_hist")
+    cand = (
+        nb.hint("merge")
+        .join(hb.hint("merge"), ["band", "band_hash"])
+        .select("id_new", "id_hist")
+        .dropDuplicates(["id_new", "id_hist"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sn", "sh", lambda x, y: x == y), lambda z: z))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.hint("shuffle_hash")
+        .join(new_sigs.select(F.col("id").alias("id_new"), F.col("sig").alias("sn")), "id_new")
+        .hint("shuffle_hash")
+        .join(hist_sigs.select(F.col("id").alias("id_hist"), F.col("sig").alias("sh")), "id_hist")
+        .withColumn("est_jaccard", F.floor(est * 1e4 + 0.5) / 1e4)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_new", "id_hist", "est_jaccard")
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     text_col: str = "text",

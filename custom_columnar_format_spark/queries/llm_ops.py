@@ -70,39 +70,14 @@ def _hexparse_sql(expr: str, offset: int, nchars: int) -> str:
     return f"({terms})"
 
 
-def _minhash_pairs_ctes(
-    threshold: float,
-    k: int = 3,
-    num_hashes: int = 64,
-    num_bands: int = 16,
-    with_est: bool = False,
-) -> str:
-    """CTE chain ending in pairs(id_a, id_b, jaccard) — the brute-force replay
-    of minhash_neardup_pairs' km-md5 scheme: same grams, same signatures, a
-    pair qualifies iff ≥1 of the 16 band slices matches exactly AND exact
-    gram-set Jaccard clears the threshold. (The engine's bucket-grouped
-    expansion computes exactly this set sub-quadratically; the bucket cap
-    never binds at oracle scale.)"""
-    rows = num_hashes // num_bands
+def _minhash_sig_ctes(k: int = 3, num_hashes: int = 64) -> str:
+    """CTE chain ending in sig(doc_id, grams, sig) — the km-md5 MinHash
+    signature replay shared by the pair, cluster, and history-match
+    oracles."""
     sig_terms = ",\n        ".join(
         f"list_min(list_transform(range(1, len(h1) + 1), "
         f"i -> ((h1[i] + {j} * h2[i]) & 281474976710655)))"
         for j in range(num_hashes)
-    )
-    band_eq = " OR ".join(
-        "("
-        + " AND ".join(f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]" for r in range(rows))
-        + ")"
-        for b in range(num_bands)
-    )
-    jac = "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / (len(ga) + len(gb) - len(list_intersect(ga, gb)))"
-    est_sel = (
-        f""",
-             floor(list_sum(list_transform(range(1, {num_hashes} + 1),
-                   i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
-                   / {float(num_hashes)} * 10000 + 0.5) / 10000 AS est_jaccard"""
-        if with_est
-        else ""
     )
     return f"""norm AS (
       SELECT doc_id, {_NORM_SQL} AS t
@@ -125,7 +100,45 @@ def _minhash_pairs_ctes(
       SELECT doc_id, grams,
         [{sig_terms}] AS sig
       FROM h
-    ), cand AS (
+    )"""
+
+
+def _band_eq_sql(a: str, b: str, num_hashes: int = 64, num_bands: int = 16) -> str:
+    rows = num_hashes // num_bands
+    return " OR ".join(
+        "("
+        + " AND ".join(
+            f"{a}.sig[{x * rows + r + 1}] = {b}.sig[{x * rows + r + 1}]" for r in range(rows)
+        )
+        + ")"
+        for x in range(num_bands)
+    )
+
+
+def _minhash_pairs_ctes(
+    threshold: float,
+    k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    with_est: bool = False,
+) -> str:
+    """CTE chain ending in pairs(id_a, id_b, jaccard) — the brute-force replay
+    of minhash_neardup_pairs' km-md5 scheme: same grams, same signatures, a
+    pair qualifies iff ≥1 of the 16 band slices matches exactly AND exact
+    gram-set Jaccard clears the threshold. (The engine's bucket-grouped
+    expansion computes exactly this set sub-quadratically; the bucket cap
+    never binds at oracle scale.)"""
+    band_eq = _band_eq_sql("a", "b", num_hashes, num_bands)
+    jac = "CAST(len(list_intersect(ga, gb)) AS DOUBLE) / (len(ga) + len(gb) - len(list_intersect(ga, gb)))"
+    est_sel = (
+        f""",
+             floor(list_sum(list_transform(range(1, {num_hashes} + 1),
+                   i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+                   / {float(num_hashes)} * 10000 + 0.5) / 10000 AS est_jaccard"""
+        if with_est
+        else ""
+    )
+    return f"""{_minhash_sig_ctes(k, num_hashes)}, cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb{
         ", a.sig AS sa, b.sig AS sb" if with_est else ""}
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
@@ -1543,6 +1556,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the operator shuffles 16-byte binary digests; render hex for the oracle
     return out.select("doc_id", F.lower(F.hex("content_hash")).alias("content_hash"))
+
+
+def _minhash_history_oracle_sql(
+    est_threshold: float, num_hashes: int = 64, num_bands: int = 16
+) -> str:
+    """Brute-force replay of ``minhash_history_matches``: new batch (doc_id
+    % 3 = 0) vs history (the rest) — a pair qualifies iff >= 1 band slice
+    matches exactly AND the signature-agreement estimate clears the
+    threshold (history bodies are gone, so verification IS the estimate)."""
+    est = (
+        f"floor(list_sum(list_transform(range(1, {num_hashes} + 1), "
+        f"i -> CASE WHEN n.sig[i] = h.sig[i] THEN 1 ELSE 0 END)) "
+        f"/ {float(num_hashes)} * 10000 + 0.5) / 10000"
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    matches AS (
+      SELECT n.doc_id AS id_new, h.doc_id AS id_hist, {est} AS est_jaccard
+      FROM sig n JOIN sig h
+        ON n.doc_id % 3 = 0 AND h.doc_id % 3 <> 0
+           AND ({_band_eq_sql('n', 'h', num_hashes, num_bands)})
+    )
+    SELECT id_new, id_hist, est_jaccard
+    FROM matches WHERE est_jaccard >= {est_threshold}
+    """
+
+
+@query(
+    "q_dedup_minhash_incremental",
+    _minhash_history_oracle_sql(0.5),
+    doc="incremental NEAR-dup against corpus history: the new batch (doc_id "
+    "% 3 = 0; a fresh crawl in production) matches the STORED MinHash "
+    "signature table of all prior batches (id + 64 longs per doc — bodies "
+    "are never re-read). Candidates come from one (band, band_hash) "
+    "equi-join of the two banded tables; verification is the signature-"
+    "agreement estimate (matching positions / 64, unbiased for Jaccard, "
+    "rsd ~ 12.5%) because exact verification would require the 100 TB of "
+    "history text. Near-dup twin of q_dedup_incremental (exact) and "
+    "q_exactsubstr_clean_incremental (substring). Scale shape: id-only "
+    "band rows shuffle once; signatures re-attach to distinct candidates "
+    "via shuffle_hash-pinned joins (history is corpus-scale — never "
+    "broadcast); oracle replays the full km-md5 scheme on both partitions.",
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    hist_sigs = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 != 0), "text", "doc_id"
+    )
+    return dedup.minhash_history_matches(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        hist_sigs,
+        "text",
+        "doc_id",
+        est_threshold=0.5,
+    )
 
 
 @query(

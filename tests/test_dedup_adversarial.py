@@ -217,6 +217,31 @@ def test_simhash_band_edge_recall_is_exact(spark):
     assert got == {p for p, h in hs.items() if h <= 3}
 
 
+def test_minhash_history_matches_finds_cross_batch_neardups(spark):
+    """Incremental near-dup: exact and near copies whose twin lives in the
+    HISTORY partition must match on stored signatures alone; unrelated new
+    docs must not."""
+    base = " ".join(_BASE20)
+    hist_rows = [(1, base), (2, " ".join(f"h{j}" for j in range(20)))]
+    new_rows = [
+        (10, base),                      # exact copy of history -> est 1.0
+        (11, _variant(2)),               # near copy (jac 0.8) of history doc 1
+        (12, " ".join(f"n{j}" for j in range(20))),  # unrelated
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id: long, text: string")
+    new = spark.createDataFrame(new_rows, "doc_id: long, text: string")
+    hist_sigs = dedup.minhash_signatures(hist, "text", "doc_id")
+    got = {
+        (r.id_new, r.id_hist): r.est_jaccard
+        for r in dedup.minhash_history_matches(
+            new, hist_sigs, "text", "doc_id", est_threshold=0.5
+        ).collect()
+    }
+    assert got[(10, 1)] == pytest.approx(1.0)
+    assert (11, 1) in got and 0.5 <= got[(11, 1)] <= 1.0
+    assert not any(i == 12 for i, _ in got)
+
+
 # ---------------------------------------------------------------------------
 # Containment: one-word breaks and word-alignment edges
 # ---------------------------------------------------------------------------
