@@ -1,10 +1,18 @@
-"""Deduplication operators for training-data pipelines, at five fidelities:
+"""Deduplication operators for training-data pipelines, at six fidelities:
 
 - exact (hash groupBy on raw or normalized content)
 - MinHash + LSH banding (near-dup candidate pairs → verified Jaccard)
 - SimHash (64-bit, Hamming-bucketed)
 - n-gram Jaccard via shingle inverted index
+- exact duplicated SUBSTRINGS via content-defined chunking (``cdc_chunks``
+  / ``duplicate_chunk_spans`` — offset-invariant ExactSubstr spans — and
+  ``exactsubstr_clean``, which cuts them and re-emits the corpus)
 - embedding-cosine near-dup (see ``operators.similarity``)
+
+Each tier also has an INCREMENTAL form for continuously-crawled corpora
+(new batch vs stored history artifacts, bodies never re-read):
+``incremental_dedup`` (content digests), ``exactsubstr_clean_incremental``
+(chunk digests), ``minhash_history_matches`` (MinHash signatures).
 
 Scale design (the point — these must work at 100 TB):
 - Shingling/hashing is all JVM-side (``split``/``transform``/``xxhash64``/

@@ -1601,9 +1601,13 @@ def _minhash_history_oracle_sql(
 )
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
+    # in production the history signatures are a STORED table (one scan per
+    # consumer); computed inline here they feed two plan branches (banding +
+    # the est re-attach join), so persist stands in for the table scan —
+    # harness/caller owns the cache lifecycle as usual
     hist_sigs = dedup.minhash_signatures(
         docs.filter(F.col("doc_id") % 3 != 0), "text", "doc_id"
-    )
+    ).persist()
     return dedup.minhash_history_matches(
         docs.filter(F.col("doc_id") % 3 == 0),
         hist_sigs,

@@ -75,6 +75,8 @@ REPORT = [
     "q_logreg_apply",
     # round 8
     "q_exactsubstr_clean",
+    "q_exactsubstr_clean_incremental",
+    "q_dedup_minhash_incremental",
     "q_html_extract_stats",
     "q_approx_count_distinct",
     "q_percentiles_approx",
