@@ -106,3 +106,70 @@ def test_incremental_loop_artifacts_roundtrip_scbf(spark, tmp_path):
     }
     # exact copy of a BATCH-2 doc: only visible because the store accumulated
     assert m3[(20, 11)] == pytest.approx(1.0)
+
+
+def test_streaming_neardup_against_accumulating_sig_store(spark, tmp_path):
+    """Streaming curation: each micro-batch near-dups against the signature
+    store accumulated from ALL prior batches, then appends its own
+    signatures — foreachBatch + the stored-artifact operators, the streaming
+    form of the incremental crawl loop. Batch 2 contains a near-copy of a
+    batch-1 doc; it must be flagged even though the two never co-exist in
+    any micro-batch."""
+    import time
+
+    sig_store = str(tmp_path / "stream_sigs")
+
+    b1 = [(1, _PASSAGE + " tail words for batch one"),
+          (2, "other material about storage formats and arrow buffers")]
+    b2 = [(10, _PASSAGE + " tail words for batch TWO edition"),  # near-dup of 1
+          (11, "novel second-batch text about telescopes and mirrors")]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _batch(spark, b1).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    time.sleep(1.1)
+    _batch(spark, b2).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+
+    flags: list = []
+
+    def scrub(bdf, bid):
+        import os
+
+        if not bdf.count():
+            return
+        ss = bdf.sparkSession
+        sigs = dedup.minhash_signatures(bdf, "text", "doc_id")
+        if os.path.exists(sig_store) and any(
+            f.endswith(".scbf") for f in os.listdir(sig_store)
+        ):
+            hist = (
+                ss.read.format("scbf")
+                .load(sig_store)
+                .select("id", F.split("sig_csv", ",").cast("array<bigint>").alias("sig"))
+            )
+            for r in dedup.minhash_history_matches(
+                bdf, hist, "text", "doc_id", est_threshold=0.3
+            ).collect():
+                flags.append((r.id_new, r.id_hist))
+        sigs.select(
+            "id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_csv")
+        ).write.format("scbf").option("version", "2").mode("append").save(sig_store)
+
+    schema = "doc_id LONG, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert (10, 1) in flags                       # cross-batch near-dup caught
+    assert not any(i in (2, 11) for i, _ in flags)  # unrelated docs clean
+    # the store accumulated both batches' signatures
+    n = spark.read.format("scbf").load(sig_store).count()
+    assert n == 4
