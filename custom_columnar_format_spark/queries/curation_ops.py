@@ -1086,3 +1086,107 @@ def q_exactsubstr_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.length("clean_text")).cast("long").alias("chars_after"),
         F.sum(checksum).cast("long").alias("clean_checksum"),
     )
+
+
+@query(
+    "q_corpus_datacard",
+    f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             md5({_NORM_SQL}) AS h,
+             len(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hh AS (SELECT source, h, COUNT(*) AS c FROM d GROUP BY source, h),
+    dup AS (
+      SELECT source,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_docs,
+             SUM(c) AS all_docs
+      FROM hh GROUP BY source
+    ),
+    lv AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY source, lang),
+    lt AS (SELECT source, SUM(c) AS t FROM lv GROUP BY source),
+    ent AS (
+      SELECT lv.source,
+             -SUM((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t))
+               AS lang_entropy,
+             COUNT(*) AS n_langs
+      FROM lv JOIN lt ON lv.source = lt.source GROUP BY lv.source
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             floor(AVG(CAST(n_chars AS DOUBLE)) * 100 + 0.5) / 100 AS avg_chars,
+             CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM d GROUP BY source
+    )
+    SELECT base.source, n_docs, total_tokens, avg_chars, n_short,
+           CAST(ent.n_langs AS BIGINT) AS n_langs,
+           floor(ent.lang_entropy * 10000 + 0.5) / 10000 AS lang_entropy,
+           floor(CAST(dup.dup_docs AS DOUBLE) / dup.all_docs * 10000 + 0.5) / 10000
+             AS dup_rate
+    FROM base JOIN ent ON base.source = ent.source
+    JOIN dup ON base.source = dup.source
+    """,
+    doc="per-source corpus DATACARD — the release-audit report a dataset "
+    "ships: doc and token totals, mean length, short-doc count, language "
+    "count and Shannon entropy of the language mix, and the exact-duplicate "
+    "rate (share of docs whose normalized md5 repeats within the source). "
+    "Scale shape: one narrow scan feeds three partial+final aggregations "
+    "(doc stats; 16-byte digest counts; the bounded (source, lang) grid) — "
+    "no bodies shuffle, no window over the corpus, everything map-side "
+    "combinable; the joins are on the handful of source keys.",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+
+    docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    norm = normalize_text(F.col("text"))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(norm.cast("binary")).alias("h"),
+        F.size(F.split(norm, " ", -1)).alias("toks"),
+    )
+    base = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (F.floor(F.avg(F.col("n_chars").cast("double")) * 100 + 0.5) / 100).alias(
+            "avg_chars"
+        ),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
+    hh = d.groupBy("source", "h").agg(F.count("*").alias("c"))
+    dup = hh.groupBy("source").agg(
+        (
+            F.floor(
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast("double")
+                / F.sum("c")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("dup_rate")
+    )
+    lv = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = lv.groupBy("source").agg(F.sum("c").alias("t"))
+    ent = (
+        lv.join(F.broadcast(tot), "source")
+        .withColumn("p", F.col("c").cast("double") / F.col("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_langs"),
+            (F.floor(-F.sum(F.col("p") * F.log("p")) * 10000 + 0.5) / 10000).alias(
+                "lang_entropy"
+            ),
+        )
+    )
+    return base.join(F.broadcast(ent), "source").join(F.broadcast(dup), "source").select(
+        "source", "n_docs", "total_tokens", "avg_chars", "n_short",
+        "n_langs", "lang_entropy", "dup_rate",
+    )
