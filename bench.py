@@ -154,6 +154,8 @@ _SCALING_QUERIES = [
     # r8: CDC boundary scan is O(total chars) md5 calls — the probe makes
     # that linearity (or any accidental curvature) visible per round
     "q_exact_substring_spans",
+    # r8: the history-match band join must stay linear in corpus size
+    "q_dedup_minhash_incremental",
 ]
 _SCALING_MULT = 5
 
