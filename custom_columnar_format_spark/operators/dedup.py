@@ -437,6 +437,42 @@ def _explode_star(df: DataFrame, arr_col: str) -> DataFrame:
     )
 
 
+def _sig_pipeline_from_base(base: DataFrame, num_hashes: int, scheme: str):
+    """(base, sigs) from an already-built shingle table — split out so the
+    signature projection can be re-bound onto a persisted base."""
+    if scheme == "xxhash64":
+        sigs = base.select(
+            "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        )
+    else:
+        hashed = km_hash_table(base.select("id", F.col("shingles").alias("grams")))
+        sigs = hashed.select(
+            "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
+        )
+    return base, sigs
+
+
+def _sig_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    scheme: str,
+):
+    """(base shingle table, (id, sig) signature table) — the ONE place the
+    MinHash signature derivation lives; minhash_neardup_pairs,
+    minhash_signatures, and lsh_bucket_stats all build from here so the
+    hash scheme can never silently fork between them."""
+    if scheme == "xxhash64":
+        base = shingle_table(df, text_col, id_col, shingle_k)
+    else:
+        base = gram_table(df, text_col, id_col, shingle_k).withColumnRenamed(
+            "grams", "shingles"
+        )
+    return _sig_pipeline_from_base(base, num_hashes, scheme)
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -513,53 +549,22 @@ def minhash_neardup_pairs(
     memory for the shingle table pass ``persist=False`` and pay the
     recompute.
     """
-    rows_per_band = num_hashes // num_bands
-
     def _track(cached: DataFrame) -> DataFrame:
         if handles is not None:
             handles.append(cached)
         return cached
 
-    if scheme == "xxhash64":
-        base = shingle_table(df, text_col, id_col, shingle_k)
-        if persist:
-            base = _track(base.persist())
-        sigs = base.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
-    else:
-        base = gram_table(df, text_col, id_col, shingle_k).withColumnRenamed("grams", "shingles")
-        if persist:
-            base = _track(base.persist())
-        hashed = km_hash_table(base.select("id", F.col("shingles").alias("grams")))
-        sigs = hashed.select(
-            "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
-        )
+    base, sigs = _sig_pipeline(df, text_col, id_col, shingle_k, num_hashes, scheme)
+    if persist:
+        base = _track(base.persist())
+        # rebind: the signature projection must read the CACHED shingles
+        _, sigs = _sig_pipeline_from_base(base, num_hashes, scheme)
     # The signature table feeds the banding branch and (only when oversized
     # buckets exist) the full-signature second pass; it is tiny
     # (id + num_hashes longs) so always persist alongside the shingles.
     if persist:
         sigs = _track(sigs.persist())
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # band key = the raw signature slice rendered as a
-                        # string — no extra hash, identical text in any engine
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+    banded = band_table(sigs, num_hashes, num_bands)
 
     # Candidate pairs via ONE aggregation: collect ids per (band, band_hash)
     # bucket and expand pairs from the sorted id array. The signature
@@ -695,17 +700,10 @@ def minhash_signatures(
     corpus batch (id + ``num_hashes`` longs per doc, ~0.5 KB; the thing a
     continuously-crawled pipeline persists so later batches can near-dup
     against history without re-reading bodies). Same hash schemes as
-    ``minhash_neardup_pairs``; one narrow pass, no shuffle."""
-    if scheme == "xxhash64":
-        base = shingle_table(df, text_col, id_col, shingle_k)
-        return base.select(
-            "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-        )
-    base = gram_table(df, text_col, id_col, shingle_k)
-    hashed = km_hash_table(base)
-    return hashed.select(
-        "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
-    )
+    ``minhash_neardup_pairs`` (both build on ``_sig_pipeline`` — the scheme
+    cannot fork between them); one narrow pass, no shuffle."""
+    _, sigs = _sig_pipeline(df, text_col, id_col, shingle_k, num_hashes, scheme)
+    return sigs
 
 
 def band_table(
@@ -770,6 +768,11 @@ def minhash_history_matches(
     candidate pairs through shuffle_hash-pinned joins (the history side is
     corpus-scale by definition — stats must never broadcast it); the est
     filter is a zip_with fold, no Python anywhere.
+
+    Cache contract (same as ``duplicate_chunk_spans``): the new batch's
+    signature table is PERSISTED (it feeds banding and the est re-attach).
+    Pass ``handles`` (a list) to receive it for deterministic unpersist;
+    otherwise the caller owns ``spark.catalog.clearCache()``.
     """
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, shingle_k, num_hashes, scheme
@@ -818,30 +821,9 @@ def lsh_bucket_stats(
     the oversized tail — a rising ``n_oversized`` means boilerplate is
     flooding buckets and the second pass (full-signature grouping) is doing
     more of the matching."""
-    base = gram_table(df, text_col, id_col, shingle_k)
-    hashed = km_hash_table(base)
-    sigs = hashed.select("id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig"))
-    rows_per_band = num_hashes // num_bands
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+    banded = band_table(
+        minhash_signatures(df, text_col, id_col, shingle_k, num_hashes), num_hashes, num_bands
+    )
     sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -1710,6 +1692,11 @@ def exactsubstr_clean_incremental(
     election are digest-keyed joins/aggregations, SMJ-pinned (history is
     corpus-scale by definition — stats must never broadcast it); the
     rebuild groups per doc as in ``exactsubstr_clean``.
+
+    Cache contract (same as ``exactsubstr_clean``): the batch's chunk table
+    is PERSISTED (it feeds the keeper election and the rebuild). Pass
+    ``handles`` (a list) to receive it for deterministic unpersist;
+    otherwise the caller owns ``spark.catalog.clearCache()``.
     """
     chunks = cdc_chunks(
         new_df, text_col, id_col, window=window, boundary_hex=boundary_hex,

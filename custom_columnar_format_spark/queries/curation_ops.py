@@ -1134,7 +1134,8 @@ def q_exactsubstr_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     "ships: doc and token totals, mean length, short-doc count, language "
     "count and Shannon entropy of the language mix, and the exact-duplicate "
     "rate (share of docs whose normalized md5 repeats within the source). "
-    "Scale shape: one narrow scan feeds three partial+final aggregations "
+    "Scale shape: ONE persisted narrow projection (bodies normalized once) "
+    "feeds three partial+final aggregations "
     "(doc stats; 16-byte digest counts; the bounded (source, lang) grid) — "
     "no bodies shuffle, no window over the corpus, everything map-side "
     "combinable; the joins are on the handful of source keys.",
@@ -1144,13 +1145,16 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_spread(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     norm = normalize_text(F.col("text"))
+    # the narrow projection (two regexp passes over every body) feeds THREE
+    # aggregation branches — persist it so normalization runs once, same
+    # policy as the minhash shingle table (harness owns the lifecycle)
     d = docs.select(
         "source",
         "lang",
         "n_chars",
         F.md5(norm.cast("binary")).alias("h"),
         F.size(F.split(norm, " ", -1)).alias("toks"),
-    )
+    ).persist()
     base = d.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("toks").cast("long").alias("total_tokens"),

@@ -69,8 +69,10 @@ def main():
     root = tempfile.mkdtemp(prefix="scbf_storage_stress_")
     path = os.path.join(root, "big")
     total0 = time.time()
-    df = synth(spark, n)
-    df.write.mode("overwrite").format("noop").save()  # price synthesis once
+    # cache + materialize the synthesized table so the timed write measures
+    # the FORMAT's write path, not re-running the range shuffle + sort
+    df = synth(spark, n).persist()
+    df.write.mode("overwrite").format("noop").save()
 
     _, dt = timed(
         "write_v2_rowgroups",
@@ -80,7 +82,6 @@ def main():
         .mode("overwrite")
         .save(path)
         or n,
-        {"rows_per_sec": None},
     )
     files = glob.glob(os.path.join(path, "*.scbf"))
     size_mb = sum(os.path.getsize(f) for f in files) / 1e6
@@ -103,7 +104,7 @@ def main():
     # documented in ScbfReader.partitions) — production code follows the
     # same rule, so the harness does too
     ds = lambda: spark.read.format("scbf").load(path)  # noqa: E731
-    timed("full_scan_count", lambda: ds().count(), {"rows_per_sec_hint": n})
+    timed("full_scan_count", lambda: ds().count())
     timed(
         "full_scan_agg",
         lambda: ds().groupBy("bucket").agg(F.sum("score"), F.count("*")).count(),
@@ -139,6 +140,7 @@ def main():
         ),
         flush=True,
     )
+    df.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
