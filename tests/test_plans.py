@@ -187,3 +187,37 @@ def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
         if hits:
             bad[name] = hits
     assert not bad, f"scale-hostile join shapes: {bad}"
+
+
+def test_incremental_minhash_plan_shapes(spark, sf_small, qs):
+    """r8: the history-match band join must stay a corpus-safe SMJ and the
+    signature re-attach joins SHJ (never a broadcast of the corpus-scale
+    history side, never a nested loop) — a silent strategy flip here is a
+    driver-OOM at 100 TB."""
+    plan = plan_of(qs["q_dedup_minhash_incremental"].fn(spark, sf_small))
+    assert "SortMergeJoin" in plan            # (band, band_hash) candidates
+    assert "ShuffledHashJoin" in plan         # est re-attach, pinned
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_exactsubstr_clean_plan_shapes(spark, sf_small, qs):
+    """r8: the chunk-digest mark join must be an SMJ (corpus-scale both
+    sides) and the per-doc rebuild an ObjectHashAggregate over collect_list
+    — no global window, no corpus broadcast."""
+    plan = plan_of(qs["q_exactsubstr_clean"].fn(spark, sf_small))
+    assert "SortMergeJoin" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan               # the rebuild is agg, not window
+    spark.catalog.clearCache()
+
+
+def test_html_extract_plan_is_narrow(spark, sf_small, qs):
+    """r8: HTML extraction is the rawest-tier stage — the plan must be one
+    narrow projection feeding a partial+final rollup, with exactly ONE
+    pair of aggregate exchanges and no join anywhere."""
+    plan = plan_of(qs["q_html_extract_stats"].fn(spark, sf_small))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
