@@ -204,3 +204,129 @@ def test_exactsubstr_clean_fuzz_matches_python(spark, corpus):
         ).collect()
     }
     assert got == _py_clean(texts, _CDC_W, _CDC_MINC)
+
+
+# ---------------------------------------------------------------------------
+# round-8 incremental operators: engine vs pure-python (hashlib) replays
+# ---------------------------------------------------------------------------
+
+_MASK48 = (1 << 48) - 1
+
+
+def _py_km_sig(text: str, k: int = 3, num_hashes: int = 64) -> list[int] | None:
+    """Pure-python replay of the km-md5 MinHash signature (gram_table +
+    km_hash_table + minhash_signature_km), independent of Spark."""
+    import hashlib
+
+    w = _norm(text).split(" ")
+    if not any(w):
+        return None
+    grams = sorted({" ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 1))})
+    hs = []
+    for g in grams:
+        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+        hs.append((int(hx[:12], 16), int(hx[12:24], 16) | 1))
+    return [
+        min((h1 + j * h2) & _MASK48 for h1, h2 in hs) for j in range(num_hashes)
+    ]
+
+
+def _py_history_matches(texts: dict, est_threshold: float = 0.5):
+    """Replay of minhash_history_matches over a parity split: batch = even
+    ids, history = odd ids; candidates on >= 1 equal 4-slice band."""
+    sigs = {i: _py_km_sig(t) for i, t in texts.items()}
+    sigs = {i: s for i, s in sigs.items() if s is not None}
+    out = {}
+    for i, si in sigs.items():
+        if i % 2 != 0:
+            continue
+        for j, sj in sigs.items():
+            if j % 2 == 0:
+                continue
+            if any(si[b * 4 : b * 4 + 4] == sj[b * 4 : b * 4 + 4] for b in range(16)):
+                est = sum(a == b for a, b in zip(si, sj)) / 64.0
+                import math
+
+                est = math.floor(est * 1e4 + 0.5) / 1e4
+                if est >= est_threshold:
+                    out[(i, j)] = est
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus)
+def test_minhash_history_matches_fuzz_matches_python(spark, corpus):
+    from pyspark.sql import functions as F
+
+    texts = {i: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id: long, text: string"
+    )
+    batch = df.filter(F.col("doc_id") % 2 == 0)
+    hist = df.filter(F.col("doc_id") % 2 != 0)
+    hist_sigs = dedup.minhash_signatures(hist, "text", "doc_id")
+    got = {
+        (r.id_new, r.id_hist): r.est_jaccard
+        for r in dedup.minhash_history_matches(
+            batch, hist_sigs, "text", "doc_id", est_threshold=0.5
+        ).collect()
+    }
+    assert got == _py_history_matches(texts, 0.5)
+
+
+def _py_clean_incremental(texts: dict, w: int, minc: int):
+    """Replay of exactsubstr_clean_incremental over a parity split: history
+    = odd ids (its qualifying chunk set), batch = even ids."""
+    from collections import defaultdict
+
+    hist_hashes = set()
+    for i, t in texts.items():
+        if i % 2 != 0 and t.strip():
+            for c in _py_cdc_chunks(t, w):
+                if len(c) >= minc:
+                    hist_hashes.add(c)
+    batch = {i: t for i, t in texts.items() if i % 2 == 0 and t.strip()}
+    chunks = {i: _py_cdc_chunks(t, w) for i, t in batch.items()}
+    occ = defaultdict(list)
+    for i, cs in chunks.items():
+        for idx, c in enumerate(cs):
+            if len(c) >= minc:
+                occ[c].append((i, idx))
+    keeper = {c: min(v) for c, v in occ.items() if len({i for i, _ in v}) >= 2}
+    out = {}
+    for i, cs in chunks.items():
+        cut = [
+            len(c) >= minc
+            and (c in hist_hashes or (c in keeper and keeper[c] != (i, idx)))
+            for idx, c in enumerate(cs)
+        ]
+        out[i] = (
+            "".join(c for c, x in zip(cs, cut) if not x),
+            sum(len(c) for c, x in zip(cs, cut) if x),
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ucorpus)
+def test_exactsubstr_clean_incremental_fuzz_matches_python(spark, corpus):
+    from pyspark.sql import functions as F
+
+    texts = {i: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id: long, text: string"
+    )
+    batch = df.filter(F.col("doc_id") % 2 == 0)
+    hist = df.filter(F.col("doc_id") % 2 != 0)
+    hist_hashes = (
+        dedup.cdc_chunks(hist, "text", "doc_id", window=_CDC_W)
+        .filter(F.col("chunk_len") >= _CDC_MINC)
+        .select("chunk_hash")
+    )
+    got = {
+        r.id: (r.clean_text, r.chars_removed)
+        for r in dedup.exactsubstr_clean_incremental(
+            batch, hist_hashes, "text", "doc_id", window=_CDC_W, min_chunk=_CDC_MINC
+        ).collect()
+    }
+    assert got == _py_clean_incremental(texts, _CDC_W, _CDC_MINC)
