@@ -85,6 +85,7 @@ HEADLINE = [
     "q_exactsubstr_clean",
     "q_html_extract_stats",
     "q_dedup_minhash_incremental",
+    "q_corpus_datacard",
 ]
 
 
