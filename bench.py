@@ -412,6 +412,21 @@ def main() -> None:
         )
         queries["q_dedup_minhash_xxh"] = round(time.time() - t0, 4)
         spark.catalog.clearCache()
+        # A/B twin of q_exactsubstr_clean (r9): same clean pipeline under
+        # the gear production tier — the Arrow-batched numpy rolling-hash
+        # boundary scan — vs the md5 oracle tier in the headline loop. The
+        # anchor scan is the ExactSubstr family's hottest constant (r8
+        # verdict flag #1), so this twin keeps the md5 tax visible.
+        from custom_columnar_format_spark.operators.dedup import exactsubstr_clean
+
+        t0 = time.time()
+        _force(
+            exactsubstr_clean(
+                _load(spark, SF_DIR, "documents"), "text", "doc_id", scheme="gear"
+            )
+        )
+        queries["q_exactsubstr_clean_gear"] = round(time.time() - t0, 4)
+        spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     factor = cal["cal_factor"] or 1.0

@@ -1031,7 +1031,12 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "available as the operator path, pinned by error-bound tests). Scale "
     "shape: the sample predicate is a scan-level filter (no sort, no extra "
     "shuffle) and the per-group sort runs over 1/16 of the data; rank error "
-    "~ 1/sqrt(16n) of the group.",
+    "~ 1/sqrt(16n) of the group. KNOWN SEMANTIC GAP (ADVICE r8): a group "
+    "whose 1/16 sample is EMPTY (likely below ~16 rows, P(vanish) = "
+    "(15/16)^n) drops from the output entirely, whereas q_percentiles "
+    "emits every group — consistent across both engines so the oracle "
+    "holds, but callers needing small-group coverage must use the exact "
+    "tier or the GK/t-digest operator path, both of which see all rows.",
 )
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

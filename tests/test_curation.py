@@ -246,6 +246,157 @@ def test_cdc_interior_chunks_identical_at_any_offset(spark):
     assert by_doc[1] and by_doc[1] == by_doc[2]
 
 
+@pytest.mark.parametrize("scheme", ["md5", "xxhash64", "gear"])
+def test_cdc_chunks_partition_doc_exactly_both_tiers(spark, scheme):
+    """The partition invariant (sum(chunk_len)==n_chars, concat==text) must
+    hold under BOTH anchor-hash tiers — the fast tier changes WHERE the
+    boundaries land, never the partition property."""
+    rows = [(1, _SHARED), (2, "short doc"), (3, _filler(5, 100))]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    from pyspark.sql import functions as F
+
+    ch = dedup.cdc_chunks(df, "text", "doc_id", with_text=True, scheme=scheme)
+    per_doc = ch.groupBy("id").agg(
+        F.sum("chunk_len").alias("total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda x: x.getField("chunk"),
+            ),
+            "",
+        ).alias("rebuilt"),
+    )
+    joined = per_doc.join(
+        df.select(F.col("doc_id").alias("id"), "text", F.length("text").alias("n")), "id"
+    )
+    assert joined.filter(F.col("total") != F.col("n")).count() == 0
+    assert joined.filter(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_cdc_chunks_rejects_unknown_scheme(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="scheme"):
+        dedup.cdc_chunks(df, "text", "doc_id", scheme="sha1")
+
+
+def test_cdc_tiers_recall_equivalence_planted_unaligned(spark):
+    """The r8 verdict's lead ask, done-criterion 2: on a planted
+    unaligned-duplicate corpus, the xxhash64 production tier must match the
+    md5 oracle tier's recall (both >= 0.999 here — with 60 planted pair
+    members sharing a ~360-char region, the theoretical per-member miss
+    rate of the min-chunk tail is ~1e-3, so an expected-miss count of
+    ~0.06; any systematic tier defect shows up as wholesale misses).
+    Deterministic: both anchor hashes are pure functions of the text."""
+    region = " ".join(_SHARED.split()[:60])  # ~330-char shared region
+    rows = []
+    planted = []
+    import random
+
+    rng = random.Random(7)
+    for j in range(30):
+        shared = region + f" tag{j}"
+        a, b = 1000 + 2 * j, 1001 + 2 * j
+        rows.append((a, _filler(j, rng.randint(0, 25)) + " " + shared + " " + _filler(50 + j, 10)))
+        rows.append((b, _filler(100 + j, rng.randint(0, 25)) + " " + shared + " " + _filler(150 + j, 10)))
+        planted += [a, b]
+    for i in range(200):
+        # per-doc-unique tokens: an 8-word shared vocabulary would produce
+        # REAL >=20-char cross-doc repeats (they'd be true dups, not FPs)
+        rows.append((i, " ".join(f"w{i}x{k}" for k in range(40))))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    recalls = {}
+    for scheme in ("md5", "xxhash64", "gear"):
+        got = {
+            r.id
+            for r in dedup.duplicate_chunk_spans(df, "text", "doc_id", scheme=scheme)
+            .select("id")
+            .collect()
+        }
+        # no false positives either way: noise docs share no >=20-char chunk
+        assert not any(i in got for i in range(200)), scheme
+        recalls[scheme] = sum(1 for p in planted if p in got) / len(planted)
+        spark.catalog.clearCache()
+    assert recalls["md5"] >= 0.999, recalls
+    assert recalls["xxhash64"] >= 0.999, recalls
+    assert recalls["gear"] >= 0.999, recalls
+
+
+def test_gear_kernel_matches_pure_python_replay():
+    """Fuzz-pin gear_boundaries_batch against a per-position pure-python
+    loop over the SAME gear table and polynomial (ints mod 2^64) — the
+    replay discipline the incremental operators use. Covers unicode
+    (including non-BMP), batch concatenation (a boundary must never depend
+    on the neighboring doc), and the w/doc-end exclusions."""
+    import hashlib
+    import random
+
+    from custom_columnar_format_spark.operators.dedup import gear_boundaries_batch
+
+    G = [int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "little") for b in range(256)]
+    B = 0x100000001B3
+    M64 = 1 << 64
+
+    def ref_bounds(text, w=8, modulus=16):
+        cps = [ord(c) for c in text]
+        out = []
+        for i in range(w, len(cps)):  # 1-based anchor i+? -> window ends at index i-1
+            pass
+        # explicit: 1-based position p in [w, n-1]; window chars p-w+1..p
+        n = len(cps)
+        for p in range(w, n):
+            h = 0
+            for j in range(w):
+                h = (h + G[cps[p - 1 - j] & 255] * pow(B, j, M64)) % M64
+            if h % modulus == 0:
+                out.append(p)
+        return out
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh XYZ0123é世\U0001f600"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))) for _ in range(40)]
+    texts += ["", "short", "a" * 100]
+    got = gear_boundaries_batch(texts)
+    for t, g in zip(texts, got):
+        assert list(g) == ref_bounds(t), repr(t)
+    # batch-order independence: each doc alone gives the same boundaries
+    for k, t in enumerate(texts[:10]):
+        solo = gear_boundaries_batch([t])[0]
+        assert list(solo) == list(got[k])
+
+
+def test_exactsubstr_clean_xxh_tier_removes_cross_doc_dups(spark):
+    """exactsubstr_clean under the fast tier: cleaned corpus has no
+    cross-doc duplicate qualifying chunk (same property the md5 tier
+    pins), and exactly one copy of the planted region survives."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, _SHARED + " " + _filler(1, 12)),
+        (2, _filler(2, 9) + " " + _SHARED),
+        (3, _filler(3, 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cleaned = dedup.exactsubstr_clean(df, "text", "doc_id", scheme="xxhash64")
+    clean_df = cleaned.select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    ).filter(F.trim("text") != "")
+    rechunk = dedup.cdc_chunks(clean_df, "text", "doc_id", scheme="xxhash64").filter(
+        F.col("chunk_len") >= 20
+    )
+    resid = (
+        rechunk.groupBy("chunk_hash")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .count()
+    )
+    assert resid == 0
+    # doc 1 (smallest id) keeps its copy; doc 2 lost chars
+    out = {r.id: r for r in cleaned.collect()}
+    assert out[1].chars_removed == 0
+    assert out[2].chars_removed > 0
+    spark.catalog.clearCache()
+
+
 def test_exactsubstr_clean_keeps_first_occurrence_and_converges(spark):
     from pyspark.sql import functions as F
 

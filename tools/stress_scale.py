@@ -393,6 +393,36 @@ def main():
                       "straggler_ratio": ratio, "straggler_stage": sid,
                       "bounded": (ratio is None or ratio <= 8.0)
                                  and found_cdc / planted_cdc >= 0.999}), flush=True)
+    md5_dt = dt
+
+    # Same corpus and plants through the GEAR production tier (r8 verdict
+    # lead ask): the Arrow-batched numpy rolling-hash anchor scan must hold
+    # the same recall floor at >= 2x the md5 oracle tier's throughput.
+    cdc_handles = []
+    before = completed_stage_ids(spark)
+    t0 = time.time()
+    spans_gear = dedup.duplicate_chunk_spans(
+        docs_cdc, "text", "doc_id", handles=cdc_handles, scheme="gear"
+    ).cache()
+    spans_gear.count()
+    found_gear = spans_gear.filter(
+        (F.col("id") % 100 == 0) | ((F.col("id") + 1) % 100 == 0)
+    ).count()
+    dt = time.time() - t0
+    ratio, sid = straggler_ratio(spark, before)
+    spans_gear.unpersist()
+    for h in cdc_handles:
+        h.unpersist()
+    print(json.dumps({"stage": "cdc_exactsubstr_unaligned_gear", "rows": found_gear,
+                      "seconds": round(dt, 2),
+                      "docs_per_sec": round(n_docs / dt),
+                      "planted_members": planted_cdc,
+                      "planted_recall": round(found_gear / planted_cdc, 4),
+                      "speedup_vs_md5": round(md5_dt / dt, 2),
+                      "straggler_ratio": ratio, "straggler_stage": sid,
+                      "bounded": (ratio is None or ratio <= 8.0)
+                                 and found_gear / planted_cdc >= 0.999
+                                 and md5_dt / dt >= 2.0}), flush=True)
 
     emb = synth_embeddings(spark, n_vecs)
     emb.write.mode("overwrite").format("noop").save()
