@@ -46,17 +46,30 @@ from pyspark.sql import functions as F
 BLOCK_CLOSERS = (
     "p|div|li|h[1-6]|tr|td|table|ul|ol|nav|footer|header|section|article|title"
 )
-_BLOCK_SPLIT = rf"(?i)</(?:{BLOCK_CLOSERS})>"
+#: the full block-boundary pattern: closing block tags, plus <br>/<br/>
+#: (r8 ADVICE: real crawl HTML separates text with <br> and never closes a
+#: block tag — without this, <br>-separated nav/footer lines fuse into one
+#: block and ride through the link-density rule). Shared verbatim with the
+#: DuckDB oracle (Java-regex ∩ RE2 subset: explicit whitespace class).
+BLOCK_SPLIT_RE = rf"(?i)(?:</(?:{BLOCK_CLOSERS})>|<br[ \t\n\r]*/?>)"
+_BLOCK_SPLIT = BLOCK_SPLIT_RE
 
-#: (entity, replacement) in decode order — &amp; LAST (single-decode rule)
-ENTITIES = (
+#: named entities decoded BEFORE the numeric pass; &amp; decodes LAST
+#: (single-decode rule: '&amp;lt;' -> '&lt;', '&amp;#39;' -> '&#39;')
+ENTITIES_NAMED = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),
 )
+ENTITY_AMP = ("&amp;", "&")
+#: kept for compatibility: the full named decode order (the numeric pass
+#: sits between these two groups — see decode_entities)
+ENTITIES = ENTITIES_NAMED + (ENTITY_AMP,)
+
+#: numeric character-reference bodies (after a '&#' split): decimal and hex
+_NUM_DEC = r"^([0-9]{1,7});"
+_NUM_HEX = r"^[xX]([0-9a-fA-F]{1,6});"
 
 _NOISE_PATTERNS = (
     r"(?is)<script[^>]*>.*?</script>",
@@ -73,12 +86,68 @@ def strip_noise(html: Column) -> Column:
     return out
 
 
+def _chr_bmp(code: Column) -> Column:
+    """Unicode character from a BMP codepoint: int → 4 hex digits →
+    UTF-16BE bytes → string. Spark's own char()/chr() is ASCII-mod-256 so
+    it cannot produce typographic characters; this route is all built-ins
+    (conv/lpad/unhex/decode) and DuckDB replays it as plain chr(code)."""
+    return F.decode(
+        F.unhex(F.lpad(F.conv(code.cast("string"), 10, 16), 4, "0")), "UTF-16BE"
+    )
+
+
+def _num_ok(code: Column) -> Column:
+    """Decodable numeric reference: BMP, non-zero, not a surrogate — the
+    exact predicate the DuckDB twin applies (DuckDB's chr() ERRORS on
+    surrogates, so both engines must agree on what stays literal)."""
+    return (
+        code.isNotNull()
+        & (code >= 1)
+        & (code <= 65535)
+        & ~((code >= 55296) & (code <= 57343))
+    )
+
+
+def decode_numeric_entities(text: Column) -> Column:
+    """Decode `&#NN;` / `&#xNN;` numeric character references (r8 ADVICE:
+    `&#x2019;`-style refs are everywhere in real crawl HTML and leaked into
+    extracted text as literals). One split on '&#', then a transform that
+    re-assembles each piece with its leading reference decoded — a single
+    pass, so '&#38;#39;' single-decodes to '&#39;' like the named chain.
+    BMP-only by design: astral refs (+ NUL and surrogates) stay literal —
+    the guard keeps both engines total (DuckDB chr() errors on surrogates)
+    and astral typography is vanishingly rare in boilerplate. All JVM
+    built-ins; the DuckDB twin is the same split/transform with chr()."""
+    pieces = F.split(text, "&#")
+
+    def _piece(p: Column, i: Column) -> Column:
+        d = F.regexp_extract(p, _NUM_DEC, 1)
+        h = F.regexp_extract(p, _NUM_HEX, 1)
+        dcode = F.when(d != "", d.cast("long"))
+        hcode = F.when(h != "", F.conv(h, 16, 10).cast("long"))
+        rest_d = p.substr(F.length(d) + F.lit(2), F.length(p))
+        rest_h = p.substr(F.length(h) + F.lit(3), F.length(p))
+        return (
+            F.when(i == 0, p)  # text before the first '&#' is never a ref
+            .when(_num_ok(dcode), F.concat(_chr_bmp(dcode), rest_d))
+            .when(_num_ok(hcode), F.concat(_chr_bmp(hcode), rest_h))
+            .otherwise(F.concat(F.lit("&#"), p))
+        )
+
+    return F.array_join(F.transform(pieces, _piece), "")
+
+
 def decode_entities(text: Column) -> Column:
-    """Decode the common named entities, single-pass (&amp; last)."""
+    """Full entity decode, single-pass per reference: named entities, then
+    numeric character references, then &amp; LAST — so '&amp;lt;' →
+    '&lt;' and '&amp;#39;' → '&#39;' (one decode each). The one inherent
+    ordering trade: '&#38;amp;' ends as '&' (numeric must precede amp or
+    the far more common '&amp;#NN;' pattern would double-decode)."""
     out = text
-    for ent, rep in ENTITIES:
+    for ent, rep in ENTITIES_NAMED:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return out
+    out = decode_numeric_entities(out)
+    return F.replace(out, F.lit(ENTITY_AMP[0]), F.lit(ENTITY_AMP[1]))
 
 
 def _tagless_text(fragment: Column) -> Column:

@@ -875,8 +875,10 @@ _PAGE_SPARK_PARTS = (
     ' archive</h1></header>'
     '<nav><a href="/">home</a> <a href="/tags">tags</a> '
     '<a href="/about">about</a> <a href="/feed">rss</a></nav>'
-    "<div class=\"main\"><p>Q&amp;A &#39;notes&#39;: ",
-    "</p></div><footer><a href=\"/privacy\">privacy</a> "
+    "<div class=\"main\"><p>Q&amp;A &#39;notes&#8217; &#x2014; on ",
+    "</p></div>"
+    "contact<br>mail room<br/>suite &#x31;&#48;<br >"
+    "<footer><a href=\"/privacy\">privacy</a> "
     '<a href="/terms">terms</a> copyright 2024</footer></body></html>',
 )
 
@@ -899,16 +901,45 @@ def _html_noise_sql(e: str) -> str:
     return e
 
 
+def _num_entities_sql(e: str) -> str:
+    """DuckDB twin of operators.html.decode_numeric_entities: split on
+    '&#', decode each piece's leading decimal/hex reference with chr(),
+    restore non-references — same BMP/surrogate guard, 1-based index
+    lambda (Spark's transform index is 0-based, hence i = 1 here)."""
+    dec_code = "CAST(regexp_extract(p, '^([0-9]{1,7});', 1) AS BIGINT)"
+    hex_code = _hexparse_sql(
+        "lpad(lower(regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)), 6, '0')", 1, 6
+    )
+
+    def ok(c: str) -> str:
+        return f"({c} BETWEEN 1 AND 65535 AND NOT ({c} BETWEEN 55296 AND 57343))"
+
+    return (
+        f"array_to_string(list_transform(string_split({e}, '&#'), (p, i) -> "
+        "CASE WHEN i = 1 THEN p "
+        f"WHEN regexp_matches(p, '^[0-9]{{1,7}};') AND {ok(dec_code)} "
+        f"THEN chr(CAST({dec_code} AS INTEGER)) || "
+        "substr(p, length(regexp_extract(p, '^([0-9]{1,7});', 1)) + 2) "
+        f"WHEN regexp_matches(p, '^[xX][0-9a-fA-F]{{1,6}};') AND {ok(hex_code)} "
+        f"THEN chr(CAST({hex_code} AS INTEGER)) || "
+        "substr(p, length(regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)) + 3) "
+        "ELSE '&#' || p END), '')"
+    )
+
+
 def _html_text_sql(e: str) -> str:
     """Tagless text of a noise-free fragment — the DuckDB twin of
-    operators.html._tagless_text (tags -> space, entities, collapse)."""
+    operators.html._tagless_text (tags -> space, named entities, numeric
+    references, &amp; last, collapse)."""
     e = f"regexp_replace({e}, '<[^>]*>', ' ', 'g')"
-    for ent, rep in html.ENTITIES:
+    for ent, rep in html.ENTITIES_NAMED:
         e = f"replace({e}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    e = _num_entities_sql(e)
+    e = f"replace({e}, '{html.ENTITY_AMP[0]}', '{html.ENTITY_AMP[1]}')"
     return f"trim(regexp_replace({e}, '[ \\t\\n\\r]+', ' ', 'g'))"
 
 
-_BLOCK_SPLIT_SQL = f"(?i)</(?:{html.BLOCK_CLOSERS})>"
+_BLOCK_SPLIT_SQL = html.BLOCK_SPLIT_RE
 
 
 @query(

@@ -33,6 +33,49 @@ def test_html_to_text_decodes_entities_single_pass(spark):
     assert _one(spark, page, html.html_to_text) == "Q&A 'x' 1<2 \"q\" z &lt;"
 
 
+def test_numeric_entities_decode_dec_and_hex(spark):
+    # r8 ADVICE: &#x2019;-style refs leaked into extracted text as literals
+    page = "<p>it&#8217;s &#x2019;quoted&#X2019; A=&#65; em&#x2014;dash</p>"
+    assert (
+        _one(spark, page, html.html_to_text)
+        == "it’s ’quoted’ A=A em—dash"
+    )
+
+
+def test_numeric_entities_guards_stay_literal(spark):
+    # NUL, surrogates, astral, overlong, and unterminated refs stay literal
+    # (DuckDB chr() errors on surrogates — both engines must agree to skip)
+    page = "<p>&#0; &#xD800; &#57343; &#128512; &#99999999; &#65 &#xZZ; &#</p>"
+    assert (
+        _one(spark, page, html.html_to_text)
+        == "&#0; &#xD800; &#57343; &#128512; &#99999999; &#65 &#xZZ; &#"
+    )
+
+
+def test_numeric_entities_single_decode_with_amp(spark):
+    # '&amp;#8217;' is an ESCAPED reference: one decode -> literal '&#8217;'
+    page = "<p>&amp;#8217; and &#38;lt;</p>"
+    assert _one(spark, page, html.html_to_text) == "&#8217; and &lt;"
+
+
+def test_br_splits_blocks_for_density_rule(spark):
+    # <br>-separated short/link lines must split into their own blocks and
+    # be dropped — previously they fused into one block and rode through
+    page = (
+        "<body><div><p>this long article body clearly survives the density"
+        " rule with many words</p></div>"
+        'contact<br>mail room<br/>tel 0100<br >'
+        '<a href="/x">site index here</a><br/><a href="/y">y</a>'
+        "</body>"
+    )
+    got = _one(spark, page, html.main_content)
+    assert "long article body" in got
+    # each <br>-separated line is its own block now: the 2-word lines fail
+    # min_words and the link line fails density — none may leak through
+    assert "contact" not in got and "mail room" not in got and "0100" not in got
+    assert "site index" not in got
+
+
 def test_html_to_text_collapses_whitespace_across_tags(spark):
     page = "<div>alpha</div>\n\t <div>beta\n\ngamma</div>"
     assert _one(spark, page, html.html_to_text) == "alpha beta gamma"

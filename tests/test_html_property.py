@@ -18,7 +18,7 @@ _NOISE = (
     r"(?is)<style[^>]*>.*?</style>",
     r"(?s)<!--.*?-->",
 )
-_SPLIT = rf"(?i)</(?:{html.BLOCK_CLOSERS})>"
+_SPLIT = html.BLOCK_SPLIT_RE
 
 
 def _py_strip_noise(h: str) -> str:
@@ -27,10 +27,31 @@ def _py_strip_noise(h: str) -> str:
     return h
 
 
+def _py_decode_numeric(t: str) -> str:
+    pieces = t.split("&#")
+    out = [pieces[0]]
+    for p in pieces[1:]:
+        code = rest = None
+        m = re.match(r"^([0-9]{1,7});", p)
+        mh = re.match(r"^[xX]([0-9a-fA-F]{1,6});", p)
+        if m:
+            c = int(m.group(1))
+            if 1 <= c <= 65535 and not (55296 <= c <= 57343):
+                code, rest = c, p[m.end():]
+        elif mh:
+            c = int(mh.group(1), 16)
+            if 1 <= c <= 65535 and not (55296 <= c <= 57343):
+                code, rest = c, p[mh.end():]
+        out.append(chr(code) + rest if code is not None else "&#" + p)
+    return "".join(out)
+
+
 def _py_tagless(f: str) -> str:
     t = re.sub(r"<[^>]*>", " ", f)
-    for ent, rep in html.ENTITIES:
+    for ent, rep in html.ENTITIES_NAMED:
         t = t.replace(ent, rep)
+    t = _py_decode_numeric(t)
+    t = t.replace(*html.ENTITY_AMP)
     return re.sub(r"[ \t\n\r]+", " ", t).strip()
 
 
@@ -66,7 +87,12 @@ _frag = st.sampled_from(
         '<a href="/">home</a>',
         '<a\nhref="/t">tags</a>',
         "&amp;lt; &quot;q&quot; &#39;s&#39; &nbsp;",
+        "&#8217;curly&#8217; &#x2014; dash",
+        "&amp;#8217; literal &#xD800; bad &#0; nul &#999999; astral",
+        "&#65&#x41 unterminated &# bare",
         "<br/>",
+        "<br >",
+        "one<br>two<br/>three",
         "<h2>head words</h2>",
         "\n\t ",
         "<unclosed",
