@@ -1157,7 +1157,11 @@ def q_exactsubstr_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(ent.n_langs AS BIGINT) AS n_langs,
            floor(ent.lang_entropy * 10000 + 0.5) / 10000 AS lang_entropy,
            floor(CAST(dup.dup_docs AS DOUBLE) / dup.all_docs * 10000 + 0.5) / 10000
-             AS dup_rate
+             AS dup_rate,
+           CAST(64 AS BIGINT) AS nd_est_k,
+           0.0625 AS nd_est_stderr,
+           0.375 AS nd_band_low,
+           0.625 AS nd_band_high
     FROM base JOIN ent ON base.source = ent.source
     JOIN dup ON base.source = dup.source
     """,
@@ -1169,7 +1173,15 @@ def q_exactsubstr_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     "feeds three partial+final aggregations "
     "(doc stats; 16-byte digest counts; the bounded (source, lang) grid) — "
     "no bodies shuffle, no window over the corpus, everything map-side "
-    "combinable; the joins are on the handful of source keys.",
+    "combinable; the joins are on the handful of source keys. The dedup-"
+    "state section (r8 verdict: the datacard should surface the incremental "
+    "near-dup tier's sketch error) reports the signature-level estimator's "
+    "parameters: k=64 hashes, stderr at the 0.5 threshold = "
+    "sqrt(0.5*0.5/64) = 0.0625 (rsd 12.5%), and the +-2 sigma band "
+    "[0.375, 0.625] within which a pair's true Jaccard makes est-level "
+    "classification unreliable — consumers reading dup_rate next to the "
+    "incremental matcher's output see its confidence envelope in the same "
+    "report.",
 )
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalize_text
@@ -1224,4 +1236,8 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(ent), "source").join(F.broadcast(dup), "source").select(
         "source", "n_docs", "total_tokens", "avg_chars", "n_short",
         "n_langs", "lang_entropy", "dup_rate",
+        F.lit(64).cast("long").alias("nd_est_k"),
+        F.lit(0.0625).alias("nd_est_stderr"),
+        F.lit(0.375).alias("nd_band_low"),
+        F.lit(0.625).alias("nd_band_high"),
     )

@@ -1617,6 +1617,90 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_incremental_oracle_sql(
+    threshold: float, est_threshold: float, num_hashes: int = 64, num_bands: int = 16
+) -> str:
+    """From-scratch recursive-CTE closure over history pairs + within-batch
+    pairs + est-based batch-vs-history matches — the full-rebuild ground
+    truth the incremental maintenance must reproduce exactly."""
+    est = (
+        f"floor(list_sum(list_transform(range(1, {num_hashes} + 1), "
+        f"i -> CASE WHEN n.sig[i] = h.sig[i] THEN 1 ELSE 0 END)) "
+        f"/ {float(num_hashes)} * 10000 + 0.5) / 10000"
+    )
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(threshold)
+        + f""",
+    hb AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE (id_a % 3 <> 0 AND id_b % 3 <> 0) OR (id_a % 3 = 0 AND id_b % 3 = 0)
+    ),
+    cross_m AS (
+      SELECT n.doc_id AS id_a, h.doc_id AS id_b
+      FROM sig n JOIN sig h
+        ON n.doc_id % 3 = 0 AND h.doc_id % 3 <> 0
+           AND ({_band_eq_sql('n', 'h', num_hashes, num_bands)})
+      WHERE {est} >= {est_threshold}
+    ),
+    alledges AS (SELECT id_a, id_b FROM hb UNION SELECT id_a, id_b FROM cross_m),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM alledges UNION SELECT id_b, id_a FROM alledges
+    ), nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component, COUNT(*) AS n_members, MIN(node) AS keep_id
+    FROM comp GROUP BY component"""
+    )
+
+
+@query(
+    "q_dedup_clusters_incremental",
+    _clusters_incremental_oracle_sql(0.4, 0.5),
+    doc="incremental duplicate-CLUSTER maintenance (the r8 verdict's #1 "
+    "missing piece): stored (node, label) component state from the history "
+    "partition (doc_id % 3 <> 0) is updated with a new batch's edges — "
+    "within-batch verified MinHash pairs plus est-based batch-vs-history "
+    "signature matches — WITHOUT recomputing connected components over "
+    "history. The iterative closure runs only over the new edges rewritten "
+    "through the stored star labels (O(batch) work); history rows update "
+    "through one label-keyed broadcast remap join. Oracle is the "
+    "from-scratch recursive-CTE closure over ALL edges (history + batch + "
+    "cross) — the equivalence the operator must reproduce exactly. Output "
+    "is the standard cluster rollup (component, n_members, keep_id).",
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering
+
+    docs = _docs_spread(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # yesterday's state: converged components over history-only pairs
+    state = clustering.connected_components(
+        dedup.minhash_neardup_pairs(hist, jaccard_threshold=0.4)
+    )
+    # today's edges: verified pairs within the batch + signature-level
+    # matches against the stored history signature table
+    hist_sigs = dedup.minhash_signatures(hist, "text", "doc_id").persist()
+    cross = dedup.minhash_history_matches(
+        batch, hist_sigs, "text", "doc_id", est_threshold=0.5
+    ).select(F.col("id_new").alias("id_a"), F.col("id_hist").alias("id_b"))
+    batch_pairs = dedup.minhash_neardup_pairs(batch, jaccard_threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    updated = clustering.incremental_components(
+        state, batch_pairs.unionByName(cross)
+    )
+    return (
+        updated.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("keep_id"))
+        .orderBy("component")
+    )
+
+
 @query(
     "q_pagerank_suppliers",
     # fixed-3-iteration power method, unrolled as chained CTEs — exactly the

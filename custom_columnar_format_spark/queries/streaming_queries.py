@@ -207,6 +207,79 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_curation_oracle_sql(est_threshold: float, num_hashes: int = 64) -> str:
+    """ONE-batch replay of the drained multi-batch curation loop: all
+    unordered doc pairs with >= 1 matching LSH band and signature agreement
+    >= est_threshold (batch partitioning cancels out — a pair is found
+    within its batch or when its later member arrives, exactly once)."""
+    from .llm_ops import _band_eq_sql, _minhash_sig_ctes
+
+    est = (
+        f"floor(list_sum(list_transform(range(1, {num_hashes} + 1), "
+        f"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) "
+        f"/ {float(num_hashes)} * 10000 + 0.5) / 10000"
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    pm AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {est} AS est_jaccard
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_band_eq_sql('a', 'b')})
+    )
+    SELECT id_a, id_b, est_jaccard FROM pm WHERE est_jaccard >= {est_threshold}
+    """
+
+
+@query(
+    "q_stream_curation",
+    _stream_curation_oracle_sql(0.5),
+    doc="STREAMING incremental curation loop (r8 verdict task #3, promoted "
+    "from test-only): documents arrive as micro-batches (file stream, one "
+    "file per trigger); each batch is near-dup'd within itself and against "
+    "the ACCUMULATING SCBF signature store via foreachBatch + "
+    "minhash_history_matches, matches append to an SCBF table, and the "
+    "batch's signatures MERGE into the store (copy-on-write upsert by id). "
+    "History bodies are never re-read — the store holds id + 64 longs per "
+    "doc. The drained multi-batch result is batch-partition-independent "
+    "(within-batch pairs found immediately, cross-batch pairs exactly once "
+    "when the later member arrives), so the oracle replays it as ONE batch "
+    "computation over all documents — the q_stream_rollup_upsert "
+    "equivalence pattern.",
+)
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.scbf_datasource import register
+    from ..streaming import curation
+    from .llm_ops import _docs_spread
+
+    register(spark)
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="curation_src_")
+    n_batches = 3
+    for i in range(n_batches):
+        # one parquet file per crawl batch → one micro-batch per trigger
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sig_store = tempfile.mkdtemp(prefix="curation_sigs_")
+    matches_store = tempfile.mkdtemp(prefix="curation_matches_")
+    ck = tempfile.mkdtemp(prefix="curation_ck_")
+    q = curation.start_curation_loop(
+        stream, sig_store, matches_store, ck, est_threshold=0.5
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("scbf")
+        .load(matches_store)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "q_stream_funnel",
     """

@@ -68,3 +68,77 @@ def test_duplicate_clusters_from_minhash(spark, sf_small):
     # total deduped members == distinct nodes in the pair list
     nodes = pairs.select(F.explode(F.array("id_a", "id_b")).alias("n")).distinct().count()
     assert sum(r.n_members for r in clusters) == nodes
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance (round 9)
+# ---------------------------------------------------------------------------
+
+
+def check_incremental(spark, hist_edges, new_edges):
+    """incremental_components(state, new) must equal a from-scratch rebuild
+    over hist+new for every node that has an edge."""
+    hist_df = spark.createDataFrame(hist_edges, ["id_a", "id_b"])
+    state = clustering.connected_components(hist_df)
+    new_df = spark.createDataFrame(new_edges, ["id_a", "id_b"])
+    got = {
+        r.node: r.component
+        for r in clustering.incremental_components(state, new_df).collect()
+    }
+    want = union_find(hist_edges + new_edges)
+    assert got == want
+
+
+def test_incremental_merges_two_history_components(spark):
+    # {5,9} and {3,7} merge through a batch doc 20 touching both
+    check_incremental(spark, [(5, 9), (3, 7)], [(20, 9), (20, 7)])
+
+
+def test_incremental_new_min_relabels_whole_old_component(spark):
+    # new node 2 < old label 5: every member of {5,9,11} must drop to 2,
+    # including node 11 which no new edge touches
+    check_incremental(spark, [(5, 9), (9, 11)], [(2, 11)])
+
+
+def test_incremental_batch_only_component(spark):
+    check_incremental(spark, [(5, 9)], [(30, 31), (31, 32)])
+
+
+def test_incremental_chain_through_many_components(spark):
+    # a batch path threading four separate history components into one
+    hist = [(10, 11), (20, 21), (30, 31), (40, 41)]
+    new = [(11, 21), (21, 31), (31, 41)]
+    check_incremental(spark, hist, new)
+
+
+def test_incremental_edge_within_one_component_is_noop(spark):
+    hist = [(5, 9), (9, 11), (20, 21)]
+    check_incremental(spark, hist, [(5, 11)])
+
+
+def test_incremental_empty_new_edges_returns_state(spark):
+    hist = [(5, 9), (3, 7)]
+    hist_df = spark.createDataFrame(hist, ["id_a", "id_b"])
+    state = clustering.connected_components(hist_df)
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    got = {
+        r.node: r.component
+        for r in clustering.incremental_components(state, empty).collect()
+    }
+    assert got == union_find(hist)
+
+
+def test_incremental_random_graphs_match_rebuild(spark):
+    rng = random.Random(9)
+    for trial in range(3):
+        nodes = list(range(60))
+        hist = [
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(40)
+        ]
+        hist = [(a, b) for a, b in hist if a != b]
+        # batch introduces ids 100+ and random links into history
+        new = [(100 + i, rng.choice(nodes + [100 + j for j in range(i)])) for i in range(15)]
+        new += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(5)]
+        new = [(a, b) for a, b in new if a != b]
+        check_incremental(spark, hist, new)

@@ -173,3 +173,121 @@ def test_streaming_neardup_against_accumulating_sig_store(spark, tmp_path):
     # the store accumulated both batches' signatures
     n = spark.read.format("scbf").load(sig_store).count()
     assert n == 4
+
+
+def test_stream_curation_loop_equals_one_batch(spark, tmp_path):
+    """The registered q_stream_curation loop (r9): drained multi-batch
+    matches == the one-batch all-pairs signature computation, with the
+    cross-batch path genuinely exercised (pairs must span batches)."""
+    from custom_columnar_format_spark.streaming import curation
+
+    rows = [
+        (1, _PASSAGE + " tail one with riverbank reeds"),
+        (2, "unrelated text about columnar storage and codecs"),
+        (3, "another unrelated piece concerning alpine weather patterns"),
+        (4, _PASSAGE + " tail two with riverbank reeds"),   # near-dups doc 1 (cross-batch: 1 is odd... see split)
+        (5, _PASSAGE + " tail one with riverbank reeds"),   # exact text of doc 1 -> within/cross
+        (6, "a sixth document on tidal charts and harbor logistics"),
+    ]
+    docs = _batch(spark, rows)
+    src = str(tmp_path / "src")
+    for i in range(2):  # batch 0: even ids, batch 1: odd ids
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sig_store = str(tmp_path / "sigs")
+    matches_store = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+    q = curation.start_curation_loop(
+        stream, sig_store, matches_store, ck, est_threshold=0.5
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in spark.read.format("scbf").load(matches_store).collect()
+    }
+    # one-batch ground truth: run the within-batch path over ALL docs at once
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    want = {
+        (min(r.id_new, r.id_hist), max(r.id_new, r.id_hist)): r.est_jaccard
+        for r in dedup.minhash_history_matches(
+            docs, sigs, "text", "doc_id", est_threshold=0.5
+        )
+        .filter(F.col("id_new") != F.col("id_hist"))
+        .collect()
+    }
+    assert got == want
+    # the planted trio {1, 4, 5} must be found, and at least one pair spans
+    # the even/odd batch split (cross-batch path exercised)
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+    assert any((a % 2) != (b % 2) for a, b in got)
+    # signature store holds every doc exactly once after the merge
+    hist = curation.read_sig_store(spark, sig_store)
+    assert hist.count() == len(rows)
+    assert hist.select("id").distinct().count() == len(rows)
+    spark.catalog.clearCache()
+
+
+def test_sig_store_maintenance_bounds_files_recall_unchanged(spark, tmp_path):
+    """r8 verdict task #4: across N batches with per-batch maintenance the
+    store's file count stays bounded, matches are identical to the
+    unmaintained store, and a deleted doc's signature stops matching."""
+    from custom_columnar_format_spark.streaming import curation
+
+    n_batches, max_files = 5, 4
+    maintained = str(tmp_path / "maintained")
+    raw = str(tmp_path / "raw")
+
+    def batch_rows(b):
+        rows = [(b * 10 + k, f"batch {b} doc {k} " + " ".join(
+            f"w{b}x{k}y{j}" for j in range(25)
+        )) for k in range(4)]
+        if b == 3:  # re-plant batch 0's doc 1 text -> must match history
+            rows.append((b * 10 + 9, _PASSAGE))
+        if b == 0:
+            rows.append((9, _PASSAGE))
+        return rows
+
+    import glob as _glob
+
+    for b in range(n_batches):
+        bdf = _batch(spark, batch_rows(b))
+        sigs = dedup.minhash_signatures(bdf, "text", "doc_id")
+        for store in (maintained, raw):
+            if _glob.glob(f"{store}/*.scbf"):
+                curation.write_sig_store(sigs, store, mode="append")
+            else:
+                curation.write_sig_store(sigs, store)
+        stats = curation.maintain_sig_store(spark, maintained, max_files=max_files)
+        assert stats["files_after"] <= max_files
+    n_raw = len(_glob.glob(f"{raw}/*.scbf"))
+    n_maint = len(_glob.glob(f"{maintained}/*.scbf"))
+    assert n_raw >= n_batches  # the unmaintained store really does sprawl
+    assert n_maint <= max_files
+
+    # recall unchanged: a probe batch matches both stores identically
+    probe = _batch(spark, [(999, _PASSAGE), (998, "novel text about nothing shared")])
+    def matches(store):
+        return {
+            (r.id_new, r.id_hist)
+            for r in dedup.minhash_history_matches(
+                probe, curation.read_sig_store(spark, store), "text", "doc_id",
+                est_threshold=0.5,
+            ).collect()
+        }
+    m_maint, m_raw = matches(maintained), matches(raw)
+    assert m_maint == m_raw
+    assert (999, 9) in m_maint and (999, 39) in m_maint
+
+    # deletion: purge doc 9's signature; it must stop matching, others stay
+    deleted = spark.createDataFrame([(9,)], "id: long")
+    stats = curation.maintain_sig_store(
+        spark, maintained, max_files=max_files, deleted_ids=deleted
+    )
+    assert stats["deleted_rows"] == 1
+    m_after = matches(maintained)
+    assert (999, 9) not in m_after
+    assert m_after == m_maint - {(999, 9)}
+    spark.catalog.clearCache()

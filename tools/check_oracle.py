@@ -3,6 +3,15 @@ on Spark AND its DuckDB oracle at a given scale factor, compare row count,
 column names, and order-insensitive values. Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [sf_dir] --rotate <round> [k]
+
+``--rotate`` (r8 verdict task #7): the driver's sampler redraws nearly the
+same ~50 query names every round, so most of the catalog has never appeared
+in a committed CORRECTNESS_r*.json. Rotation mode draws a DETERMINISTIC
+round-keyed slice of k (default 50) queries, ordering the never-driver-
+sampled blind spot first (membership read from the committed
+CORRECTNESS_r*.json files), so each round's verification trail covers a
+fresh slice of the blind spot. Record the output in COVERAGE.md §ROTATION.
 """
 
 from __future__ import annotations
@@ -34,9 +43,43 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def rotation_slice(round_no: int, k: int = 50) -> list[str]:
+    """Deterministic round-keyed sample prioritizing the driver-sampler
+    blind spot: queries absent from every committed CORRECTNESS_r*.json
+    come first (shuffled by md5(round, name) — stable for a given round,
+    different across rounds), then the already-sampled remainder."""
+    import glob
+    import hashlib
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set = set()
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                sampled |= set(json.load(f).keys())
+        except Exception:
+            pass
+    names = sorted(all_queries().keys())
+
+    def key(n: str) -> str:
+        return hashlib.md5(f"r{round_no}:{n}".encode()).hexdigest()
+
+    never = sorted((n for n in names if n not in sampled), key=key)
+    seen = sorted((n for n in names if n in sampled), key=key)
+    return (never + seen)[:k]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    if len(sys.argv) > 2 and sys.argv[2] == "--rotate":
+        round_no = int(sys.argv[3])
+        k = int(sys.argv[4]) if len(sys.argv) > 4 else 50
+        only = set(rotation_slice(round_no, k))
+        print(f"ROTATION r{round_no}: {len(only)} queries "
+              f"({sum(1 for _ in only)} drawn, blind-spot-first)")
+    else:
+        only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
