@@ -80,6 +80,7 @@ def incremental_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    delta_only: bool = False,
 ) -> DataFrame:
     """Fold a NEW batch's edges into stored (node, label) component state
     WITHOUT recomputing connected components over all history — the cluster
@@ -93,7 +94,12 @@ def incremental_components(
     ``connected_components`` over all prior edges (label = min reachable
     id). ``new_edges``: edges incident to the new batch — within-batch
     pairs plus batch-vs-history matches; endpoints may or may not exist in
-    ``state``. Returns the UPDATED full (node, component) state.
+    ``state``. Returns the UPDATED full (node, component) state — or, with
+    ``delta_only=True``, ONLY the changed/new rows (the upsert set for a
+    STORED cluster table maintained via ``merge_into(..., key="node")``:
+    at 100 TB the state table is corpus-sized, so a per-batch maintenance
+    pass must rewrite the touched id-ranges, never the whole table — the
+    streaming curation loop uses this form).
 
     Correctness: converged labels compress each history component to a
     star, and each stored label IS its component's minimum. So running
@@ -152,9 +158,19 @@ def incremental_components(
     ).select("node", F.coalesce("_new", "label").alias("component"))
     new_rows = (
         ends.join(F.broadcast(star.select("node")), "node", "left_anti")
-        .join(cc, "node")  # cc is batch-sized; plain join keeps it local
+        # cc is batch-sized too — broadcast keeps the whole new-rows branch
+        # exchange-free instead of letting stats pick a sort-merge
+        .join(F.broadcast(cc), "node")
         .select("node", "component")
     )
+    if delta_only:
+        # only rows whose label actually changed (inner remap join — the
+        # touched components) plus brand-new nodes: the upsert set a stored
+        # cluster table needs (merge_into on node), NOT a full-state rewrite
+        changed = state.join(
+            F.broadcast(remap), state["label"] == F.col("_old"), "inner"
+        ).select("node", F.col("_new").alias("component"))
+        return changed.unionByName(new_rows)
     return updated_hist.unionByName(new_rows)
 
 

@@ -280,6 +280,87 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_curation_clusters_oracle_sql(
+    est_threshold: float, num_hashes: int = 64
+) -> str:
+    """Recursive-CTE closure over the one-batch pair set — the ground truth
+    the STREAM-MAINTAINED cluster table must converge to."""
+    from .llm_ops import _band_eq_sql, _minhash_sig_ctes
+
+    est = (
+        f"floor(list_sum(list_transform(range(1, {num_hashes} + 1), "
+        f"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) "
+        f"/ {float(num_hashes)} * 10000 + 0.5) / 10000"
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_sig_ctes()},
+    pm AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_band_eq_sql('a', 'b')})
+      WHERE {est} >= {est_threshold}
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pm UNION SELECT id_b, id_a FROM pm),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component, COUNT(*) AS n_members, MIN(node) AS keep_id
+    FROM comp GROUP BY component
+    """
+
+
+@query(
+    "q_stream_curation_clusters",
+    _stream_curation_clusters_oracle_sql(0.5),
+    doc="STREAM-MAINTAINED duplicate-cluster table: the curation loop "
+    "additionally folds each micro-batch's match edges into a persistent "
+    "(node, label) SCBF cluster table via incremental_components"
+    "(delta_only=True) + merge_into — the O(batch) closure over "
+    "star-rewritten edges with only changed/new rows upserted (id-range "
+    "copy-on-write), never a full-state rewrite or a closure over history. "
+    "Oracle: the from-scratch recursive-CTE closure over the one-batch "
+    "pair set the maintained table must converge to, rolled up as "
+    "(component, n_members, keep_id).",
+)
+def q_stream_curation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.scbf_datasource import register
+    from ..streaming import curation
+    from .llm_ops import _docs_spread
+
+    register(spark)
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="curcl_src_")
+    n_batches = 3
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sig_store = tempfile.mkdtemp(prefix="curcl_sigs_")
+    matches_store = tempfile.mkdtemp(prefix="curcl_matches_")
+    clusters_store = tempfile.mkdtemp(prefix="curcl_state_")
+    ck = tempfile.mkdtemp(prefix="curcl_ck_")
+    q = curation.start_curation_loop(
+        stream, sig_store, matches_store, ck,
+        est_threshold=0.5, clusters_store=clusters_store,
+    )
+    q.awaitTermination()
+    state = spark.read.format("scbf").load(clusters_store)
+    return (
+        state.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("keep_id"))
+        .select(F.col("label").alias("component"), "n_members", "keep_id")
+        .orderBy("component")
+    )
+
+
 @query(
     "q_stream_funnel",
     """

@@ -64,8 +64,15 @@ def curate_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     est_threshold: float = 0.5,
+    clusters_store: str | None = None,
 ) -> None:
-    """Fold ONE micro-batch into the stores (steps 1-4 above)."""
+    """Fold ONE micro-batch into the stores (steps 1-4 above). With
+    ``clusters_store``, additionally maintain a persistent (node, label)
+    duplicate-cluster table: the batch's match edges fold into the stored
+    labels through ``clustering.incremental_components(delta_only=True)``
+    — O(batch) closure work — and ONLY the changed/new rows upsert via
+    ``merge_into`` (id-range copy-on-write), so per-batch maintenance cost
+    never scales with the corpus."""
     spark = batch_df.sparkSession
     handles: list = []
     batch_sigs = dedup.minhash_signatures(batch_df, text_col, id_col).persist()
@@ -100,9 +107,28 @@ def curate_batch(
             )
         )
         matches = matches.unionByName(cross)
-    # 3) append this batch's matches
+    # 3) append this batch's matches (persisted: they also feed the
+    #    cluster-state fold below)
+    matches = matches.persist()
+    handles.append(matches)
     mode = "append" if _target_files(matches_store) else "overwrite"
     matches.write.format("scbf").option("version", "2").mode(mode).save(matches_store)
+    if clusters_store is not None:
+        from ..operators import clustering
+
+        edges = matches.select("id_a", "id_b")
+        if _target_files(clusters_store):
+            state = spark.read.format("scbf").load(clusters_store)
+            delta = clustering.incremental_components(
+                state, edges, delta_only=True
+            ).withColumnRenamed("component", "label")
+            merge_into(spark, clusters_store, delta, "node")
+        else:
+            clustering.connected_components(edges).withColumnRenamed(
+                "component", "label"
+            ).write.format("scbf").option("version", "2").mode("overwrite").save(
+                clusters_store
+            )
     # 4) fold signatures into the store (upsert by id — a re-crawled doc
     #    replaces its signature instead of duplicating)
     if _target_files(sig_store):
@@ -176,6 +202,7 @@ def start_curation_loop(
     id_col: str = "doc_id",
     est_threshold: float = 0.5,
     available_now: bool = True,
+    clusters_store: str | None = None,
 ):
     """Attach the curation loop to a document stream via foreachBatch."""
 
@@ -183,7 +210,8 @@ def start_curation_loop(
         if bdf.isEmpty():
             return
         curate_batch(
-            bdf, sig_store, matches_store, text_col, id_col, est_threshold
+            bdf, sig_store, matches_store, text_col, id_col, est_threshold,
+            clusters_store=clusters_store,
         )
 
     writer = stream_df.writeStream.foreachBatch(_fold).option(

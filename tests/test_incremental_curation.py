@@ -198,9 +198,11 @@ def test_stream_curation_loop_equals_one_batch(spark, tmp_path):
     )
     sig_store = str(tmp_path / "sigs")
     matches_store = str(tmp_path / "matches")
+    clusters_store = str(tmp_path / "clusters")
     ck = str(tmp_path / "ck")
     q = curation.start_curation_loop(
-        stream, sig_store, matches_store, ck, est_threshold=0.5
+        stream, sig_store, matches_store, ck, est_threshold=0.5,
+        clusters_store=clusters_store,
     )
     q.awaitTermination()
 
@@ -227,6 +229,22 @@ def test_stream_curation_loop_equals_one_batch(spark, tmp_path):
     hist = curation.read_sig_store(spark, sig_store)
     assert hist.count() == len(rows)
     assert hist.select("id").distinct().count() == len(rows)
+    # the stream-maintained cluster table == a from-scratch closure over
+    # ALL matches (delta-only upserts must converge to the full rebuild)
+    from custom_columnar_format_spark.operators import clustering
+
+    state = {
+        r.node: r.label
+        for r in spark.read.format("scbf").load(clusters_store).collect()
+    }
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in want], "id_a: long, id_b: long"
+    )
+    rebuild = {
+        r.node: r.component
+        for r in clustering.connected_components(edges_df).collect()
+    }
+    assert state == rebuild
     spark.catalog.clearCache()
 
 

@@ -221,3 +221,25 @@ def test_html_extract_plan_is_narrow(spark, sf_small, qs):
     plan = plan_of(qs["q_html_extract_stats"].fn(spark, sf_small))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_incremental_components_update_is_broadcast_remap(spark):
+    """r9: incremental cluster maintenance must touch corpus-scale state
+    only through BROADCAST joins of batch-bounded tables (endpoint semi,
+    star rewrite, label remap) — a strategy flip to shuffling state per
+    round, or a nested loop, is the 100 TB failure mode. The iterative
+    closure itself runs pre-materialized on O(batch) rows (localCheckpoint),
+    so the final plan must contain no SortMergeJoin at all."""
+    from custom_columnar_format_spark.operators import clustering
+
+    state_src = spark.createDataFrame(
+        [(i, i - i % 3) for i in range(60)], "id_a: long, id_b: long"
+    )
+    state = clustering.connected_components(state_src)
+    new_edges = spark.createDataFrame([(100, 3), (100, 9)], "id_a: long, id_b: long")
+    plan = plan_of(clustering.incremental_components(state, new_edges))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    spark.catalog.clearCache()

@@ -80,6 +80,10 @@ REPORT = [
     "q_html_extract_stats",
     "q_approx_count_distinct",
     "q_percentiles_approx",
+    # round 9 (q_stream_curation is excluded: its fn RUNS a multi-batch
+    # stream before returning the read-back plan — the interesting plans are
+    # inside foreachBatch and are pinned by the history-match plan test)
+    "q_dedup_clusters_incremental",
 ]
 
 R8_NOTE = """
