@@ -86,6 +86,11 @@ HEADLINE = [
     "q_html_extract_stats",
     "q_dedup_minhash_incremental",
     "q_corpus_datacard",
+    # round 9: the embedding-store lifecycle (write layout + incremental
+    # add + pruned search through the on-disk store) and the snapshot-diff
+    # datacard (full-outer digest join + per-source rollup)
+    "q_sim_ivf_incremental",
+    "q_datacard_diff",
 ]
 
 

@@ -388,17 +388,28 @@ def ivf_topk_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fmt: str = "parquet",
+    honor_tombstones: bool = False,
 ) -> DataFrame:
     """IVF top-k over an ``ivf_write_partitioned`` dataset. The probe filter
     is on the PARTITION column, so Catalyst prunes whole directories at
     planning time (assert: every input file lives under a probed
-    ``ivf_list=`` dir — tests/test_similarity.py)."""
+    ``ivf_list=`` dir — tests/test_similarity.py).
+
+    ``honor_tombstones=True`` anti-joins the store's logical-delete set
+    (``ivf_delete_ids``) — a broadcast of bare ids (small by construction:
+    tombstones accumulate only until the next ``ivf_compact_store`` purge),
+    so deletions cost nothing at query time beyond a hash probe per
+    candidate row."""
     qv = np.asarray(list(query_vec), dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     dots = centroids @ qn
     probe = sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]
 
     corpus = spark.read.format(fmt).load(path).filter(F.col("ivf_list").isin(probe))
+    if honor_tombstones:
+        dead = ivf_tombstones(spark, path, id_col)
+        if dead is not None:
+            corpus = corpus.join(F.broadcast(dead), id_col, "left_anti")
     q = lit_vector(qv)
     return (
         corpus.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
@@ -645,6 +656,44 @@ def ivf_pq_write_partitioned(
     )
 
 
+def ivf_pq_add_batch(
+    batch_df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+    encoder: str = "arrow",
+) -> None:
+    """Fold a new embedding batch into an existing ``ivf_pq_write_
+    partitioned`` index without a rebuild: assign + PQ-encode against the
+    FROZEN stored quantizers (coarse centroids AND codebooks — retraining
+    either would silently re-interpret every stored code) and append
+    (id, pq_codes) rows into the per-list directories. O(batch) like
+    ``ivf_add_batch``; the appended rows carry only M-byte codes, so
+    nightly ingest grows the index at codes-size, not vector-size.
+    ``ivf_delete_ids`` / ``ivf_compact_store`` work on this layout
+    unchanged (both key on ``id_col`` + the ``ivf_list`` partition column
+    and never read the vector payload)."""
+    if encoder == "arrow":
+        from ..shipping import ensure_worker_imports
+
+        ensure_worker_imports(batch_df.sparkSession)
+        codes = pq_codes_pandas_udf(codebooks)(F.col(vec_col))
+    else:
+        codes = pq_codes_col(codebooks, vec_col)
+    (
+        batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+        .withColumn("pq_codes", codes)
+        .select(id_col, "pq_codes", "ivf_list")
+        .write.partitionBy("ivf_list")
+        .mode("append")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def ivf_pq_topk_partitioned(
     spark,
     path: str,
@@ -885,4 +934,222 @@ def int8_quantization_error(
             (F.floor(F.avg("sq") * 1e8 + 0.5) / 1e8).alias("mse"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index-store lifecycle — incremental maintenance
+# ---------------------------------------------------------------------------
+# The partitioned serving layout above is written ONCE; a production
+# embedding store then grows forever (nightly crawl batches), shrinks
+# (takedowns / corpus purges), and drifts (the frozen quantizer stops
+# matching the data distribution). This section is the similarity-side twin
+# of the dedup signature-store lifecycle (streaming/curation.py
+# maintain_sig_store): append new batches WITHOUT a rebuild, delete by id
+# via tombstones (Iceberg-style logical deletes, physically purged at
+# compaction), bound the small-file count, and MONITOR drift so the "retrain
+# the quantizer" decision is a measured trigger instead of a guess.
+# Reference has no similarity search at all (SURVEY.md §2.2).
+
+
+def ivf_add_batch(
+    batch_df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+) -> None:
+    """Fold a NEW embedding batch into an existing ``ivf_write_partitioned``
+    store without touching stored rows: assign the batch against the FROZEN
+    stored quantizer (assignments of prior rows must not move, or the
+    probe→directory contract breaks for them) and append into the per-list
+    directories. At 100 TB this is the nightly-ingest primitive — the write
+    is O(batch), never O(store), and each append touches only the
+    directories the batch actually lands in. Pair with ``ivf_drift_stats``
+    to detect when the frozen quantizer has gone stale and with
+    ``ivf_compact_store`` to bound the accumulated small files."""
+    (
+        batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+        .write.partitionBy("ivf_list")
+        .mode("append")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def _tombstone_dir(path: str) -> str:
+    import os
+
+    # underscore prefix: Spark's FileIndex treats _-prefixed paths as
+    # hidden, so the tombstone set never leaks into the main corpus scan
+    return os.path.join(path, "_tombstones")
+
+
+def ivf_delete_ids(deleted_ids: DataFrame, path: str, id_col: str = "vec_id") -> None:
+    """LOGICAL delete from an IVF store: append the ids to the store's
+    hidden ``_tombstones/`` dataset. O(deleted ids) — the store's data files
+    are untouched (we don't know which list a deleted id landed in without
+    reading it, and a takedown must not cost a corpus scan). Readers
+    anti-join the tombstone set (``ivf_topk_partitioned(...,
+    honor_tombstones=True)``); ``ivf_compact_store`` makes the delete
+    physical and clears the set. Same logical-delete + purge-at-compaction
+    design as Iceberg/Delta delete files."""
+    deleted_ids.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+        _tombstone_dir(path)
+    )
+
+
+def ivf_tombstones(spark, path: str, id_col: str = "vec_id") -> DataFrame | None:
+    """The store's current tombstone set as (id_col) — None when empty."""
+    import os
+
+    td = _tombstone_dir(path)
+    if not os.path.isdir(td):
+        return None
+    df = spark.read.parquet(td).select(F.col("id").alias(id_col)).distinct()
+    return df
+
+
+def ivf_compact_store(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    id_col: str = "vec_id",
+) -> dict:
+    """PHYSICAL maintenance pass over an IVF store: purge tombstoned rows
+    and rewrite each inverted list as one file. Returns stats
+    ``{files_before, files_after, rows_deleted, tombstones_cleared}``.
+
+    The rewrite stages to a sibling temp dir and swaps whole list
+    directories in afterwards — reading and overwriting the same path in
+    one lazy plan would destroy the store on any mid-write failure. (On a
+    real cluster this swap is the table-format commit; the repo's SCBF
+    snapshots do it with manifests — see operators/snapshot.py. Here the
+    store is a plain parquet layout, so the swap is directory renames.)
+    ``repartition("ivf_list")`` puts every surviving row of a list in one
+    task, so each ``ivf_list=N/`` dir comes back as a single file."""
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        n = 0
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            n += sum(1 for f in files if not f.startswith(("_", ".")) and not f.endswith(".crc"))
+        return n
+
+    files_before = _count_files(path)
+    store = spark.read.format(fmt).load(path)
+    dead = ivf_tombstones(spark, path, id_col)
+    rows_deleted = 0
+    kept = store
+    if dead is not None:
+        rows_deleted = store.join(F.broadcast(dead), id_col, "left_semi").count()
+        kept = store.join(F.broadcast(dead), id_col, "left_anti")
+
+    staged = path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        kept.repartition("ivf_list")
+        .write.partitionBy("ivf_list")
+        .mode("overwrite")
+        .format(fmt)
+        .save(staged)
+    )
+    # swap: replace each list dir with its compacted twin, drop lists that
+    # compacted away entirely, clear the tombstone set
+    for entry in list(os.listdir(path)):
+        if entry.startswith("ivf_list="):
+            shutil.rmtree(os.path.join(path, entry))
+    for entry in os.listdir(staged):
+        if entry.startswith("ivf_list="):
+            shutil.move(os.path.join(staged, entry), os.path.join(path, entry))
+    shutil.rmtree(staged, ignore_errors=True)
+    tombstones_cleared = 0
+    td = _tombstone_dir(path)
+    if os.path.isdir(td):
+        tombstones_cleared = 1
+        shutil.rmtree(td)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(path),
+        "rows_deleted": rows_deleted,
+        "tombstones_cleared": tombstones_cleared,
+    }
+
+
+def ivf_drift_stats(
+    hist_df: DataFrame,
+    batch_df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_num: int = 2,
+    drift_den: int = 1,
+) -> DataFrame:
+    """Quantizer-drift monitor: per inverted list, how the NEW batch's
+    occupancy and assignment quality compare to the stored corpus — the
+    measured trigger for "retrain the coarse quantizer", instead of
+    retraining on a schedule (wasteful at 100 TB) or never (recall rots as
+    the data distribution moves off the frozen centroids).
+
+    Per list: ``n_hist`` / ``n_batch`` occupancy, each side's share of its
+    corpus, each side's mean assignment cosine (how well members fit the
+    centroid they landed on), and ``drifted`` — true when the batch
+    over-occupies the list by more than ``drift_num/drift_den`` × its
+    historical share. The flag is exact integer cross-multiplication
+    (``n_batch·total_hist·den > num·n_hist·total_batch``), no float
+    thresholds, so any engine replays the decision bit-for-bit; a list that
+    was EMPTY historically but receives batch mass is drifted by
+    construction (0 · anything < any positive mass).
+
+    Scale shape: one union scan → pandas-UDF assignment (BLAS matmul per
+    Arrow batch) → broadcast join of the nlist-row centroid table → one
+    partial+final aggregate keyed by (cid). The share denominators come
+    from a window over the AGGREGATED table (nlist rows, bounded — never a
+    corpus-scale global window). Bodies never shuffle; the aggregate rows
+    are (cid, counts, sums)."""
+    from pyspark.sql import SparkSession, Window
+
+    spark = SparkSession.getActiveSession()
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cent_rows = [(int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
+    cent_tbl = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
+
+    tagged = hist_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.lit(0).alias("is_batch")
+    ).unionByName(
+        batch_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.lit(1).alias("is_batch")
+        )
+    )
+    assigned = tagged.withColumn("cid", ivf_assign(cent, "v"))
+    scored = assigned.join(F.broadcast(cent_tbl), "cid").withColumn(
+        "cos", cosine(F.col("v"), F.col("cv"))
+    )
+    per_list = scored.groupBy("cid").agg(
+        F.sum(1 - F.col("is_batch")).alias("n_hist"),
+        F.sum("is_batch").alias("n_batch"),
+        F.sum(F.when(F.col("is_batch") == 0, F.col("cos"))).alias("_cos_hist"),
+        F.sum(F.when(F.col("is_batch") == 1, F.col("cos"))).alias("_cos_batch"),
+    )
+    w = Window.partitionBy()  # nlist rows — bounded, never corpus-scale
+    tot_h = F.sum("n_hist").over(w)
+    tot_b = F.sum("n_batch").over(w)
+    f4 = lambda c: F.floor(c * 1e4 + 0.5) / 1e4  # noqa: E731 — oracle-exact rounding
+    return (
+        per_list.select(
+            "cid",
+            "n_hist",
+            "n_batch",
+            f4(F.col("n_hist") / tot_h).alias("share_hist"),
+            f4(F.col("n_batch") / tot_b).alias("share_batch"),
+            f4(F.col("_cos_hist") / F.col("n_hist")).alias("avg_cos_hist"),
+            f4(F.col("_cos_batch") / F.col("n_batch")).alias("avg_cos_batch"),
+            (
+                F.col("n_batch") * tot_h * F.lit(drift_den)
+                > F.lit(drift_num) * F.col("n_hist") * tot_b
+            ).alias("drifted"),
+        )
+        .orderBy("cid")
     )

@@ -1241,3 +1241,95 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.375).alias("nd_band_low"),
         F.lit(0.625).alias("nd_band_high"),
     )
+
+
+@query(
+    "q_datacard_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h
+      FROM documents WHERE doc_id % 5 <> 4
+    ),
+    new AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+             CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                       AND o.h <> n.h THEN 1 ELSE 0 END AS changed,
+             o.n_chars AS oc, n.n_chars AS nc
+      FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN oc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(added) AS BIGINT) AS n_added,
+           CAST(SUM(removed) AS BIGINT) AS n_removed,
+           CAST(SUM(changed) AS BIGINT) AS n_changed,
+           CAST(SUM(COALESCE(oc, 0)) AS BIGINT) AS chars_old,
+           CAST(SUM(COALESCE(nc, 0)) AS BIGINT) AS chars_new,
+           CAST(SUM(CASE WHEN added = 1 THEN nc ELSE 0 END) AS BIGINT) AS chars_added,
+           CAST(SUM(CASE WHEN removed = 1 THEN oc ELSE 0 END) AS BIGINT) AS chars_removed
+    FROM j GROUP BY source
+    """,
+    doc="corpus snapshot DIFF datacard — what changed between two corpus "
+    "states (the release-notes twin of q_corpus_datacard): per source, doc "
+    "counts on each side, docs added / removed / content-changed, and the "
+    "character volume each class moved. Old snapshot = doc_id % 5 <> 4, "
+    "new = doc_id % 5 <> 0 (in production: two table snapshots / SCBF "
+    "time-travel reads — see operators/snapshot.py). Scale shape: both "
+    "sides project to (id, source, n_chars, 16-byte digest) — bodies are "
+    "hashed at the scan and never travel; one id-keyed full outer join "
+    "(SMJ on the id key, no broadcast of corpus-scale sides), then one "
+    "partial+final rollup on the handful of source keys. Content change "
+    "detection is digest inequality on common ids, the same never-reread-"
+    "history contract as the incremental dedup family.",
+)
+def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    old = meta.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id"),
+        F.col("source").alias("o_source"),
+        F.col("n_chars").alias("oc"),
+        F.col("h").alias("oh"),
+    )
+    new = meta.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id"),
+        F.col("source").alias("n_source"),
+        F.col("n_chars").alias("nc"),
+        F.col("h").alias("nh"),
+    )
+    j = old.join(new, "doc_id", "full_outer").select(
+        F.coalesce("o_source", "n_source").alias("source"),
+        F.col("oh").isNull().cast("int").alias("added"),
+        F.col("nh").isNull().cast("int").alias("removed"),
+        (F.col("oh").isNotNull() & F.col("nh").isNotNull() & (F.col("oh") != F.col("nh")))
+        .cast("int")
+        .alias("changed"),
+        "oc",
+        "nc",
+    )
+    return j.groupBy("source").agg(
+        F.sum(F.col("oc").isNotNull().cast("int")).cast("long").alias("n_old"),
+        F.sum(F.col("nc").isNotNull().cast("int")).cast("long").alias("n_new"),
+        F.sum("added").cast("long").alias("n_added"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.sum(F.coalesce("oc", F.lit(0))).cast("long").alias("chars_old"),
+        F.sum(F.coalesce("nc", F.lit(0))).cast("long").alias("chars_new"),
+        F.sum(F.when(F.col("added") == 1, F.col("nc")).otherwise(0))
+        .cast("long")
+        .alias("chars_added"),
+        F.sum(F.when(F.col("removed") == 1, F.col("oc")).otherwise(0))
+        .cast("long")
+        .alias("chars_removed"),
+    )

@@ -376,11 +376,14 @@ def _lsh_oracle_sql(k: int = 10, num_planes: int = 8, seed: int = 42, dim: int =
     """
 
 
-def _ivf_oracle_sql(k: int = 10, nlist: int = 16, nprobe: int = 4) -> str:
+def _ivf_oracle_sql(k: int = 10, nlist: int = 16, nprobe: int = 4, exclude: str = "") -> str:
     """Replay of ivf_topk with seed-vector centroids (embeddings of
     vec_id < nlist): assign every vector to its max-cosine centroid (ties →
     smaller centroid id, matching argmax-first), probe the query's nprobe
-    nearest lists, exact cosine top-k among their members."""
+    nearest lists, exact cosine top-k among their members. ``exclude`` is an
+    optional predicate dropping candidates (the tombstone replay for the
+    store-lifecycle query)."""
+    excl = f"WHERE {exclude}" if exclude else ""
     return f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -394,10 +397,47 @@ def _ivf_oracle_sql(k: int = 10, nlist: int = 16, nprobe: int = 4) -> str:
       FROM embeddings e CROSS JOIN cent c
     ),
     lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
-    cand AS (SELECT l.vec_id, l.embedding FROM lists l JOIN probe p USING (cid)),
+    cand AS (SELECT l.vec_id, l.embedding FROM lists l JOIN probe p USING (cid) {excl}),
     scored AS (SELECT vec_id, {_cos_sql('embedding', 'qv')} AS c FROM cand, q)
     SELECT vec_id, ROUND(c, 4) AS cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _ivf_drift_oracle_sql(nlist: int = 16, drift_num: int = 2, drift_den: int = 1) -> str:
+    """Replay of ivf_drift_stats on the history/batch split (vec_id % 5):
+    the _ivf_oracle_sql assignment CTE over BOTH partitions, then per-cid
+    occupancy counts, corpus-share and mean-assignment-cosine per side, and
+    the integer cross-multiplied drift flag — every output is either exact
+    integer math or a floor-rounded double, so the replay is bit-stable."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    a AS (
+      SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    m AS (
+      SELECT cid, cos, CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS is_batch
+      FROM a WHERE rn = 1
+    ),
+    g AS (
+      SELECT cid,
+             CAST(SUM(1 - is_batch) AS BIGINT) AS n_hist,
+             CAST(SUM(is_batch) AS BIGINT) AS n_batch,
+             SUM(CASE WHEN is_batch = 0 THEN cos END) AS ch,
+             SUM(CASE WHEN is_batch = 1 THEN cos END) AS cb
+      FROM m GROUP BY cid
+    ),
+    t AS (SELECT CAST(SUM(n_hist) AS BIGINT) AS th, CAST(SUM(n_batch) AS BIGINT) AS tb FROM g)
+    SELECT cid, n_hist, n_batch,
+           floor(n_hist / th * 1e4 + 0.5) / 1e4 AS share_hist,
+           floor(n_batch / tb * 1e4 + 0.5) / 1e4 AS share_batch,
+           floor(ch / n_hist * 1e4 + 0.5) / 1e4 AS avg_cos_hist,
+           floor(cb / n_batch * 1e4 + 0.5) / 1e4 AS avg_cos_batch,
+           (n_batch * th * {drift_den} > {drift_num} * n_hist * tb) AS drifted
+    FROM g, t ORDER BY cid
     """
 
 
@@ -460,6 +500,110 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
     qv = seeds[0]
     return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4, centroids=cent)
+
+
+def _seed_centroids(emb: DataFrame, nlist: int = 16):
+    """The deterministic coarse quantizer the IVF oracles replay: seed
+    vectors (vec_id < nlist), unit-normalized. Returns (centroids, qv=the
+    vec_id=0 embedding)."""
+    import numpy as np
+
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < nlist).select("vec_id", "embedding").collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    return cent, seeds[0]
+
+
+@query(
+    "q_sim_ivf_incremental",
+    # same replay as q_sim_ivf_topk over ALL vectors: with a FROZEN quantizer,
+    # incremental index growth must be indistinguishable from a full rebuild —
+    # that equivalence IS what this query gates (through the real on-disk
+    # partitioned store, not the inline assignment path)
+    _ivf_oracle_sql(),
+    doc="incremental ANN-index maintenance (similarity-side twin of "
+    "q_dedup_minhash_incremental): the history partition (vec_id % 5 <> 0) "
+    "is materialized as the IVF-partitioned serving layout, then a new "
+    "ingest batch (vec_id % 5 = 0) is folded in with ivf_add_batch — "
+    "assigned against the FROZEN stored quantizer, appended into per-list "
+    "directories, O(batch) never O(store) — and the query searches the "
+    "merged on-disk store with partition pruning. Oracle is the full-"
+    "rebuild IVF replay over all vectors: with a frozen quantizer the "
+    "incrementally-grown index must answer identically to an index built "
+    "from scratch.",
+)
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = _emb_spread(spark, sf_dir)
+    cent, qv = _seed_centroids(emb)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_incr_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_write_partitioned(emb.filter(F.col("vec_id") % 5 != 0), path, cent)
+    similarity.ivf_add_batch(emb.filter(F.col("vec_id") % 5 == 0), path, cent)
+    return similarity.ivf_topk_partitioned(spark, path, qv, cent, k=10, nprobe=4)
+
+
+@query(
+    "q_sim_ivf_deleted",
+    _ivf_oracle_sql(exclude="l.vec_id % 7 <> 3"),
+    doc="ANN search over an IVF store with LOGICAL deletes (takedowns / "
+    "corpus purges): ids ≡ 3 (mod 7) are tombstoned via ivf_delete_ids — "
+    "an O(deleted) append to the store's hidden _tombstones set, data "
+    "files untouched — and the search anti-joins the broadcast tombstone "
+    "set so deleted vectors can never be served. ivf_compact_store later "
+    "makes the delete physical (pinned by tests/test_ivf_store.py: "
+    "identical results before and after the purge). Oracle is the IVF "
+    "replay with the deleted ids excluded from the candidate set.",
+)
+def q_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = _emb_spread(spark, sf_dir)
+    cent, qv = _seed_centroids(emb)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_del_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_write_partitioned(emb, path, cent)
+    similarity.ivf_delete_ids(
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), path
+    )
+    return similarity.ivf_topk_partitioned(
+        spark, path, qv, cent, k=10, nprobe=4, honor_tombstones=True
+    )
+
+
+@query(
+    "q_ivf_drift_monitor",
+    _ivf_drift_oracle_sql(),
+    doc="quantizer-drift monitor over the history/batch split (vec_id % 5): "
+    "per inverted list, occupancy counts and corpus shares for each side, "
+    "mean assignment cosine for each side, and an exact integer cross-"
+    "multiplied 'drifted' flag (batch share > 2x historical share) — the "
+    "measured retrain-the-quantizer trigger a frozen-centroid store needs "
+    "at 100 TB. One union scan, Arrow-batched assignment, broadcast of the "
+    "nlist-row centroid table, one partial+final aggregate; the share "
+    "denominators come from a window over the nlist-row AGGREGATE, never "
+    "the corpus.",
+)
+def q_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    cent, _ = _seed_centroids(emb)
+    return similarity.ivf_drift_stats(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        cent,
+    )
 
 
 def _pq_oracle_sql(k: int = 10, n_sub: int = 8, ksub: int = 16, sub_dim: int = 8) -> str:
@@ -588,6 +732,49 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
     books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
     return similarity.ivf_pq_topk(emb, seeds[0], cent, books, k=10, nprobe=4)
+
+
+@query(
+    "q_sim_ivf_pq_incremental",
+    # frozen coarse centroids AND codebooks ⇒ incremental growth of the
+    # compressed index must equal a from-scratch build — the q_sim_ivf_pq_topk
+    # replay over all vectors gates exactly that, through the on-disk store
+    _ivf_pq_oracle_sql(),
+    doc="incremental growth of the COMPRESSED serving index: the history "
+    "partition (vec_id % 5 <> 0) is materialized as the IVF-PQ layout "
+    "(per-list directories of M-byte code rows, vectors dropped), then the "
+    "new batch (vec_id % 5 = 0) folds in with ivf_pq_add_batch — assigned "
+    "and PQ-encoded against the FROZEN stored quantizers, appended "
+    "per-list, O(batch) and codes-sized. Search prunes to the probed "
+    "directories and ranks by ADC over stored codes only. Oracle is the "
+    "full-rebuild IVF-PQ replay over all vectors: with frozen quantizers "
+    "the grown index must answer identically to one built from scratch. "
+    "Compressed twin of q_sim_ivf_incremental.",
+)
+def q_sim_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    emb = _emb_spread(spark, sf_dir)
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    raw = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
+    books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_incr_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_pq_write_partitioned(
+        emb.filter(F.col("vec_id") % 5 != 0), path, cent, books
+    )
+    similarity.ivf_pq_add_batch(emb.filter(F.col("vec_id") % 5 == 0), path, cent, books)
+    return similarity.ivf_pq_topk_partitioned(
+        spark, path, seeds[0], cent, books, k=10, nprobe=4
+    )
 
 
 @query(

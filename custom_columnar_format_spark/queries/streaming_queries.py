@@ -523,3 +523,51 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("view_ts") <= F.col("mx") - F.expr("INTERVAL 4 HOURS"))
         .select("user_id", "view_id", "click_id")
     )
+
+
+from .llm_ops import _ivf_oracle_sql as _llm_ops_ivf_oracle_sql  # noqa: E402 — no cycle: llm_ops imports nothing from this module
+
+
+@query(
+    "q_stream_ivf_ingest",
+    # frozen quantizer ⇒ the drained multi-batch store must answer exactly
+    # like an index built from scratch — the same replay as q_sim_ivf_topk
+    _llm_ops_ivf_oracle_sql(),
+    doc="STREAMING ANN-index maintenance: embeddings arrive as micro-batches "
+    "(file stream, one file per trigger) and fold into the IVF serving "
+    "store via foreachBatch + ivf_add_batch — assigned against the FROZEN "
+    "stored quantizer, appended per-list, O(batch) per trigger — with "
+    "ivf_compact_store every 2 batches bounding the small-file count while "
+    "the stream runs. The drained store is searched with partition-pruned "
+    "ivf_topk_partitioned. With a frozen quantizer assignment is per-row "
+    "and order-free, so the oracle replays the whole stream as ONE "
+    "from-scratch IVF build over all vectors (the q_stream_curation "
+    "equivalence pattern); streaming-side twin of q_sim_ivf_incremental.",
+)
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.vectors import start_vector_ingest_loop
+    from .llm_ops import _emb_spread, _seed_centroids
+
+    emb = _emb_spread(spark, sf_dir)
+    cent, qv = _seed_centroids(emb)
+    src = tempfile.mkdtemp(prefix="ivf_ingest_src_")
+    n_batches = 3
+    base = emb.select("vec_id", "embedding")
+    for i in range(n_batches):
+        base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = tempfile.mkdtemp(prefix="ivf_ingest_store_")
+    import shutil
+
+    shutil.rmtree(store)  # ivf_add_batch creates the layout itself
+    ck = tempfile.mkdtemp(prefix="ivf_ingest_ck_")
+    q = start_vector_ingest_loop(stream, store, cent, ck, compact_every=2)
+    q.awaitTermination()
+
+    from ..operators import similarity
+
+    return similarity.ivf_topk_partitioned(spark, store, qv, cent, k=10, nprobe=4)

@@ -1,0 +1,253 @@
+"""IVF index-store lifecycle: incremental growth (ivf_add_batch), logical
+deletes + physical purge (ivf_delete_ids / ivf_compact_store), and the
+quantizer-drift monitor (ivf_drift_stats) — the similarity-side twin of the
+dedup signature-store lifecycle (tests/test_incremental_curation.py).
+Reference has no similarity search at all (SURVEY.md §2.2)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from custom_columnar_format_spark.operators import similarity as S
+
+NLIST = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cent(emb):
+    return S.ivf_centroids(emb, nlist=NLIST)
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def _data_files(path):
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+    return out
+
+
+def test_add_batch_equals_full_rebuild(spark, emb, cent, tmp_path):
+    """Growing the store incrementally against the frozen quantizer must be
+    indistinguishable from rebuilding it from scratch — and the probe must
+    still prune partitions afterwards."""
+    grown = str(tmp_path / "grown")
+    rebuilt = str(tmp_path / "rebuilt")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    S.ivf_write_partitioned(hist, grown, cent)
+    S.ivf_add_batch(batch, grown, cent)
+    S.ivf_write_partitioned(emb, rebuilt, cent)
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    got = S.ivf_topk_partitioned(spark, grown, qv, cent, k=5, nprobe=3)
+    want = S.ivf_topk_partitioned(spark, rebuilt, qv, cent, k=5, nprobe=3)
+    assert _rows(got) == _rows(want)
+
+    # append kept the layout partition-prunable
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert re.search(r"PartitionFilters: \[ivf_list#\d+ IN \(", buf.getvalue())
+
+    # and the append was O(batch): history files are untouched (same set,
+    # plus the batch's new files)
+    n_hist_files = len(_data_files(rebuilt))
+    assert len(_data_files(grown)) > 0
+    assert len(_data_files(grown)) >= n_hist_files  # appended, never rewrote
+
+
+def test_tombstones_are_hidden_and_honored(spark, emb, cent, tmp_path):
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, path, cent)
+    n_total = emb.count()
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    S.ivf_delete_ids(dead, path)
+
+    # _tombstones is invisible to the plain corpus scan
+    assert spark.read.parquet(path).count() == n_total
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    served = S.ivf_topk_partitioned(
+        spark, path, qv, cent, k=n_total, nprobe=NLIST, honor_tombstones=True
+    )
+    served_ids = {r["vec_id"] for r in served.collect()}
+    assert all(i % 7 != 3 for i in served_ids)
+    # without the flag the logically-deleted rows still serve (reader opt-in)
+    raw = S.ivf_topk_partitioned(spark, path, qv, cent, k=n_total, nprobe=NLIST)
+    assert any(i % 7 == 3 for i in (r["vec_id"] for r in raw.collect()))
+
+
+def test_compact_purges_tombstones_and_bounds_files(spark, emb, cent, tmp_path):
+    """Many small appends + a delete set → one maintenance pass leaves ≤ 1
+    file per inverted list, the deleted rows physically gone, the tombstone
+    set cleared, and search results unchanged."""
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb.filter(F.col("vec_id") % 4 == 0), path, cent)
+    for m in (1, 2, 3):
+        S.ivf_add_batch(emb.filter(F.col("vec_id") % 4 == m), path, cent)
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    S.ivf_delete_ids(dead, path)
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    before = _rows(
+        S.ivf_topk_partitioned(spark, path, qv, cent, k=10, nprobe=3, honor_tombstones=True)
+    )
+    files_grown = len(_data_files(path))
+
+    stats = S.ivf_compact_store(spark, path)
+    assert stats["files_before"] == files_grown
+    assert stats["files_after"] <= NLIST  # one file per surviving list
+    assert stats["files_after"] < files_grown
+    assert stats["rows_deleted"] == dead.count()
+    assert stats["tombstones_cleared"] == 1
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+
+    # physically gone: the plain scan (no anti-join) no longer sees them
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id") % 7 == 3).count() == 0
+    assert left.count() == emb.count() - stats["rows_deleted"]
+
+    # search identical to the pre-compaction logical-delete view
+    after = _rows(
+        S.ivf_topk_partitioned(spark, path, qv, cent, k=10, nprobe=3, honor_tombstones=True)
+    )
+    assert after == before
+
+
+def test_compact_without_tombstones_is_pure_rewrite(spark, emb, cent, tmp_path):
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb.filter(F.col("vec_id") % 2 == 0), path, cent)
+    S.ivf_add_batch(emb.filter(F.col("vec_id") % 2 == 1), path, cent)
+    n = spark.read.parquet(path).count()
+    stats = S.ivf_compact_store(spark, path)
+    assert stats["rows_deleted"] == 0 and stats["tombstones_cleared"] == 0
+    assert spark.read.parquet(path).count() == n
+
+
+def test_drift_stats_flags_planted_skew(spark):
+    """Orthogonal 4-centroid quantizer; history spread uniformly, batch
+    massed on centroid 0 → exactly cid 0 is drifted, counts exact."""
+    dim = 8
+    cent = np.zeros((4, dim))
+    for i in range(4):
+        cent[i, i] = 1.0
+
+    def vec(c, eps):
+        v = cent[c].copy()
+        v[4 + c] = eps  # stay nearest to centroid c
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    hist = [(i, vec(i % 4, 0.1)) for i in range(40)]  # 10 per list
+    batch = [(100 + i, vec(0, 0.2)) for i in range(12)]  # all on list 0
+    sch = "vec_id int, embedding array<double>"
+    out = S.ivf_drift_stats(
+        spark.createDataFrame(hist, sch), spark.createDataFrame(batch, sch), cent
+    )
+    rows = {r["cid"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(rows[c]["n_hist"] == 10 for c in range(4))
+    assert rows[0]["n_batch"] == 12 and all(rows[c]["n_batch"] == 0 for c in (1, 2, 3))
+    # batch share 1.0 vs hist share 0.25 → 4x > 2x threshold
+    assert rows[0]["drifted"] is True
+    assert all(rows[c]["drifted"] is False for c in (1, 2, 3))
+    assert rows[0]["share_batch"] == 1.0 and rows[0]["share_hist"] == 0.25
+    # empty-batch lists report NULL batch quality, not 0 (no fake signal)
+    assert rows[1]["avg_cos_batch"] is None
+    assert rows[1]["avg_cos_hist"] is not None
+
+
+def test_drift_empty_history_list_is_drifted(spark):
+    """A list with zero historical mass that receives batch mass must trip
+    the flag (0 · anything < any positive mass — the integer form's edge)."""
+    dim = 4
+    cent = np.eye(2, dim)
+    sch = "vec_id int, embedding array<double>"
+    hist = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], sch)
+    batch = spark.createDataFrame([(2, [0.0, 1.0, 0.0, 0.0])], sch)
+    rows = {r["cid"]: r.asDict() for r in S.ivf_drift_stats(hist, batch, cent).collect()}
+    assert rows[1]["n_hist"] == 0 and rows[1]["n_batch"] == 1
+    assert rows[1]["drifted"] is True
+    assert rows[0]["drifted"] is False
+
+
+def test_stream_ingest_bounds_files_and_equals_rebuild(spark, emb, cent, tmp_path):
+    """4 micro-batches through the streaming ingest loop with
+    compact_every=2 → the store's file count is bounded by the compaction
+    cadence (not by stream length) and answers exactly like a from-scratch
+    build over all vectors."""
+    from custom_columnar_format_spark.streaming.vectors import start_vector_ingest_loop
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        base.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "store")
+    q = start_vector_ingest_loop(
+        stream, store, cent, str(tmp_path / "ck"), compact_every=2
+    )
+    q.awaitTermination()
+
+    # compaction ran on the last (4th) batch → ≤ 1 file per surviving list
+    assert len(_data_files(store)) <= NLIST
+    assert spark.read.parquet(store).count() == emb.count()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    S.ivf_write_partitioned(emb, rebuilt, cent)
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    got = _rows(S.ivf_topk_partitioned(spark, store, qv, cent, k=10, nprobe=3))
+    want = _rows(S.ivf_topk_partitioned(spark, rebuilt, qv, cent, k=10, nprobe=3))
+    assert got == want
+
+
+def test_pq_add_batch_equals_rebuild_and_lifecycle(spark, emb, cent, tmp_path):
+    """The compressed index grows incrementally (frozen centroids AND
+    codebooks) to the same answers as a from-scratch build, and the
+    tombstone/compaction lifecycle works unchanged on the codes-only
+    layout (it never touches the vector payload)."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(16).collect()
+    raw = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
+
+    grown = str(tmp_path / "grown")
+    rebuilt = str(tmp_path / "rebuilt")
+    S.ivf_pq_write_partitioned(emb.filter(F.col("vec_id") % 5 != 0), grown, cent, books)
+    S.ivf_pq_add_batch(emb.filter(F.col("vec_id") % 5 == 0), grown, cent, books)
+    S.ivf_pq_write_partitioned(emb, rebuilt, cent, books)
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    got = _rows(S.ivf_pq_topk_partitioned(spark, grown, qv, cent, books, k=10, nprobe=3))
+    want = _rows(S.ivf_pq_topk_partitioned(spark, rebuilt, qv, cent, books, k=10, nprobe=3))
+    assert got == want
+
+    # lifecycle on the codes layout: logical delete + physical purge
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    S.ivf_delete_ids(dead, grown)
+    stats = S.ivf_compact_store(spark, grown)
+    assert stats["rows_deleted"] == dead.count()
+    left = spark.read.parquet(grown)
+    assert left.filter(F.col("vec_id") % 7 == 3).count() == 0
+    assert set(left.columns) == {"vec_id", "pq_codes", "ivf_list"}

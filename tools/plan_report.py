@@ -84,6 +84,10 @@ REPORT = [
     # stream before returning the read-back plan — the interesting plans are
     # inside foreachBatch and are pinned by the history-match plan test)
     "q_dedup_clusters_incremental",
+    "q_sim_ivf_incremental",
+    "q_sim_ivf_deleted",
+    "q_ivf_drift_monitor",
+    "q_datacard_diff",
 ]
 
 R8_NOTE = """
