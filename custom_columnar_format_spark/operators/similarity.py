@@ -357,24 +357,37 @@ def group_centroids(
     )
 
 
+def _write_listed(assigned: DataFrame, path: str, fmt: str, mode: str, cluster: bool) -> None:
+    """Shared list-layout writer: optionally CLUSTER rows by the partition
+    column first. Without it, a dynamic-partition write emits up to
+    tasks × nlist files per pass (measured: 20k vectors / 64 lists / 64
+    tasks → 6.6k files — planning cost alone dwarfs the data), because
+    every task holds rows of every list. One shuffle on ``ivf_list``
+    makes each write emit at most ~nlist files; huge single-list writes
+    are split by ``spark.sql.files.maxRecordsPerFile`` if set."""
+    if cluster:
+        assigned = assigned.repartition("ivf_list")
+    assigned.write.partitionBy("ivf_list").mode(mode).format(fmt).save(path)
+
+
 def ivf_write_partitioned(
     df: DataFrame,
     path: str,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     fmt: str = "parquet",
+    cluster: bool = True,
 ) -> None:
     """Materialize the corpus as an IVF-partitioned dataset — one directory
     per inverted list (``ivf_list=N/``). This is the 100 TB serving layout
     ``ivf_topk`` documents: assignment runs once at write time, and every
     query's probe filter afterwards becomes *partition pruning* (touches
-    ``nprobe`` directories, never the corpus)."""
-    (
-        df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
-        .write.partitionBy("ivf_list")
-        .mode("overwrite")
-        .format(fmt)
-        .save(path)
+    ``nprobe`` directories, never the corpus). ``cluster`` (default) adds
+    one shuffle on the list key so each write emits ~1 file per list
+    instead of tasks × lists small files — see ``_write_listed``."""
+    _write_listed(
+        df.withColumn("ivf_list", ivf_assign(centroids, vec_col)),
+        path, fmt, "overwrite", cluster,
     )
 
 
@@ -629,6 +642,7 @@ def ivf_pq_write_partitioned(
     vec_col: str = "embedding",
     fmt: str = "parquet",
     encoder: str = "arrow",
+    cluster: bool = True,
 ) -> None:
     """Materialize the IVF-PQ serving index: one directory per inverted
     list, rows = (id, pq_codes) — the full-width vector column is DROPPED.
@@ -645,14 +659,11 @@ def ivf_pq_write_partitioned(
         codes = pq_codes_pandas_udf(codebooks)(F.col(vec_col))
     else:
         codes = pq_codes_col(codebooks, vec_col)
-    (
+    _write_listed(
         df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
         .withColumn("pq_codes", codes)
-        .select(id_col, "pq_codes", "ivf_list")
-        .write.partitionBy("ivf_list")
-        .mode("overwrite")
-        .format(fmt)
-        .save(path)
+        .select(id_col, "pq_codes", "ivf_list"),
+        path, fmt, "overwrite", cluster,
     )
 
 
@@ -665,6 +676,7 @@ def ivf_pq_add_batch(
     vec_col: str = "embedding",
     fmt: str = "parquet",
     encoder: str = "arrow",
+    cluster: bool = True,
 ) -> None:
     """Fold a new embedding batch into an existing ``ivf_pq_write_
     partitioned`` index without a rebuild: assign + PQ-encode against the
@@ -683,14 +695,11 @@ def ivf_pq_add_batch(
         codes = pq_codes_pandas_udf(codebooks)(F.col(vec_col))
     else:
         codes = pq_codes_col(codebooks, vec_col)
-    (
+    _write_listed(
         batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
         .withColumn("pq_codes", codes)
-        .select(id_col, "pq_codes", "ivf_list")
-        .write.partitionBy("ivf_list")
-        .mode("append")
-        .format(fmt)
-        .save(path)
+        .select(id_col, "pq_codes", "ivf_list"),
+        path, fmt, "append", cluster,
     )
 
 
@@ -958,6 +967,7 @@ def ivf_add_batch(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     fmt: str = "parquet",
+    cluster: bool = True,
 ) -> None:
     """Fold a NEW embedding batch into an existing ``ivf_write_partitioned``
     store without touching stored rows: assign the batch against the FROZEN
@@ -967,13 +977,12 @@ def ivf_add_batch(
     is O(batch), never O(store), and each append touches only the
     directories the batch actually lands in. Pair with ``ivf_drift_stats``
     to detect when the frozen quantizer has gone stale and with
-    ``ivf_compact_store`` to bound the accumulated small files."""
-    (
-        batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
-        .write.partitionBy("ivf_list")
-        .mode("append")
-        .format(fmt)
-        .save(path)
+    ``ivf_compact_store`` to bound the accumulated small files.
+    ``cluster`` (default) keeps each append to ~1 file per touched list —
+    see ``_write_listed``."""
+    _write_listed(
+        batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col)),
+        path, fmt, "append", cluster,
     )
 
 
@@ -1056,15 +1065,22 @@ def ivf_compact_store(
         .format(fmt)
         .save(staged)
     )
-    # swap: replace each list dir with its compacted twin, drop lists that
-    # compacted away entirely, clear the tombstone set
+    # swap: park the old list dirs in a sibling dir FIRST (renames, not
+    # deletes — a crash mid-swap must never be able to lose both copies;
+    # ``<store>.compact_old`` sits outside the store so scans never see it,
+    # and a crashed swap is recoverable by moving its dirs back), then move
+    # the compacted twins in, then drop the parked originals
+    parked = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(parked, ignore_errors=True)
+    os.makedirs(parked)
     for entry in list(os.listdir(path)):
         if entry.startswith("ivf_list="):
-            shutil.rmtree(os.path.join(path, entry))
+            shutil.move(os.path.join(path, entry), os.path.join(parked, entry))
     for entry in os.listdir(staged):
         if entry.startswith("ivf_list="):
             shutil.move(os.path.join(staged, entry), os.path.join(path, entry))
     shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(parked, ignore_errors=True)
     tombstones_cleared = 0
     td = _tombstone_dir(path)
     if os.path.isdir(td):
@@ -1152,4 +1168,89 @@ def ivf_drift_stats(
             ).alias("drifted"),
         )
         .orderBy("cid")
+    )
+
+
+def ivf_probe_lists(centroids: np.ndarray, nprobe: int, vec_col: str = "embedding") -> F.Column:
+    """Column of each vector's ``nprobe`` nearest inverted lists (max
+    cosine, ties → smaller list id) — the per-QUERY side of a batched ANN
+    join. Arrow-batched pandas UDF, one BLAS matmul per batch; the stable
+    argsort on the negated dot products reproduces ``ORDER BY cos DESC,
+    cid`` exactly, so a SQL engine can replay the probe choice."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    from ..shipping import ensure_worker_imports
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_worker_imports(active)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+    npb = int(nprobe)
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)).values)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        order = np.argsort(-(mat @ cn.T), axis=1, kind="stable")[:, :npb]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes(F.col(vec_col))
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ANN retrieval join — every query's approximate top-k from the
+    corpus through IVF bucketing, the scale path ``knn_join_bruteforce``
+    (quadratic, exact) is the oracle for. The training-data staple this
+    serves is hard-negative mining: a batch of anchor embeddings each needs
+    its nearest corpus items, and one query at a time (``ivf_topk``) wastes
+    a corpus scan per anchor.
+
+    Shape: queries explode to (q_id, probed list) — batch × nprobe id rows,
+    BROADCAST by contract (a query batch is model/batch-sized; the corpus is
+    the big side) — and equi-join the corpus on its assigned list, so each
+    query scores only ~nprobe/nlist of the corpus. Ranking is a per-query
+    top-k window over the candidate rows ((q_id, c_id, cosine) triples —
+    narrow). If ``corpus`` already carries an ``ivf_list`` column (a
+    ``ivf_write_partitioned`` store read back), its assignment is reused;
+    Catalyst additionally prunes unprobed directories via dynamic partition
+    pruning when the probed-list set is selective."""
+    from pyspark.sql.window import Window
+
+    qx = (
+        queries.select(
+            F.col(q_id), F.col(vec_col).alias("_q_vec"),
+            ivf_probe_lists(centroids, nprobe, vec_col).alias("_probe"),
+        )
+        .withColumn("ivf_list", F.explode("_probe"))
+        .drop("_probe")
+    )
+    c = corpus if "ivf_list" in corpus.columns else corpus.withColumn(
+        "ivf_list", ivf_assign(centroids, vec_col)
+    )
+    scored = (
+        c.join(F.broadcast(qx), "ivf_list")
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            cosine(F.col(vec_col), F.col("_q_vec")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("_c"), F.asc(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id, c_id, (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"))
     )

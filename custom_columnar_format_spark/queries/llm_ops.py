@@ -441,6 +441,70 @@ def _ivf_drift_oracle_sql(nlist: int = 16, drift_num: int = 2, drift_den: int = 
     """
 
 
+def _knn_join_oracle_sql(
+    n_queries: int = 6, k: int = 5, nlist: int = 16, nprobe: int = 4
+) -> str:
+    """Replay of ivf_knn_join: per query, the nprobe max-cosine lists (ties
+    → smaller list id — the engine's stable argsort), corpus assignment
+    rn=1 as in the other IVF oracles, then a per-query top-k over the
+    probed candidates ranked on the RAW cosine with vec_id tiebreak."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+    pr AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_cos_sql('c.cv', 'q.qv')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {nprobe}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    cand AS (SELECT p.q_id, l.vec_id, l.embedding FROM lists l JOIN pr p USING (cid)),
+    sc AS (
+      SELECT cand.q_id, cand.vec_id, {_cos_sql('cand.embedding', 'q.qv')} AS c
+      FROM cand JOIN q ON cand.q_id = q.q_id
+    ),
+    top AS (
+      SELECT q_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+      FROM sc
+    )
+    SELECT q_id, vec_id, floor(c * 1e4 + 0.5) / 1e4 AS cos_sim FROM top WHERE rn <= {k}
+    """
+
+
+@query(
+    "q_sim_knn_join_ivf",
+    _knn_join_oracle_sql(),
+    doc="batched ANN retrieval JOIN — a query batch (vec_id < 6; anchor "
+    "embeddings for hard-negative mining in production) each gets its "
+    "approximate top-5 from the corpus through IVF bucketing: queries "
+    "explode to (q_id, probed list) and BROADCAST (batch-sized by "
+    "contract), the corpus joins on its assigned list, so each query "
+    "scores ~nprobe/nlist of the corpus instead of one full scan per "
+    "anchor (the q_hard_negatives literal-probe path's limit). Per-query "
+    "top-k window over narrow (q_id, c_id, cosine) rows. Oracle replays "
+    "probe choice, assignment, and ranking as deterministic cosine math "
+    "with the same tiebreaks.",
+)
+def q_sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    cent, _ = _seed_centroids(emb)
+    queries_df = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    return similarity.ivf_knn_join(queries_df, emb, cent, k=5, nprobe=4)
+
+
 @query(
     "q_sim_topk_cosine",
     """

@@ -251,3 +251,32 @@ def test_pq_add_batch_equals_rebuild_and_lifecycle(spark, emb, cent, tmp_path):
     left = spark.read.parquet(grown)
     assert left.filter(F.col("vec_id") % 7 == 3).count() == 0
     assert set(left.columns) == {"vec_id", "pq_codes", "ivf_list"}
+
+
+def test_knn_join_full_probe_equals_bruteforce(spark, emb, cent):
+    """Probing ALL lists makes the batched ANN join exact — it must equal
+    the quadratic knn_join_bruteforce answer per query (rank tiebreaks
+    aligned: raw cosine desc, corpus id asc)."""
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    got = S.ivf_knn_join(queries, emb, cent, k=3, nprobe=NLIST)
+    want = S.knn_join_bruteforce(queries, emb, k=3)
+    g = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    w = {(r["q_id"], r["vec_id"]) for r in want.collect()}
+    assert g == w
+
+
+def test_knn_join_reuses_store_assignment(spark, emb, cent, tmp_path):
+    """A corpus read back from the partitioned store (ivf_list already a
+    column) must skip re-assignment and produce identical results."""
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, path, cent)
+    store = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = S.ivf_knn_join(queries, store, cent, k=5, nprobe=3)
+    want = S.ivf_knn_join(queries, emb, cent, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

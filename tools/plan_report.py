@@ -88,6 +88,7 @@ REPORT = [
     "q_sim_ivf_deleted",
     "q_ivf_drift_monitor",
     "q_datacard_diff",
+    "q_sim_knn_join_ivf",
 ]
 
 R8_NOTE = """

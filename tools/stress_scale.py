@@ -568,6 +568,59 @@ def main():
                       "straggler_ratio": ratio, "straggler_stage": sid,
                       "bounded": ratio is None or ratio <= 8.0}), flush=True)
 
+    # Round-9 stage: the IVF index-store LIFECYCLE at corpus scale — the
+    # store must grow incrementally (O(batch) appends, identical answers to
+    # a from-scratch rebuild), serve with partition pruning, take logical
+    # deletes, and come out of one compaction pass with a bounded file
+    # count and the deletes physical. nlist=64 so probes prune 60/64 dirs.
+    import shutil
+    import tempfile
+
+    nlist_ivf = 64
+    cent_ivf = similarity._spherical_kmeans(x, nlist_ivf, seed=11)
+    root = tempfile.mkdtemp(prefix="stress_ivf_")
+    grown, rebuilt = os.path.join(root, "grown"), os.path.join(root, "rebuilt")
+    t0 = time.time()
+    similarity.ivf_write_partitioned(emb.filter(F.col("vec_id") % 5 != 0), grown, cent_ivf)
+    hist_dt = time.time() - t0
+    t0 = time.time()
+    similarity.ivf_add_batch(emb.filter(F.col("vec_id") % 5 == 0), grown, cent_ivf)
+    add_dt = time.time() - t0
+    similarity.ivf_write_partitioned(emb, rebuilt, cent_ivf)
+    t0 = time.time()
+    got = [r.asDict() for r in
+           similarity.ivf_topk_partitioned(spark, grown, qv, cent_ivf, k=10, nprobe=4).collect()]
+    search_dt = time.time() - t0
+    want = [r.asDict() for r in
+            similarity.ivf_topk_partitioned(spark, rebuilt, qv, cent_ivf, k=10, nprobe=4).collect()]
+    n_batch_ivf = n_vecs // 5
+    print(json.dumps({"stage": "ivf_store_grow", "rows": len(got),
+                      "hist_write_s": round(hist_dt, 2),
+                      "add_batch_s": round(add_dt, 2),
+                      "batch_vecs_per_sec": round(n_batch_ivf / add_dt),
+                      "pruned_search_s": round(search_dt, 2),
+                      "equals_rebuild": got == want}), flush=True)
+
+    dead_ivf = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    similarity.ivf_delete_ids(dead_ivf, grown)
+    t0 = time.time()
+    cstats = similarity.ivf_compact_store(spark, grown)
+    compact_dt = time.time() - t0
+    t1 = time.time()
+    after = [r.asDict() for r in
+             similarity.ivf_topk_partitioned(spark, grown, qv, cent_ivf, k=10, nprobe=4,
+                                             honor_tombstones=True).collect()]
+    search2_dt = time.time() - t1
+    survivors = {r["vec_id"] for r in after}
+    print(json.dumps({"stage": "ivf_store_compact", "rows": cstats["rows_deleted"],
+                      "seconds": round(compact_dt, 2),
+                      "files_before": cstats["files_before"],
+                      "files_after": cstats["files_after"],
+                      "post_compact_search_s": round(search2_dt, 2),
+                      "bounded": cstats["files_after"] <= nlist_ivf
+                                 and all(v % 7 != 3 for v in survivors)}), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({"stage": "TOTAL", "n_docs": n_docs, "n_vecs": n_vecs,
                       "seconds": round(time.time() - total0, 2)}), flush=True)
     spark.stop()
