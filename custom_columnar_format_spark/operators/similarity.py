@@ -1036,7 +1036,17 @@ def ivf_compact_store(
     snapshots do it with manifests — see operators/snapshot.py. Here the
     store is a plain parquet layout, so the swap is directory renames.)
     ``repartition("ivf_list")`` puts every surviving row of a list in one
-    task, so each ``ivf_list=N/`` dir comes back as a single file."""
+    task, so each ``ivf_list=N/`` dir comes back as a single file.
+
+    Crash recovery: the swap parks old list dirs in ``<store>.compact_old``
+    (renames, never delete-then-move) and a re-run HEALS a crashed
+    predecessor before doing anything else — every parked list missing from
+    the store moves back in (lists already swapped keep their compacted
+    form; both generations hold the same rows, and the tombstone set is
+    only cleared after a fully completed swap, so reader semantics are
+    unchanged throughout). A fully-tombstoned store refuses the physical
+    purge (``skipped_empty``) instead of compacting itself into an
+    unreadable zero-file directory."""
     import os
     import shutil
 
@@ -1047,14 +1057,38 @@ def ivf_compact_store(
             n += sum(1 for f in files if not f.startswith(("_", ".")) and not f.endswith(".crc"))
         return n
 
+    parked = path.rstrip("/") + ".compact_old"
+    recovered = 0
+    if os.path.isdir(parked):
+        # a previous compaction crashed mid-swap: restore every parked list
+        # the store is missing, THEN proceed — blindly rmtree'ing the park
+        # here would destroy the only copy of the unswapped lists
+        for entry in os.listdir(parked):
+            if entry.startswith("ivf_list=") and not os.path.isdir(os.path.join(path, entry)):
+                shutil.move(os.path.join(parked, entry), os.path.join(path, entry))
+                recovered += 1
+        shutil.rmtree(parked, ignore_errors=True)
+
     files_before = _count_files(path)
     store = spark.read.format(fmt).load(path)
+    n_total = store.count()
     dead = ivf_tombstones(spark, path, id_col)
     rows_deleted = 0
     kept = store
     if dead is not None:
         rows_deleted = store.join(F.broadcast(dead), id_col, "left_semi").count()
         kept = store.join(F.broadcast(dead), id_col, "left_anti")
+    stats = {
+        "files_before": files_before,
+        "rows_deleted": rows_deleted,
+        "tombstones_cleared": 0,
+        "lists_recovered": recovered,
+    }
+    if rows_deleted >= n_total:
+        # nothing would survive: leave data + tombstones in place (readers
+        # still honor the logical deletes) rather than emptying the layout
+        stats.update(files_after=files_before, rows_deleted=0, skipped_empty=True)
+        return stats
 
     staged = path.rstrip("/") + ".compact_tmp"
     shutil.rmtree(staged, ignore_errors=True)
@@ -1065,13 +1099,9 @@ def ivf_compact_store(
         .format(fmt)
         .save(staged)
     )
-    # swap: park the old list dirs in a sibling dir FIRST (renames, not
-    # deletes — a crash mid-swap must never be able to lose both copies;
-    # ``<store>.compact_old`` sits outside the store so scans never see it,
-    # and a crashed swap is recoverable by moving its dirs back), then move
-    # the compacted twins in, then drop the parked originals
-    parked = path.rstrip("/") + ".compact_old"
-    shutil.rmtree(parked, ignore_errors=True)
+    # swap: park the old list dirs FIRST (renames, not deletes — a crash
+    # mid-swap must never be able to lose both copies; see Crash recovery
+    # above), then move the compacted twins in, then drop the park
     os.makedirs(parked)
     for entry in list(os.listdir(path)):
         if entry.startswith("ivf_list="):
@@ -1081,17 +1111,12 @@ def ivf_compact_store(
             shutil.move(os.path.join(staged, entry), os.path.join(path, entry))
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(parked, ignore_errors=True)
-    tombstones_cleared = 0
     td = _tombstone_dir(path)
     if os.path.isdir(td):
-        tombstones_cleared = 1
+        stats["tombstones_cleared"] = 1
         shutil.rmtree(td)
-    return {
-        "files_before": files_before,
-        "files_after": _count_files(path),
-        "rows_deleted": rows_deleted,
-        "tombstones_cleared": tombstones_cleared,
-    }
+    stats["files_after"] = _count_files(path)
+    return stats
 
 
 def ivf_drift_stats(
@@ -1132,12 +1157,12 @@ def ivf_drift_stats(
     cent_rows = [(int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
     cent_tbl = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
 
+    # ids are irrelevant to the per-list rollup — project them away at the
+    # scan so the union/shuffle rows carry only (vector, side flag)
     tagged = hist_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.lit(0).alias("is_batch")
+        F.col(vec_col).alias("v"), F.lit(0).alias("is_batch")
     ).unionByName(
-        batch_df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.lit(1).alias("is_batch")
-        )
+        batch_df.select(F.col(vec_col).alias("v"), F.lit(1).alias("is_batch"))
     )
     assigned = tagged.withColumn("cid", ivf_assign(cent, "v"))
     scored = assigned.join(F.broadcast(cent_tbl), "cid").withColumn(

@@ -1247,11 +1247,13 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_datacard_diff",
     """
     WITH old AS (
-      SELECT doc_id, source, n_chars, md5(text) AS h
+      SELECT doc_id, source, md5(text) AS h, length(text) AS ln
       FROM documents WHERE doc_id % 5 <> 4
     ),
     new AS (
-      SELECT doc_id, source, n_chars, md5(text) AS h
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 11 = 7 THEN text || ' [rev2]' ELSE text END) AS h,
+             length(CASE WHEN doc_id % 11 = 7 THEN text || ' [rev2]' ELSE text END) AS ln
       FROM documents WHERE doc_id % 5 <> 0
     ),
     j AS (
@@ -1260,12 +1262,12 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
              CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
                        AND o.h <> n.h THEN 1 ELSE 0 END AS changed,
-             o.n_chars AS oc, n.n_chars AS nc
+             o.ln AS oc, n.ln AS nc
       FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
     )
     SELECT source,
-           CAST(SUM(CASE WHEN oc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
-           CAST(SUM(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(1 - added) AS BIGINT) AS n_old,
+           CAST(SUM(1 - removed) AS BIGINT) AS n_new,
            CAST(SUM(added) AS BIGINT) AS n_added,
            CAST(SUM(removed) AS BIGINT) AS n_removed,
            CAST(SUM(changed) AS BIGINT) AS n_changed,
@@ -1277,50 +1279,56 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="corpus snapshot DIFF datacard — what changed between two corpus "
     "states (the release-notes twin of q_corpus_datacard): per source, doc "
-    "counts on each side, docs added / removed / content-changed, and the "
+    "counts on each side, docs added / removed / content-CHANGED, and the "
     "character volume each class moved. Old snapshot = doc_id % 5 <> 4, "
-    "new = doc_id % 5 <> 0 (in production: two table snapshots / SCBF "
-    "time-travel reads — see operators/snapshot.py). Scale shape: both "
-    "sides project to (id, source, n_chars, 16-byte digest) — bodies are "
-    "hashed at the scan and never travel; one id-keyed full outer join "
-    "(SMJ on the id key, no broadcast of corpus-scale sides), then one "
-    "partial+final rollup on the handful of source keys. Content change "
-    "detection is digest inequality on common ids, the same never-reread-"
-    "history contract as the incremental dedup family.",
+    "new = doc_id % 5 <> 0, with docs at doc_id % 11 = 7 carrying a "
+    "deterministic ' [rev2]' revision on the new side so the change-"
+    "detection branch (digest inequality on common ids) is genuinely "
+    "exercised and oracle-gated, not structurally zero. In production the "
+    "two sides are table snapshots / SCBF time-travel reads — see "
+    "operators/snapshot.py. Scale shape: both sides project to (id, "
+    "source, length, 16-byte digest) — bodies are hashed at the scan and "
+    "never travel; one id-keyed full outer join (SMJ, no broadcast of "
+    "corpus-scale sides) with presence taken from join-side markers (NOT "
+    "digest nullness — a NULL body must not read as added+removed), then "
+    "one partial+final rollup on the handful of source keys.",
 )
 def q_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    meta = docs.select(
+    new_text = F.when(
+        F.col("doc_id") % 11 == 7, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
         "doc_id",
-        "source",
-        "n_chars",
-        F.md5(F.col("text").cast("binary")).alias("h"),
-    )
-    old = meta.filter(F.col("doc_id") % 5 != 4).select(
-        F.col("doc_id"),
         F.col("source").alias("o_source"),
-        F.col("n_chars").alias("oc"),
-        F.col("h").alias("oh"),
+        F.lit(1).alias("o_present"),
+        F.length("text").alias("oc"),
+        F.md5(F.col("text").cast("binary")).alias("oh"),
     )
-    new = meta.filter(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id"),
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
         F.col("source").alias("n_source"),
-        F.col("n_chars").alias("nc"),
-        F.col("h").alias("nh"),
+        F.lit(1).alias("n_present"),
+        F.length(new_text).alias("nc"),
+        F.md5(new_text.cast("binary")).alias("nh"),
     )
     j = old.join(new, "doc_id", "full_outer").select(
         F.coalesce("o_source", "n_source").alias("source"),
-        F.col("oh").isNull().cast("int").alias("added"),
-        F.col("nh").isNull().cast("int").alias("removed"),
-        (F.col("oh").isNotNull() & F.col("nh").isNotNull() & (F.col("oh") != F.col("nh")))
+        F.col("o_present").isNull().cast("int").alias("added"),
+        F.col("n_present").isNull().cast("int").alias("removed"),
+        (
+            F.col("o_present").isNotNull()
+            & F.col("n_present").isNotNull()
+            & (F.col("oh") != F.col("nh"))
+        )
         .cast("int")
         .alias("changed"),
         "oc",
         "nc",
     )
     return j.groupBy("source").agg(
-        F.sum(F.col("oc").isNotNull().cast("int")).cast("long").alias("n_old"),
-        F.sum(F.col("nc").isNotNull().cast("int")).cast("long").alias("n_new"),
+        F.sum(1 - F.col("added")).cast("long").alias("n_old"),
+        F.sum(1 - F.col("removed")).cast("long").alias("n_new"),
         F.sum("added").cast("long").alias("n_added"),
         F.sum("removed").cast("long").alias("n_removed"),
         F.sum("changed").cast("long").alias("n_changed"),

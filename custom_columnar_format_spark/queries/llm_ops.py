@@ -553,16 +553,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle replays it, k-means training covered in tests.",
 )
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = _emb_spread(spark, sf_dir)
-    seeds = {
-        r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
-    }
-    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
-    qv = seeds[0]
+    cent, qv = _seed_centroids(emb)
     return similarity.ivf_topk(emb, qv, k=10, nlist=16, nprobe=4, centroids=cent)
 
 
@@ -579,6 +571,37 @@ def _seed_centroids(emb: DataFrame, nlist: int = 16):
     cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
     return cent, seeds[0]
+
+
+def _seed_books(emb: DataFrame, ksub: int = 16, n_sub: int = 8, sub_dim: int = 8):
+    """The deterministic PQ quantizer pair the IVF-PQ oracles replay —
+    coarse centroids as in ``_seed_centroids`` plus codebooks whose
+    subspace-m codeword j is the m-th ``sub_dim`` slice of RAW seed vector
+    j. ONE definition for every IVF-PQ query so the quantizer contract
+    cannot fork from the shared oracle. Returns (centroids, books, qv)."""
+    import numpy as np
+
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < ksub).select("vec_id", "embedding").collect()
+    }
+    raw = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
+    books = np.stack([raw[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)])
+    return cent, books, seeds[0]
+
+
+def _query_scratch(prefix: str, sf_dir: str) -> str:
+    """Per-process scratch path for store-building queries: stable WITHIN a
+    process (bench pass 1/pass 2 reuse and overwrite it) but pid-qualified
+    so two concurrent drivers on one machine can never race each other's
+    rmtree/write/read even under a pinned PYTHONHASHSEED."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
 
 
 @query(
@@ -600,15 +623,11 @@ def _seed_centroids(emb: DataFrame, nlist: int = 16):
     "from scratch.",
 )
 def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
 
     emb = _emb_spread(spark, sf_dir)
     cent, qv = _seed_centroids(emb)
-    path = os.path.join(
-        tempfile.gettempdir(), f"ivf_incr_{abs(hash(sf_dir)) % 10**8}"
-    )
+    path = _query_scratch("ivf_incr", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     similarity.ivf_write_partitioned(emb.filter(F.col("vec_id") % 5 != 0), path, cent)
     similarity.ivf_add_batch(emb.filter(F.col("vec_id") % 5 == 0), path, cent)
@@ -628,15 +647,11 @@ def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay with the deleted ids excluded from the candidate set.",
 )
 def q_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
 
     emb = _emb_spread(spark, sf_dir)
     cent, qv = _seed_centroids(emb)
-    path = os.path.join(
-        tempfile.gettempdir(), f"ivf_del_{abs(hash(sf_dir)) % 10**8}"
-    )
+    path = _query_scratch("ivf_del", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     similarity.ivf_write_partitioned(emb, path, cent)
     similarity.ivf_delete_ids(
@@ -785,17 +800,9 @@ def _ivf_pq_oracle_sql(
     "ANN serving layout.",
 )
 def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = _emb_spread(spark, sf_dir)
-    seeds = {
-        r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
-    }
-    raw = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
-    cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
-    books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
-    return similarity.ivf_pq_topk(emb, seeds[0], cent, books, k=10, nprobe=4)
+    cent, books, qv = _seed_books(emb)
+    return similarity.ivf_pq_topk(emb, qv, cent, books, k=10, nprobe=4)
 
 
 @query(
@@ -816,28 +823,18 @@ def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Compressed twin of q_sim_ivf_incremental.",
 )
 def q_sim_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
-
-    import numpy as np
 
     emb = _emb_spread(spark, sf_dir)
-    seeds = {
-        r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
-    }
-    raw = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
-    cent = raw / np.linalg.norm(raw, axis=1, keepdims=True).clip(min=1e-12)
-    books = np.stack([raw[:, m * 8 : (m + 1) * 8] for m in range(8)])
-    path = os.path.join(tempfile.gettempdir(), f"ivfpq_incr_{abs(hash(sf_dir)) % 10**8}")
+    cent, books, qv = _seed_books(emb)
+    path = _query_scratch("ivfpq_incr", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     similarity.ivf_pq_write_partitioned(
         emb.filter(F.col("vec_id") % 5 != 0), path, cent, books
     )
     similarity.ivf_pq_add_batch(emb.filter(F.col("vec_id") % 5 == 0), path, cent, books)
     return similarity.ivf_pq_topk_partitioned(
-        spark, path, seeds[0], cent, books, k=10, nprobe=4
+        spark, path, qv, cent, books, k=10, nprobe=4
     )
 
 
@@ -856,17 +853,10 @@ def q_sim_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with IVF probing for the standard IVF-PQ index.",
 )
 def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = _emb_spread(spark, sf_dir)
-    seeds = {
-        r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
-    }
-    cw = np.stack([np.asarray(seeds[j], dtype=np.float64) for j in sorted(seeds)])
     # (n_sub, ksub, sub_dim): codeword j of subspace m = vec j's m-th slice
-    books = np.stack([cw[:, m * 8 : (m + 1) * 8] for m in range(8)])
-    return similarity.pq_adc_topk(emb, seeds[0], books, k=10)
+    _, books, qv = _seed_books(emb)
+    return similarity.pq_adc_topk(emb, qv, books, k=10)
 
 
 @query(

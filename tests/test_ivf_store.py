@@ -255,17 +255,31 @@ def test_pq_add_batch_equals_rebuild_and_lifecycle(spark, emb, cent, tmp_path):
 
 def test_knn_join_full_probe_equals_bruteforce(spark, emb, cent):
     """Probing ALL lists makes the batched ANN join exact — it must equal
-    the quadratic knn_join_bruteforce answer per query (rank tiebreaks
-    aligned: raw cosine desc, corpus id asc)."""
+    a from-scratch exact top-k computed on the SAME rank key the operator
+    uses (RAW cosine desc, corpus id asc). knn_join_bruteforce is not the
+    reference here on purpose: it ranks on the 4-decimal ROUNDED cosine,
+    whose tie-handling can legitimately pick a different member at the k
+    boundary."""
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+
+    q_ids = [int(i) for i in ids if i % 50 == 0]
+    want = set()
+    for qi in q_ids:
+        qv = matn[ids == qi][0]
+        cos = matn @ qv
+        order = sorted(range(len(ids)), key=lambda j: (-cos[j], ids[j]))[:3]
+        want |= {(qi, int(ids[j])) for j in order}
+
     queries = (
         emb.filter(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), "embedding")
     )
     got = S.ivf_knn_join(queries, emb, cent, k=3, nprobe=NLIST)
-    want = S.knn_join_bruteforce(queries, emb, k=3)
     g = {(r["q_id"], r["vec_id"]) for r in got.collect()}
-    w = {(r["q_id"], r["vec_id"]) for r in want.collect()}
-    assert g == w
+    assert g == want
 
 
 def test_knn_join_reuses_store_assignment(spark, emb, cent, tmp_path):
@@ -280,3 +294,53 @@ def test_knn_join_reuses_store_assignment(spark, emb, cent, tmp_path):
     got = S.ivf_knn_join(queries, store, cent, k=5, nprobe=3)
     want = S.ivf_knn_join(queries, emb, cent, k=5, nprobe=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compact_rerun_heals_crashed_swap(spark, emb, cent, tmp_path):
+    """A compaction that died mid-swap leaves some lists only in
+    <store>.compact_old; the NEXT run must move them back before doing
+    anything destructive — rerunning after a crash may never lose rows."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, path, cent)
+    n = emb.count()
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    before = _rows(S.ivf_topk_partitioned(spark, path, qv, cent, k=10, nprobe=NLIST))
+
+    # simulate the crash window: two lists parked, never moved back
+    parked = path + ".compact_old"
+    os.makedirs(parked)
+    moved = 0
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("ivf_list=") and moved < 2:
+            shutil.move(os.path.join(path, entry), os.path.join(parked, entry))
+            moved += 1
+    assert moved == 2
+    assert spark.read.parquet(path).count() < n  # store really is partial
+
+    stats = S.ivf_compact_store(spark, path)
+    assert stats["lists_recovered"] == 2
+    assert not os.path.isdir(parked)
+    assert spark.read.parquet(path).count() == n
+    after = _rows(S.ivf_topk_partitioned(spark, path, qv, cent, k=10, nprobe=NLIST))
+    assert after == before
+
+
+def test_compact_refuses_to_empty_the_store(spark, emb, cent, tmp_path):
+    """Tombstoning every row must not let compaction rewrite the store into
+    an unreadable zero-file directory — it skips the purge and keeps the
+    logical-delete view intact."""
+    path = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, path, cent)
+    S.ivf_delete_ids(emb.select("vec_id"), path)
+    stats = S.ivf_compact_store(spark, path)
+    assert stats.get("skipped_empty") is True
+    assert stats["tombstones_cleared"] == 0
+    # store still readable; logical deletes still honored
+    assert spark.read.parquet(path).count() == emb.count()
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    served = S.ivf_topk_partitioned(
+        spark, path, qv, cent, k=10, nprobe=NLIST, honor_tombstones=True
+    )
+    assert served.count() == 0
