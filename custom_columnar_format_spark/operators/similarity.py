@@ -1279,3 +1279,52 @@ def ivf_knn_join(
         .filter(F.col("_rn") <= k)
         .select(q_id, c_id, (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"))
     )
+
+
+def ivf_threshold_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL corpus matches above a cosine threshold for each query vector,
+    through IVF bucketing — the threshold sibling of ``ivf_knn_join`` and
+    the semantic member of the incremental-dedup family: a new ingest
+    batch's embeddings match the STORED corpus (``minhash_history_matches``
+    for the embedding modality). Same scale shape: queries explode to
+    (q_id, probed list) and BROADCAST (batch-sized by contract); the
+    corpus joins on its assigned list (reused from an ``ivf_list`` column
+    when present — a store read back), so each batch vector scores only
+    its ``nprobe`` nearest lists, never the corpus.
+
+    Recall honesty: this is SemDeDup-style blocking — a true near-dup
+    whose stored twin sits in a list the query does not probe is missed;
+    raise ``nprobe`` (or audit with the exact quadratic
+    ``cosine_neardup_pairs(bruteforce=True)`` twin) to trade cost for
+    recall. High-cosine pairs co-assign with high probability, and
+    ``nprobe`` > 1 covers the boundary cases single-cluster SemDeDup
+    blocking drops. The threshold compares the 4-decimal floor-rounded
+    cosine (both engines replay the same boundary decision)."""
+    qx = (
+        queries.select(
+            F.col(q_id), F.col(vec_col).alias("_q_vec"),
+            ivf_probe_lists(centroids, nprobe, vec_col).alias("_probe"),
+        )
+        .withColumn("ivf_list", F.explode("_probe"))
+        .drop("_probe")
+    )
+    c = corpus if "ivf_list" in corpus.columns else corpus.withColumn(
+        "ivf_list", ivf_assign(centroids, vec_col)
+    )
+    scored = c.join(F.broadcast(qx), "ivf_list").select(
+        F.col(q_id),
+        F.col(c_id),
+        (F.floor(cosine(F.col(vec_col), F.col("_q_vec")) * 1e4 + 0.5) / 1e4).alias("cos_sim"),
+    )
+    # a vector probing 2+ lists meets each corpus row at most once (the
+    # corpus row lives in ONE list), so no distinct needed
+    return scored.filter(F.col("cos_sim") >= threshold)

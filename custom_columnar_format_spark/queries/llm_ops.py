@@ -893,6 +893,67 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_neardup_incr_oracle_sql(
+    threshold: float = 0.25, nlist: int = 16, nprobe: int = 2
+) -> str:
+    """Replay of ivf_threshold_join on the batch/history split: per batch
+    vector the nprobe max-cosine lists (ties → smaller list id), history
+    assignment rn=1, join on the list, keep pairs whose floor-rounded
+    cosine clears the threshold."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 5 = 0),
+    pr AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_cos_sql('c.cv', 'q.qv')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= {nprobe}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id % 5 <> 0
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    m AS (
+      SELECT p.q_id, l.vec_id,
+             floor({_cos_sql('l.embedding', 'q.qv')} * 1e4 + 0.5) / 1e4 AS cos_sim
+      FROM lists l JOIN pr p USING (cid) JOIN q ON p.q_id = q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM m WHERE cos_sim >= {threshold}
+    """
+
+
+@query(
+    "q_embedding_neardup_incremental",
+    _emb_neardup_incr_oracle_sql(),
+    doc="incremental SEMANTIC near-dup against corpus history — the "
+    "embedding-modality member of the incremental-dedup family "
+    "(q_dedup_incremental = exact digests, q_dedup_minhash_incremental = "
+    "lexical signatures, q_exactsubstr_clean_incremental = substrings): "
+    "the new ingest batch (vec_id % 5 = 0) matches the STORED corpus "
+    "embeddings (the rest) at cosine >= 0.25 through IVF blocking — each "
+    "batch vector probes its 2 nearest lists and joins only those members, "
+    "never the corpus (the full-scan quadratic twin is q_embedding_neardup, "
+    "the recall audit). Batch side broadcast (batch-sized by contract), "
+    "history joins on its assigned list — the ivf_knn_join shape with a "
+    "threshold instead of top-k. SemDeDup-style blocking recall trade "
+    "documented on the operator.",
+)
+def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_spread(spark, sf_dir)
+    cent, _ = _seed_centroids(emb)
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    return similarity.ivf_threshold_join(batch, hist, cent, threshold=0.25, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -344,3 +344,33 @@ def test_compact_refuses_to_empty_the_store(spark, emb, cent, tmp_path):
         spark, path, qv, cent, k=10, nprobe=NLIST, honor_tombstones=True
     )
     assert served.count() == 0
+
+
+def test_threshold_join_full_probe_equals_bruteforce(spark, emb, cent):
+    """Probing ALL lists makes the semantic history-match exact: it must
+    equal the quadratic cross-join pairs (batch x history, cosine >= t) on
+    the same floor-rounded key."""
+    from custom_columnar_format_spark.functions.vector import cosine as _cos
+
+    t = 0.25
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in S.ivf_threshold_join(batch, hist, cent, threshold=t, nprobe=NLIST).collect()
+    }
+    b = batch.select("q_id", F.col("embedding").alias("qv"))
+    h = hist.select("vec_id", F.col("embedding").alias("hv"))
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in b.crossJoin(h)
+        .select(
+            "q_id", "vec_id",
+            (F.floor(_cos(F.col("hv"), F.col("qv")) * 1e4 + 0.5) / 1e4).alias("c"),
+        )
+        .filter(F.col("c") >= t)
+        .collect()
+    }
+    assert got == exact and len(exact) > 0

@@ -89,6 +89,7 @@ REPORT = [
     "q_ivf_drift_monitor",
     "q_datacard_diff",
     "q_sim_knn_join_ivf",
+    "q_embedding_neardup_incremental",
 ]
 
 R8_NOTE = """
