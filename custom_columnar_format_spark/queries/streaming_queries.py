@@ -571,3 +571,73 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     return similarity.ivf_topk_partitioned(spark, store, qv, cent, k=10, nprobe=4)
+
+
+def _stream_semantic_oracle_sql(threshold: float = 0.25, nlist: int = 16) -> str:
+    """One-batch replay of the streaming semantic curation loop: all
+    unordered pairs assigned to the same inverted list with floor-rounded
+    cosine >= threshold — valid for ANY micro-batch split because
+    co-assignment blocking is symmetric (see semantic_match_batch)."""
+    from .llm_ops import _cos_sql
+
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    m AS (
+      SELECT u.vec_id AS id_a, v.vec_id AS id_b,
+             floor({_cos_sql('u.embedding', 'v.embedding')} * 1e4 + 0.5) / 1e4 AS cos_sim
+      FROM lists u JOIN lists v ON u.cid = v.cid AND u.vec_id < v.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM m WHERE cos_sim >= {threshold}
+    """
+
+
+@query(
+    "q_stream_semantic_curation",
+    _stream_semantic_oracle_sql(),
+    doc="STREAMING semantic curation: embedding micro-batches (file stream, "
+    "one file per trigger) flow through the vector ingest loop with a "
+    "matches store attached — each batch near-dups within itself and "
+    "against the ACCUMULATED IVF store (co-assignment/SemDeDup blocking, "
+    "cosine >= 0.25) before folding into the index, the embedding-modality "
+    "twin of q_stream_curation's MinHash loop. Co-assignment blocking is "
+    "symmetric, so the drained multi-batch match set is batch-split-"
+    "INDEPENDENT and the oracle replays it as one batch computation over "
+    "all vectors (same-list pairs above threshold). Scale shape per "
+    "batch: batch side broadcast, store joins on its partition column "
+    "(directory-pruned to the batch's lists), matches append-only.",
+)
+def q_stream_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.vectors import start_vector_ingest_loop
+    from .llm_ops import _emb_spread, _seed_centroids
+
+    emb = _emb_spread(spark, sf_dir)
+    cent, _ = _seed_centroids(emb)
+    base = emb.select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix="semcur_src_")
+    n_batches = 3
+    for i in range(n_batches):
+        base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = tempfile.mkdtemp(prefix="semcur_store_")
+    shutil.rmtree(store)
+    matches = tempfile.mkdtemp(prefix="semcur_matches_")
+    shutil.rmtree(matches)
+    ck = tempfile.mkdtemp(prefix="semcur_ck_")
+    q = start_vector_ingest_loop(
+        stream, store, cent, ck, matches_store=matches, threshold=0.25
+    )
+    q.awaitTermination()
+    return spark.read.parquet(matches).select("id_a", "id_b", "cos_sim")

@@ -374,3 +374,35 @@ def test_threshold_join_full_probe_equals_bruteforce(spark, emb, cent):
         .collect()
     }
     assert got == exact and len(exact) > 0
+
+
+def test_stream_semantic_matches_are_split_independent(spark, emb, cent, tmp_path):
+    """The streaming semantic-curation match set must not depend on how
+    vectors were split into micro-batches: 4 micro-batches vs ONE batch
+    produce identical (id_a, id_b) sets (co-assignment blocking is
+    symmetric — the property the oracle's one-batch replay relies on)."""
+    from custom_columnar_format_spark.streaming.vectors import (
+        semantic_match_batch,
+        start_vector_ingest_loop,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        base.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "store")
+    matches = str(tmp_path / "matches")
+    q = start_vector_ingest_loop(
+        stream, store, cent, str(tmp_path / "ck"), matches_store=matches, threshold=0.25
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(matches).collect()
+    }
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_match_batch(base, None, cent, 0.25).collect()
+    }
+    assert streamed == single and len(single) > 0
