@@ -979,11 +979,11 @@ def ivf_add_batch(
     to detect when the frozen quantizer has gone stale and with
     ``ivf_compact_store`` to bound the accumulated small files.
     ``cluster`` (default) keeps each append to ~1 file per touched list —
-    see ``_write_listed``."""
-    _write_listed(
-        batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col)),
-        path, fmt, "append", cluster,
-    )
+    see ``_write_listed``. A batch already carrying ``ivf_list`` (the
+    ingest loop assigns once and reuses it) is written as-is."""
+    if "ivf_list" not in batch_df.columns:
+        batch_df = batch_df.withColumn("ivf_list", ivf_assign(centroids, vec_col))
+    _write_listed(batch_df, path, fmt, "append", cluster)
 
 
 def _tombstone_dir(path: str) -> str:

@@ -525,6 +525,31 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_batch_stream(spark: SparkSession, sf_dir: str, prefix: str, n_batches: int = 3):
+    """Shared scaffolding for the streaming-IVF queries: materialize the
+    embeddings table as n_batches parquet files (one micro-batch per
+    trigger via maxFilesPerTrigger=1), and return (stream, store_path,
+    checkpoint_path) with the store path NOT yet created (ivf_add_batch
+    creates the layout itself)."""
+    import shutil
+
+    from .llm_ops import _emb_spread
+
+    base = _emb_spread(spark, sf_dir).select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    for i in range(n_batches):
+        base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = tempfile.mkdtemp(prefix=f"{prefix}_store_")
+    shutil.rmtree(store)
+    ck = tempfile.mkdtemp(prefix=f"{prefix}_ck_")
+    return stream, store, ck
+
+
 from .llm_ops import _ivf_oracle_sql as _llm_ops_ivf_oracle_sql  # noqa: E402 — no cycle: llm_ops imports nothing from this module
 
 
@@ -548,23 +573,8 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.vectors import start_vector_ingest_loop
     from .llm_ops import _emb_spread, _seed_centroids
 
-    emb = _emb_spread(spark, sf_dir)
-    cent, qv = _seed_centroids(emb)
-    src = tempfile.mkdtemp(prefix="ivf_ingest_src_")
-    n_batches = 3
-    base = emb.select("vec_id", "embedding")
-    for i in range(n_batches):
-        base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    store = tempfile.mkdtemp(prefix="ivf_ingest_store_")
-    import shutil
-
-    shutil.rmtree(store)  # ivf_add_batch creates the layout itself
-    ck = tempfile.mkdtemp(prefix="ivf_ingest_ck_")
+    cent, qv = _seed_centroids(_emb_spread(spark, sf_dir))
+    stream, store, ck = _emb_batch_stream(spark, sf_dir, "ivf_ingest")
     q = start_vector_ingest_loop(stream, store, cent, ck, compact_every=2)
     q.awaitTermination()
 
@@ -619,23 +629,10 @@ def q_stream_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.vectors import start_vector_ingest_loop
     from .llm_ops import _emb_spread, _seed_centroids
 
-    emb = _emb_spread(spark, sf_dir)
-    cent, _ = _seed_centroids(emb)
-    base = emb.select("vec_id", "embedding")
-    src = tempfile.mkdtemp(prefix="semcur_src_")
-    n_batches = 3
-    for i in range(n_batches):
-        base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    store = tempfile.mkdtemp(prefix="semcur_store_")
-    shutil.rmtree(store)
+    cent, _ = _seed_centroids(_emb_spread(spark, sf_dir))
+    stream, store, ck = _emb_batch_stream(spark, sf_dir, "semcur")
     matches = tempfile.mkdtemp(prefix="semcur_matches_")
     shutil.rmtree(matches)
-    ck = tempfile.mkdtemp(prefix="semcur_ck_")
     q = start_vector_ingest_loop(
         stream, store, cent, ck, matches_store=matches, threshold=0.25
     )

@@ -52,36 +52,53 @@ def semantic_match_batch(
     against the stored corpus — as (id_a, id_b, cos_sim), id_a < id_b.
 
     Blocking is CO-ASSIGNMENT (classic SemDeDup: a pair is considered iff
-    both vectors assign to the same inverted list — ``ivf_threshold_join``
-    with nprobe=1, whose single probed list IS the assignment). Chosen for
-    the streaming loop deliberately: cluster equality is symmetric, so the
+    both vectors assign to the same inverted list). Chosen for the
+    streaming loop deliberately: cluster equality is symmetric, so the
     drained multi-batch match set equals ONE batch computation over the
     union regardless of how vectors were split into micro-batches (the
     ``q_stream_curation`` replay property) — within-batch pairs surface
     immediately, cross-batch pairs exactly once when the later member
     arrives and joins the stored one's list. The asymmetric nprobe>1 tier
     (higher boundary recall, order-dependent) stays available as the batch
-    operator gated by q_embedding_neardup_incremental. The store side
-    keeps its ``ivf_list`` column, so the cross join prunes to the batch's
-    assigned directories."""
-    q = batch_df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias(vec_col))
-    # co-assignment is symmetric: the directed join emits both orientations
-    # of every pair, so keeping q_id < id_col retains each exactly once
+    operator gated by q_embedding_neardup_incremental.
+
+    One assignment pass: if ``batch_df`` already carries ``ivf_list`` the
+    UDF is skipped (the ingest loop assigns once and reuses it for both
+    join sides AND the store write). The store side keeps its partition
+    column, so the cross join prunes to the batch's assigned directories.
+    A stored row with the SAME id as a batch row (an at-least-once replay
+    or a re-crawl) is excluded — a vector is not its own duplicate."""
+    from ..functions.vector import cosine
+
+    b = batch_df
+    if "ivf_list" not in b.columns:
+        b = b.withColumn("ivf_list", similarity.ivf_assign(centroids, vec_col))
+    b = b.select("ivf_list", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    f4cos = lambda u, v: F.floor(cosine(u, v) * 1e4 + 0.5) / 1e4  # noqa: E731
+
+    lhs = b.select("ivf_list", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     within = (
-        similarity.ivf_threshold_join(
-            q, batch_df, centroids, threshold, 1, "q_id", id_col, vec_col
+        lhs.join(
+            F.broadcast(
+                b.select("ivf_list", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+            ),
+            "ivf_list",
         )
-        .filter(F.col("q_id") < F.col(id_col))
-        .select(F.col("q_id").alias("id_a"), F.col(id_col).alias("id_b"), "cos_sim")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", f4cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
     if store_df is None:
         return within
-    cross = similarity.ivf_threshold_join(
-        q, store_df, centroids, threshold, 1, "q_id", id_col, vec_col
-    ).select(
-        F.least("q_id", F.col(id_col)).alias("id_a"),
-        F.greatest("q_id", F.col(id_col)).alias("id_b"),
-        "cos_sim",
+    cross = (
+        store_df.join(F.broadcast(b), "ivf_list")
+        .filter(F.col(id_col) != F.col("_id"))  # replay/re-crawl self-guard
+        .select(
+            F.least(F.col(id_col), F.col("_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_id")).alias("id_b"),
+            f4cos(F.col(vec_col), F.col("_v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
     return within.unionByName(cross)
 
@@ -103,9 +120,12 @@ def start_vector_ingest_loop(
     With ``matches_store``, the loop is the SEMANTIC curation twin of
     ``curation.start_curation_loop``: before each batch folds into the
     index, its near-dup matches — within itself and against the
-    accumulated store — append to ``matches_store`` (parquet). Within-
-    batch pairs surface immediately; cross-batch pairs exactly once, when
-    the later member arrives and probes the stored one's list."""
+    accumulated store — land in ``matches_store`` (parquet, one
+    ``batch=<id>`` partition per trigger, overwritten on replay so
+    at-least-once re-execution stays idempotent). Within-batch pairs
+    surface immediately; cross-batch pairs exactly once, when the later
+    member arrives and joins the stored one's list; tombstoned store rows
+    are excluded (logical deletes honored between compactions)."""
     import os
 
     spark = stream_df.sparkSession
@@ -113,17 +133,31 @@ def start_vector_ingest_loop(
     def _fold(bdf: DataFrame, bid: int) -> None:
         if bdf.isEmpty():
             return
+        # assign ONCE per batch; the matches joins and the store write all
+        # reuse the column instead of re-running the centroid matmul UDF
+        assigned = bdf.withColumn(
+            "ivf_list", similarity.ivf_assign(centroids, vec_col)
+        )
         if matches_store is not None:
             store_df = None
             if os.path.isdir(store) and any(
                 e.startswith("ivf_list=") for e in os.listdir(store)
             ):
                 store_df = spark.read.parquet(store)
+                # honor logical deletes: a tombstoned vector must not keep
+                # generating matches between deletion and the next compaction
+                dead = similarity.ivf_tombstones(spark, store, id_col)
+                if dead is not None:
+                    store_df = store_df.join(F.broadcast(dead), id_col, "left_anti")
             m = semantic_match_batch(
-                bdf, store_df, centroids, threshold, id_col, vec_col
+                assigned, store_df, centroids, threshold, id_col, vec_col
             )
-            m.write.mode("append").parquet(matches_store)
-        similarity.ivf_add_batch(bdf, store, centroids, vec_col=vec_col)
+            # batchId-scoped overwrite: an at-least-once replay of this
+            # batch rewrites its own partition instead of appending dupes
+            m.write.mode("overwrite").parquet(
+                os.path.join(matches_store, f"batch={bid}")
+            )
+        similarity.ivf_add_batch(assigned, store, centroids, vec_col=vec_col)
         if compact_every and (bid + 1) % compact_every == 0:
             similarity.ivf_compact_store(spark, store, id_col=id_col)
 

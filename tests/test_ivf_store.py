@@ -406,3 +406,41 @@ def test_stream_semantic_matches_are_split_independent(spark, emb, cent, tmp_pat
         for r in semantic_match_batch(base, None, cent, 0.25).collect()
     }
     assert streamed == single and len(single) > 0
+
+
+def test_stream_semantic_matches_honor_tombstones(spark, emb, cent, tmp_path):
+    """A vector tombstoned from the store mid-stream must stop generating
+    matches in later micro-batches (logical deletes honored between
+    compactions) — and an id present in both store and batch must never
+    match itself."""
+    from custom_columnar_format_spark.streaming.vectors import semantic_match_batch
+
+    base = emb.select("vec_id", "embedding")
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(base, store, cent)
+
+    # pick a stored id that WOULD match something in a batch at this threshold
+    probe_batch = base.filter(F.col("vec_id") % 3 == 0)
+    store_df = spark.read.parquet(store)
+    t = 0.25
+    m0 = semantic_match_batch(probe_batch, store_df, cent, t)
+    # a STORE-ONLY participant (not also in the batch): tombstoning only
+    # removes store-side participation — the same id re-arriving in a batch
+    # is a new document and may still match within-batch
+    a_match = m0.filter(
+        (F.col("id_a") % 3 != 0) | (F.col("id_b") % 3 != 0)
+    ).first()
+    assert a_match is not None
+    dead_id = int(
+        a_match["id_b"] if a_match["id_b"] % 3 != 0 else a_match["id_a"]
+    )
+
+    S.ivf_delete_ids(spark.createDataFrame([(dead_id,)], "vec_id int"), store)
+    dead = S.ivf_tombstones(spark, store)
+    live = store_df.join(F.broadcast(dead), "vec_id", "left_anti")
+    m1 = semantic_match_batch(probe_batch, live, cent, t)
+    assert m1.filter(
+        (F.col("id_a") == dead_id) | (F.col("id_b") == dead_id)
+    ).count() == 0
+    # self-guard: ids shared by batch and store never pair with themselves
+    assert m1.filter(F.col("id_a") == F.col("id_b")).count() == 0
