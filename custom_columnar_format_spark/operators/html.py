@@ -117,7 +117,13 @@ def decode_numeric_entities(text: Column) -> Column:
     BMP-only by design: astral refs (+ NUL and surrogates) stay literal —
     the guard keeps both engines total (DuckDB chr() errors on surrogates)
     and astral typography is vanishingly rare in boilerplate. All JVM
-    built-ins; the DuckDB twin is the same split/transform with chr()."""
+    built-ins; the DuckDB twin is the same split/transform with chr().
+
+    The whole split/transform pipeline is gated behind a cheap
+    ``contains('&#')`` pre-filter: most real blocks carry no numeric refs,
+    and without a ref the decode is the identity, so the gate is
+    semantics-identical while skipping ~all of the cost (r9 VERDICT: the
+    ungated pass was a 1.8-1.9x regression on q_html_extract_stats)."""
     pieces = F.split(text, "&#")
 
     def _piece(p: Column, i: Column) -> Column:
@@ -134,7 +140,8 @@ def decode_numeric_entities(text: Column) -> Column:
             .otherwise(F.concat(F.lit("&#"), p))
         )
 
-    return F.array_join(F.transform(pieces, _piece), "")
+    decoded = F.array_join(F.transform(pieces, _piece), "")
+    return F.when(text.contains("&#"), decoded).otherwise(text)
 
 
 def decode_entities(text: Column) -> Column:
@@ -142,12 +149,18 @@ def decode_entities(text: Column) -> Column:
     numeric character references, then &amp; LAST — so '&amp;lt;' →
     '&lt;' and '&amp;#39;' → '&#39;' (one decode each). The one inherent
     ordering trade: '&#38;amp;' ends as '&' (numeric must precede amp or
-    the far more common '&amp;#NN;' pattern would double-decode)."""
+    the far more common '&amp;#NN;' pattern would double-decode).
+
+    Gated on ``contains('&')``: every entity form starts with '&', so a
+    text without one decodes to itself and the whole replace/split chain
+    can be skipped per-row (the numeric pass inside carries its own
+    tighter '&#' gate for texts with named refs only)."""
     out = text
     for ent, rep in ENTITIES_NAMED:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = decode_numeric_entities(out)
-    return F.replace(out, F.lit(ENTITY_AMP[0]), F.lit(ENTITY_AMP[1]))
+    out = F.replace(out, F.lit(ENTITY_AMP[0]), F.lit(ENTITY_AMP[1]))
+    return F.when(text.contains("&"), out).otherwise(text)
 
 
 def _tagless_text(fragment: Column) -> Column:

@@ -58,6 +58,33 @@ def test_numeric_entities_single_decode_with_amp(spark):
     assert _one(spark, page, html.html_to_text) == "&#8217; and &lt;"
 
 
+def test_entity_gates_are_identity_without_refs(spark):
+    # r9 VERDICT: the decode chain is gated on contains('&') / contains('&#')
+    # — the gates must be exactly identity-preserving on every boundary:
+    # no '&' at all, '&' without any entity, named-only, numeric-only, and
+    # empty/null inputs.
+    cases = [
+        ("plain text no entities at all", "plain text no entities at all"),
+        ("AT&T rocks & rolls", "AT&T rocks & rolls"),  # '&' but no entity
+        ("a &lt; b", "a < b"),  # named only (no '&#')
+        ("it&#8217;s", "it’s"),  # numeric only
+        ("&amp;#39; mix &#x41;", "&#39; mix A"),  # both, single-decode
+        ("", ""),
+    ]
+    df = spark.createDataFrame(cases, "t: string, want: string").select(
+        html.decode_entities(F.col("t")).alias("got"), "want"
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.got, r.want)
+    # null stays null through both gates
+    null_row = (
+        spark.createDataFrame([(None,)], "t: string")
+        .select(html.decode_entities(F.col("t")).alias("got"))
+        .collect()[0]
+    )
+    assert null_row.got is None
+
+
 def test_br_splits_blocks_for_density_rule(spark):
     # <br>-separated short/link lines must split into their own blocks and
     # be dropped — previously they fused into one block and rode through
