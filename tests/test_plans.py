@@ -146,12 +146,90 @@ def _aqe_off(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+#: plan nodes beneath a partition-less Window that bound its input size:
+#: an explicit top-k / limit, a literal local table, or an aggregation
+#: (group-cardinality tables — the mixing-weights/skyline shape)
+_BOUNDED_MARKERS = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalTableScan",
+    "OneRowRelation",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+)
+
+
+def _window_groups(body: str) -> list:
+    """Top-level `[...]` groups of a Window node's argument list. 3 groups
+    = [exprs], [partition], [order]; 2 groups = either [exprs], [order]
+    (partition-less) or [exprs], [partition] (no ordering)."""
+    depth = 0
+    groups = []
+    cur = []
+    for ch in body:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _tree_indent(ln: str) -> int:
+    """Depth of a plan-tree line: position of the node name past the
+    ' ', ':', '+', '-' tree-drawing prefix (union branches use ':' which
+    is not whitespace, so leading-space counting misreads them)."""
+    i = 0
+    while i < len(ln) and ln[i] in " :+-":
+        i += 1
+    return i
+
+
+def _global_window_violations(plan: str) -> list:
+    """Partition-less Window nodes whose subtree has NO bounding node —
+    i.e. a corpus-scale scan funnels into one task (r9 VERDICT #2)."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        pos = ln.find("Window [")
+        if pos < 0:
+            continue
+        groups = _window_groups(ln[pos + len("Window ") :])
+        if len(groups) >= 3:
+            continue  # partitioned window — distributes fine
+        # 2 groups: partition-less iff the 2nd group is an ORDER spec
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # [exprs], [partition] — partitioned, unordered frame
+        indent = _tree_indent(ln)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _tree_indent(nxt) <= indent:
+                break
+            subtree.append(nxt)
+        if not any(mk in s for s in subtree for mk in _BOUNDED_MARKERS):
+            bad.append(ln.strip()[:100])
+    return bad
+
+
 def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
     """Fleet-wide plan lint: NO registered relational/LLM query may plan a
     CartesianProduct or BroadcastNestedLoopJoin — the two shapes that melt
-    at 100 TB. Allowlist: queries whose SEMANTICS are a cross join (explicit
-    cross-join query; scalar-subquery × scalar-subquery joins, where the
-    build side is provably one row)."""
+    at 100 TB — and no partition-less WindowExec over an unbounded input
+    (a global window must sit above a limit/top-k or an aggregated table,
+    never a raw corpus scan — r9 VERDICT #2). Allowlist: queries whose
+    SEMANTICS are a cross join (explicit cross-join query; scalar-subquery
+    × scalar-subquery joins, where the build side is provably one row)."""
     allow = {
         "q_cross_join_segments",   # intentionally a cartesian (tiny × tiny)
         "q_funnel_3step",          # joins three single-row aggregates at the top
@@ -184,6 +262,7 @@ def test_plan_lint_no_cartesian_or_bnl_anywhere(spark, sf_small, qs):
         except Exception:
             continue  # environment-gated queries lint nothing
         hits = [m for m in ("CartesianProduct", "BroadcastNestedLoop") if m in p]
+        hits += _global_window_violations(p)
         if hits:
             bad[name] = hits
     assert not bad, f"scale-hostile join shapes: {bad}"
