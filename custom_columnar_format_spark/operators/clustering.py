@@ -136,6 +136,28 @@ def incremental_components(
     )
     # ONE pass over corpus-scale state: the stars of endpoints history knows
     star = state.join(F.broadcast(ends), "node", "left_semi").select("node", "label")
+    # r9 VERDICT #8: the correctness argument REQUIRES stored labels to be
+    # converged minima (label = min reachable id ⇒ label <= node). A
+    # non-canonical state table — crash mid-maintenance, manual edit —
+    # would silently mislabel; check the necessary condition on the star
+    # slice (batch-bounded rows only, so the guard costs O(batch)). A
+    # filter on assert_true(...).isNull() cannot be pruned.
+    star = star.filter(
+        F.assert_true(
+            F.col("label") <= F.col("node"),
+            F.concat(
+                F.lit("incremental_components: non-canonical state (label "),
+                F.col("label").cast("string"),
+                F.lit(" > node "),
+                F.col("node").cast("string"),
+                F.lit(
+                    ") — the cluster state table is not a converged"
+                    " connected_components output; rebuild it from scratch"
+                    " before folding further batches"
+                ),
+            ),
+        ).isNull()
+    )
     star_a = F.broadcast(star.select(F.col("node").alias("a"), F.col("label").alias("la")))
     star_b = F.broadcast(star.select(F.col("node").alias("b"), F.col("label").alias("lb")))
     mapped = (

@@ -142,3 +142,30 @@ def test_incremental_random_graphs_match_rebuild(spark):
         new += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(5)]
         new = [(a, b) for a, b in new if a != b]
         check_incremental(spark, hist, new)
+
+
+def test_incremental_rejects_non_canonical_state(spark):
+    """r9 VERDICT #8: a state table that is NOT a converged min-label
+    output (label > node — crash mid-maintenance, manual edit) must raise
+    loudly instead of silently mislabeling; a canonical state of the same
+    shape passes."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # corrupted: node 3 claims label 9 (> node) — impossible for converged
+    # min-label state
+    bad_state = spark.createDataFrame(
+        [(3, 9), (9, 9)], "node: long, component: long"
+    )
+    new_edges = spark.createDataFrame([(100, 3)], "id_a: long, id_b: long")
+    with pytest.raises((Py4JJavaError, Exception), match="non-canonical"):
+        clustering.incremental_components(bad_state, new_edges).collect()
+
+    good_state = spark.createDataFrame(
+        [(3, 3), (9, 3)], "node: long, component: long"
+    )
+    got = {
+        r.node: r.component
+        for r in clustering.incremental_components(good_state, new_edges).collect()
+    }
+    assert got == {3: 3, 9: 3, 100: 3}
