@@ -595,12 +595,18 @@ def _query_scratch(prefix: str, sf_dir: str) -> str:
     """Per-process scratch path for store-building queries: stable WITHIN a
     process (bench pass 1/pass 2 reuse and overwrite it) but pid-qualified
     so two concurrent drivers on one machine can never race each other's
-    rmtree/write/read even under a pinned PYTHONHASHSEED."""
+    rmtree/write/read even under a pinned PYTHONHASHSEED. Tracked for
+    removal at process exit (r9 ADVICE: repeated runs were leaking
+    corpus-sized stores into the temp dir)."""
     import os
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    from .scratch import track
+
+    return track(
+        os.path.join(
+            tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+        )
     )
 
 
@@ -660,6 +666,89 @@ def q_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_partitioned(
         spark, path, qv, cent, k=10, nprobe=4, honor_tombstones=True
     )
+
+
+def _ivf_rebuilt_oracle_sql(
+    k: int = 10, nlist: int = 16, nprobe: int = 4, dead_mod: int = 7, dead_rem: int = 3
+) -> str:
+    """Replay of search over a REBUILT store: live vectors = all minus the
+    tombstoned ids; the NEW quantizer = the first ``nlist`` live vectors by
+    vec_id (deterministic, so the oracle replays the retrain the engine's
+    rebuild performed with the same explicit seed set); assignment, probe
+    choice, and top-k identical to _ivf_oracle_sql but over the live set
+    and the new centroids."""
+    return f"""
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {dead_mod} <> {dead_rem}
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM live ORDER BY vec_id LIMIT {nlist})
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent, q ORDER BY {_cos_sql('cv', 'qv')} DESC, cid LIMIT {nprobe}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM live e CROSS JOIN cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    cand AS (SELECT l.vec_id, l.embedding FROM lists l JOIN probe p USING (cid)),
+    scored AS (SELECT vec_id, {_cos_sql('embedding', 'qv')} AS c FROM cand, q)
+    SELECT vec_id, ROUND(c, 4) AS cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "q_sim_ivf_rebuilt",
+    _ivf_rebuilt_oracle_sql(),
+    doc="quantizer REBUILD — the operator a tripped drift monitor points at "
+    "(r9 VERDICT #3), closing the IVF store lifecycle: the full corpus is "
+    "materialized under the OLD seed quantizer, ids ≡ 3 (mod 7) are "
+    "tombstoned, then ivf_rebuild_store retrains on the LIVE rows (here an "
+    "explicit deterministic seed set — the first 16 live vectors — so the "
+    "oracle replays the retrain; the hash-sampled k-means path is covered "
+    "by tests), reassigns every surviving row in one Arrow-batched pass, "
+    "and ATOMICALLY swaps the new generation in (commit marker + two "
+    "whole-directory renames; crash at any point heals forward or rolls "
+    "back on the next call — never a mixed-generation layout, which would "
+    "silently break the probe→directory contract). Tombstones become "
+    "physical with the swap. The search then runs partition-pruned against "
+    "the NEW quantizer with no tombstone anti-join needed.",
+)
+def q_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import numpy as np
+
+    emb = _emb_spread(spark, sf_dir)
+    cent_old, qv = _seed_centroids(emb)
+    path = _query_scratch("ivf_rebuild", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_write_partitioned(emb, path, cent_old)
+    similarity.ivf_delete_ids(
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), path
+    )
+    # the new quantizer: first 16 LIVE vectors by id — deterministic, so
+    # the DuckDB oracle replays the exact same retrain
+    seeds = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 != 3)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    new_cent = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    cent_new, stats = similarity.ivf_rebuild_store(
+        spark, path, nlist=16, centroids=new_cent
+    )
+    assert not stats["skipped_empty"]
+    return similarity.ivf_topk_partitioned(spark, path, qv, cent_new, k=10, nprobe=4)
 
 
 @query(

@@ -11,18 +11,18 @@ assigned in time order per user, identical to the SQL formulation)."""
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..streaming import events as ev
 from .registry import query
+from .scratch import scratch_dir
 
 
 def _drain(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     name = f"stream_q_{uuid.uuid4().hex[:10]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    ck = scratch_dir(prefix=f"ck_{name}_")
     return ev.run_available_now(stream_df, name, ck, output_mode=output_mode)
 
 
@@ -191,8 +191,8 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     stream = ev.read_events_stream(spark, sf_dir).select("ts", "event_type", "value")
-    target = tempfile.mkdtemp(prefix="rollup_tbl_")
-    ck = tempfile.mkdtemp(prefix="rollup_ck_")
+    target = scratch_dir(prefix="rollup_tbl_")
+    ck = scratch_dir(prefix="rollup_ck_")
     q = rollup.start_continuous_rollup(stream, target, ck, window_duration="1 hour")
     q.awaitTermination()
     return (
@@ -253,7 +253,7 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="curation_src_")
+    src = scratch_dir(prefix="curation_src_")
     n_batches = 3
     for i in range(n_batches):
         # one parquet file per crawl batch → one micro-batch per trigger
@@ -265,9 +265,9 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sig_store = tempfile.mkdtemp(prefix="curation_sigs_")
-    matches_store = tempfile.mkdtemp(prefix="curation_matches_")
-    ck = tempfile.mkdtemp(prefix="curation_ck_")
+    sig_store = scratch_dir(prefix="curation_sigs_")
+    matches_store = scratch_dir(prefix="curation_matches_")
+    ck = scratch_dir(prefix="curation_ck_")
     q = curation.start_curation_loop(
         stream, sig_store, matches_store, ck, est_threshold=0.5
     )
@@ -332,7 +332,7 @@ def q_stream_curation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="curcl_src_")
+    src = scratch_dir(prefix="curcl_src_")
     n_batches = 3
     for i in range(n_batches):
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
@@ -343,10 +343,10 @@ def q_stream_curation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sig_store = tempfile.mkdtemp(prefix="curcl_sigs_")
-    matches_store = tempfile.mkdtemp(prefix="curcl_matches_")
-    clusters_store = tempfile.mkdtemp(prefix="curcl_state_")
-    ck = tempfile.mkdtemp(prefix="curcl_ck_")
+    sig_store = scratch_dir(prefix="curcl_sigs_")
+    matches_store = scratch_dir(prefix="curcl_matches_")
+    clusters_store = scratch_dir(prefix="curcl_state_")
+    ck = scratch_dir(prefix="curcl_ck_")
     q = curation.start_curation_loop(
         stream, sig_store, matches_store, ck,
         est_threshold=0.5, clusters_store=clusters_store,
@@ -536,7 +536,7 @@ def _emb_batch_stream(spark: SparkSession, sf_dir: str, prefix: str, n_batches: 
     from .llm_ops import _emb_spread
 
     base = _emb_spread(spark, sf_dir).select("vec_id", "embedding")
-    src = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    src = scratch_dir(prefix=f"{prefix}_src_")
     for i in range(n_batches):
         base.filter(F.col("vec_id") % n_batches == i).coalesce(1).write.mode(
             "append"
@@ -544,9 +544,9 @@ def _emb_batch_stream(spark: SparkSession, sf_dir: str, prefix: str, n_batches: 
     stream = (
         spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    store = tempfile.mkdtemp(prefix=f"{prefix}_store_")
+    store = scratch_dir(prefix=f"{prefix}_store_")
     shutil.rmtree(store)
-    ck = tempfile.mkdtemp(prefix=f"{prefix}_ck_")
+    ck = scratch_dir(prefix=f"{prefix}_ck_")
     return stream, store, ck
 
 
@@ -631,10 +631,86 @@ def q_stream_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent, _ = _seed_centroids(_emb_spread(spark, sf_dir))
     stream, store, ck = _emb_batch_stream(spark, sf_dir, "semcur")
-    matches = tempfile.mkdtemp(prefix="semcur_matches_")
+    matches = scratch_dir(prefix="semcur_matches_")
     shutil.rmtree(matches)
     q = start_vector_ingest_loop(
         stream, store, cent, ck, matches_store=matches, threshold=0.25
+    )
+    q.awaitTermination()
+    return spark.read.parquet(matches).select("id_a", "id_b", "cos_sim")
+
+
+def _stream_intersect_oracle_sql(
+    threshold: float = 0.25, nlist: int = 16, nprobe: int = 2
+) -> str:
+    """One-batch replay of the SYMMETRIC MULTIPROBE streaming tier: every
+    vector's nprobe nearest lists (cos DESC, cid tiebreak — the engine's
+    stable argsort), a pair is a match iff the probe SETS intersect and the
+    floor-rounded cosine clears the threshold. The engine emits each pair
+    once via its min-witness filter; the replay dedupes the multi-witness
+    join with GROUP BY — same set either way. Valid for ANY micro-batch
+    split because set intersection is symmetric."""
+    from .llm_ops import _cos_sql
+
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    pr AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.id_a, c.id_b,
+             floor({_cos_sql('u.embedding', 'v.embedding')} * 1e4 + 0.5) / 1e4 AS cos_sim
+      FROM cand c
+      JOIN embeddings u ON u.vec_id = c.id_a
+      JOIN embeddings v ON v.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM m WHERE cos_sim >= {threshold}
+    """
+
+
+@query(
+    "q_stream_semantic_intersect",
+    _stream_intersect_oracle_sql(),
+    doc="STREAMING semantic curation on the SYMMETRIC MULTIPROBE tier (r9 "
+    "VERDICT #4): same micro-batch loop as q_stream_semantic_curation, but "
+    "blocking='intersect' — every vector probes its 2 nearest lists and a "
+    "pair is considered iff the probe SETS intersect. Set intersection is "
+    "symmetric, so the drained match set stays batch-split-independent "
+    "(the oracle replays ONE batch over all vectors) while recovering the "
+    "boundary-pair recall co-assignment drops (measured 0.940 → 0.996 on "
+    "planted near-dups — SCALE.md round-10). Each pair emits once via a "
+    "min-witness filter (joined list == min of the probe-set "
+    "intersection), no dropDuplicates shuffle; the loop persists "
+    "ivf_probes into the store so stored rows match through their full "
+    "sets, and the store's cross scan prunes to directories via the "
+    "hidden (ivf_list, probe) adjacency table (≤ nlist² rows — "
+    "candidate partitions = batch's probed lists ∪ lists that probe into "
+    "them; full-scan fallback when unrecorded). The single-list tier "
+    "remains the default.",
+)
+def q_stream_semantic_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.vectors import start_vector_ingest_loop
+    from .llm_ops import _emb_spread, _seed_centroids
+
+    cent, _ = _seed_centroids(_emb_spread(spark, sf_dir))
+    stream, store, ck = _emb_batch_stream(spark, sf_dir, "semint")
+    matches = scratch_dir(prefix="semint_matches_")
+    shutil.rmtree(matches)
+    q = start_vector_ingest_loop(
+        stream, store, cent, ck, matches_store=matches, threshold=0.25,
+        blocking="intersect", nprobe=2,
     )
     q.awaitTermination()
     return spark.read.parquet(matches).select("id_a", "id_b", "cos_sim")

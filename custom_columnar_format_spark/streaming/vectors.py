@@ -2,34 +2,43 @@
 into the IVF serving store micro-batch by micro-batch — the similarity-side
 twin of the document curation loop (streaming/curation.py). A 100 TB
 embedding store is never built once; it accumulates from the same crawl
-cadence as the text corpus, and the ANN index has to stay queryable
-THROUGHOUT. With a ``matches_store`` attached, each batch additionally
-near-dups within itself and against the accumulated store
-(``semantic_match_batch`` — SemDeDup co-assignment blocking) before
-folding in, so semantic duplicates are flagged at ingest time.
+cadence as the text corpus, and the ANN index stays queryable between
+maintenance passes (``ivf_compact_store`` itself is stop-the-world for
+readers: its directory swap leaves the plain-parquet layout partial for the
+duration of the rename window — a real cluster hides that behind a
+table-format commit or a versioned store directory + atomic pointer; see
+operators/similarity.py ivf_compact_store). With a ``matches_store``
+attached, each batch additionally near-dups within itself and against the
+accumulated store (``semantic_match_batch``) before folding in, so semantic
+duplicates are flagged at ingest time.
 
 Each micro-batch (foreachBatch):
 
-1. ``ivf_add_batch``: assign the batch against the FROZEN stored coarse
+1. ``semantic_match_batch`` (optional): the batch's near-dup pairs within
+   itself and against the stored corpus land in a ``batch=<id>``-partitioned
+   matches table;
+2. ``ivf_add_batch``: assign the batch against the FROZEN stored coarse
    quantizer and append into the per-list directories — O(batch), never
-   O(store), and the store stays partition-prunable for queries running
-   concurrently;
-2. every ``compact_every`` batches, ``ivf_compact_store``: purge any
-   tombstones and rewrite each inverted list to one file, so the
-   small-file count (and scan planning cost) stays bounded no matter how
-   long the stream runs — the same lifecycle contract as
-   ``maintain_sig_store``.
+   O(store) — after an id anti-join against the touched lists' stored ids
+   (partition-pruned, id-only read) so an at-least-once REPLAY of the batch
+   (foreachBatch ran, checkpoint commit didn't) folds in as a no-op instead
+   of appending duplicates (r9 ADVICE);
+3. every ``compact_every`` batches, ``ivf_compact_store``: purge tombstones
+   and rewrite each inverted list to one file, so the small-file count (and
+   scan planning cost) stays bounded no matter how long the stream runs —
+   the same lifecycle contract as ``maintain_sig_store``.
 
-Determinism: with a frozen quantizer, assignment is per-row and
-order-free, so the drained multi-batch store answers any IVF query
-identically to an index built from scratch over the union — that
+Determinism: with a frozen quantizer, assignment (and the nprobe probe set)
+is per-row and order-free, so the drained multi-batch store answers any IVF
+query identically to an index built from scratch over the union — that
 equivalence is what the DuckDB oracle of ``q_stream_ivf_ingest`` replays
 (the ``q_stream_curation`` pattern).
 
 Quantizer staleness is NOT handled here by design — retraining centroids
 mid-stream would silently move prior assignments and break the
 probe→directory contract. Run ``ivf_drift_stats`` on a cadence and rebuild
-deliberately when it trips (operators/similarity.py).
+deliberately with ``ivf_rebuild_store`` when it trips
+(operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -47,59 +56,150 @@ def semantic_match_batch(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocking: str = "assign",
+    nprobe: int = 2,
 ) -> DataFrame:
     """ONE micro-batch's semantic near-dup matches — within the batch and
     against the stored corpus — as (id_a, id_b, cos_sim), id_a < id_b.
 
-    Blocking is CO-ASSIGNMENT (classic SemDeDup: a pair is considered iff
-    both vectors assign to the same inverted list). Chosen for the
-    streaming loop deliberately: cluster equality is symmetric, so the
-    drained multi-batch match set equals ONE batch computation over the
-    union regardless of how vectors were split into micro-batches (the
-    ``q_stream_curation`` replay property) — within-batch pairs surface
-    immediately, cross-batch pairs exactly once when the later member
-    arrives and joins the stored one's list. The asymmetric nprobe>1 tier
-    (higher boundary recall, order-dependent) stays available as the batch
-    operator gated by q_embedding_neardup_incremental.
+    Two SYMMETRIC blocking tiers (both replay-deterministic: the drained
+    multi-batch match set equals ONE batch computation over the union
+    regardless of how vectors were split into micro-batches — within-batch
+    pairs surface immediately, cross-batch pairs exactly once when the
+    later member arrives):
 
-    One assignment pass: if ``batch_df`` already carries ``ivf_list`` the
-    UDF is skipped (the ingest loop assigns once and reuses it for both
-    join sides AND the store write). The store side keeps its partition
-    column, so the cross join prunes to the batch's assigned directories.
-    A stored row with the SAME id as a batch row (an at-least-once replay
-    or a re-crawl) is excluded — a vector is not its own duplicate."""
+    - ``blocking="assign"`` (default, classic SemDeDup co-assignment): a
+      pair is considered iff both vectors assign to the same inverted
+      list. Cheapest; drops boundary pairs whose members straddle a
+      cluster boundary.
+    - ``blocking="intersect"`` (r9 VERDICT #4): BOTH sides probe their
+      ``nprobe`` nearest lists and a pair is considered iff the probe SETS
+      intersect. Set intersection is symmetric — unlike the asymmetric
+      query-probes-nprobe/corpus-keeps-one tier of ``ivf_threshold_join``
+      — so it stays order-independent while recovering most of the
+      boundary-pair recall single-list blocking drops (recall comparison
+      recorded in SCALE.md). Each candidate pair is emitted ONCE: the
+      joined list must equal the MINIMUM of the two probe sets'
+      intersection (a deterministic witness — no dropDuplicates shuffle).
+
+    One assignment pass: if ``batch_df`` already carries ``ivf_list`` (and
+    ``ivf_probes`` for the intersect tier) the assignment UDF is skipped —
+    the ingest loop assigns once and reuses it for both join sides AND the
+    store write. Store rows match through their PERSISTED probe sets
+    (``ivf_probes``, written by the ingest loop when intersect blocking is
+    on); legacy rows without the column fall back to their assigned list
+    alone. Scale shape: the batch side is broadcast (batch-sized by
+    contract); under "assign" the store joins on its PARTITION column so
+    the scan prunes to the batch's lists; under "intersect" the store side
+    explodes a narrow (probes, id, vec) projection — this function matches
+    whatever ``store_df`` it is handed, and the ingest loop hands it a
+    DIRECTORY-PRUNED store view via the (ivf_list, probe) adjacency table
+    (``ivf_record_probe_adjacency``: candidate partitions = the batch's
+    probed lists ∪ lists that probe into them; full-scan fallback when no
+    adjacency was ever recorded).
+
+    Replay guard: store rows whose id appears IN the batch are excluded
+    wholesale (anti-join on the batch's id set, not a per-row id
+    inequality) — after an at-least-once replay the store already contains
+    the batch's own rows, and matching against them would emit every
+    within-batch pair a second and third time (r9 ADVICE)."""
     from ..functions.vector import cosine
 
+    if blocking not in ("assign", "intersect"):
+        raise ValueError(f"unknown blocking tier: {blocking!r}")
+
     b = batch_df
+    if blocking == "intersect" and "ivf_probes" not in b.columns:
+        b = b.withColumn(
+            "ivf_probes", similarity.ivf_probe_lists(centroids, nprobe, vec_col)
+        )
     if "ivf_list" not in b.columns:
-        b = b.withColumn("ivf_list", similarity.ivf_assign(centroids, vec_col))
-    b = b.select("ivf_list", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        b = b.withColumn(
+            "ivf_list",
+            F.element_at("ivf_probes", 1)
+            if blocking == "intersect"
+            else similarity.ivf_assign(centroids, vec_col),
+        )
+    keep = ["ivf_list", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if blocking == "intersect":
+        keep.append(F.col("ivf_probes").alias("_pb"))
+    b = b.select(*keep)
     f4cos = lambda u, v: F.floor(cosine(u, v) * 1e4 + 0.5) / 1e4  # noqa: E731
 
-    lhs = b.select("ivf_list", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    within = (
-        lhs.join(
-            F.broadcast(
-                b.select("ivf_list", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-            ),
-            "ivf_list",
+    if blocking == "assign":
+        lhs = b.select("ivf_list", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        within = (
+            lhs.join(
+                F.broadcast(
+                    b.select(
+                        "ivf_list", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+                    )
+                ),
+                "ivf_list",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", f4cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", f4cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    else:
+        bx = b.withColumn("_p", F.explode("_pb"))
+        lhs = bx.select(
+            "_p", F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+            F.col("_pb").alias("_pa"),
+        )
+        rhs = bx.select(
+            "_p", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+            F.col("_pb").alias("_pbb"),
+        )
+        within = (
+            lhs.join(F.broadcast(rhs), "_p")
+            .filter(F.col("id_a") < F.col("id_b"))
+            # min-witness: emit on exactly one shared probe list
+            .filter(F.col("_p") == F.array_min(F.array_intersect("_pa", "_pbb")))
+            .select("id_a", "id_b", f4cos(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
     if store_df is None:
         return within
-    cross = (
-        store_df.join(F.broadcast(b), "ivf_list")
-        .filter(F.col(id_col) != F.col("_id"))  # replay/re-crawl self-guard
-        .select(
-            F.least(F.col(id_col), F.col("_id")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("_id")).alias("id_b"),
-            f4cos(F.col(vec_col), F.col("_v")).alias("cos_sim"),
+
+    # replay guard: exclude EVERY stored copy of the batch's own ids (see
+    # docstring) — batch-sized build side, safe to broadcast
+    batch_ids = b.select(F.col("_id").alias(id_col)).distinct()
+    s = store_df.join(F.broadcast(batch_ids), id_col, "left_anti")
+
+    if blocking == "assign":
+        cross = (
+            s.join(F.broadcast(b), "ivf_list")
+            .select(
+                F.least(F.col(id_col), F.col("_id")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_id")).alias("id_b"),
+                f4cos(F.col(vec_col), F.col("_v")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    else:
+        # persisted probe sets; legacy single-list rows fall back to their
+        # assigned list (their probe set degenerates to {ivf_list})
+        sp = (
+            F.col("ivf_probes")
+            if "ivf_probes" in s.columns
+            else F.array(F.col("ivf_list"))
+        )
+        sx = s.select(
+            F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"),
+            F.coalesce(sp, F.array(F.col("ivf_list"))).alias("_sp"),
+        ).withColumn("_p", F.explode("_sp"))
+        bx = b.withColumn("_p", F.explode("_pb"))
+        cross = (
+            sx.join(F.broadcast(bx), "_p")
+            .filter(F.col("_p") == F.array_min(F.array_intersect("_sp", "_pb")))
+            .select(
+                F.least(F.col("_sid"), F.col("_id")).alias("id_a"),
+                F.greatest(F.col("_sid"), F.col("_id")).alias("id_b"),
+                f4cos(F.col("_sv"), F.col("_v")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     return within.unionByName(cross)
 
 
@@ -114,6 +214,8 @@ def start_vector_ingest_loop(
     available_now: bool = True,
     matches_store: str | None = None,
     threshold: float = 0.9,
+    blocking: str = "assign",
+    nprobe: int = 2,
 ):
     """Attach the IVF ingest loop to an embedding stream via foreachBatch.
 
@@ -125,7 +227,28 @@ def start_vector_ingest_loop(
     at-least-once re-execution stays idempotent). Within-batch pairs
     surface immediately; cross-batch pairs exactly once, when the later
     member arrives and joins the stored one's list; tombstoned store rows
-    are excluded (logical deletes honored between compactions)."""
+    are excluded (logical deletes honored between compactions).
+    ``blocking="intersect"`` switches matching to the symmetric
+    multiprobe tier (see ``semantic_match_batch``) and persists each row's
+    ``ivf_probes`` into the store so stored rows match through their FULL
+    probe sets.
+
+    Replay idempotence (r9 ADVICE): both store-mutating steps tolerate an
+    at-least-once re-execution of a micro-batch —
+
+    - the index add anti-joins the batch against the ids already stored in
+      its touched lists (partition-pruned, id-only read), so a replayed
+      batch appends nothing and the drained store stays row-identical to a
+      from-scratch build (``ivf_compact_store`` never dedupes by id, so
+      appended duplicates would be permanent);
+    - the matches write recomputes against a store view that EXCLUDES the
+      batch's own ids (``semantic_match_batch``'s anti-join guard), so the
+      ``batch=<id>`` overwrite reproduces the original partition exactly.
+
+    A consequence of the id anti-join: a TOMBSTONED id stays dead until
+    compaction physically purges it — re-ingesting the same id revives it
+    only after ``ivf_compact_store`` has run.
+    """
     import os
 
     spark = stream_df.sparkSession
@@ -134,30 +257,86 @@ def start_vector_ingest_loop(
         if bdf.isEmpty():
             return
         # assign ONCE per batch; the matches joins and the store write all
-        # reuse the column instead of re-running the centroid matmul UDF
-        assigned = bdf.withColumn(
-            "ivf_list", similarity.ivf_assign(centroids, vec_col)
+        # reuse the column(s) instead of re-running the centroid matmul UDF
+        if blocking == "intersect":
+            assigned = bdf.withColumn(
+                "ivf_probes", similarity.ivf_probe_lists(centroids, nprobe, vec_col)
+            ).withColumn("ivf_list", F.element_at("ivf_probes", 1))
+        else:
+            assigned = bdf.withColumn(
+                "ivf_list", similarity.ivf_assign(centroids, vec_col)
+            )
+        # the batch is reused by the matches joins, the touched-list scan,
+        # the replay anti-join, and the store write — cache it so the
+        # centroid-matmul UDF runs once per batch, not once per consumer
+        assigned = assigned.persist()
+        has_store = os.path.isdir(store) and any(
+            e.startswith("ivf_list=") for e in os.listdir(store)
         )
         if matches_store is not None:
             store_df = None
-            if os.path.isdir(store) and any(
-                e.startswith("ivf_list=") for e in os.listdir(store)
-            ):
+            if has_store:
                 store_df = spark.read.parquet(store)
+                if blocking == "intersect":
+                    # directory pruning for the cross scan: a store row can
+                    # witness an intersection only on one of its OWN probes,
+                    # so candidate partitions = the batch's probed lists P
+                    # (identity: every row's assigned list is in its probe
+                    # set) ∪ assigned lists that probe INTO P per the
+                    # store's adjacency table (≤ nlist² rows, exact —
+                    # maintained by ivf_add_batch / compaction / rebuild).
+                    # Both collects are nlist-bounded.
+                    P = {
+                        r[0]
+                        for r in assigned.select(
+                            F.explode("ivf_probes").alias("p")
+                        ).distinct().collect()
+                    }
+                    cand = set(P)
+                    adj = similarity.ivf_probe_adjacency(spark, store)
+                    if adj is not None:
+                        cand |= {
+                            r[0]
+                            for r in adj.filter(F.col("probe").isin(list(P)))
+                            .select("ivf_list")
+                            .distinct()
+                            .collect()
+                        }
+                        store_df = store_df.filter(
+                            F.col("ivf_list").isin(sorted(cand))
+                        )
+                    # no adjacency recorded (store predates the intersect
+                    # loop): full scan — pruning must never lose a witness
                 # honor logical deletes: a tombstoned vector must not keep
                 # generating matches between deletion and the next compaction
                 dead = similarity.ivf_tombstones(spark, store, id_col)
                 if dead is not None:
                     store_df = store_df.join(F.broadcast(dead), id_col, "left_anti")
             m = semantic_match_batch(
-                assigned, store_df, centroids, threshold, id_col, vec_col
+                assigned, store_df, centroids, threshold, id_col, vec_col,
+                blocking=blocking, nprobe=nprobe,
             )
             # batchId-scoped overwrite: an at-least-once replay of this
             # batch rewrites its own partition instead of appending dupes
             m.write.mode("overwrite").parquet(
                 os.path.join(matches_store, f"batch={bid}")
             )
-        similarity.ivf_add_batch(assigned, store, centroids, vec_col=vec_col)
+        fresh = assigned
+        if has_store:
+            # replay guard: drop rows whose id the store already holds in
+            # the batch's touched lists (bounded by nlist; the id-only read
+            # is partition-pruned to those directories)
+            touched = [
+                r[0] for r in assigned.select("ivf_list").distinct().collect()
+            ]
+            stored_ids = (
+                spark.read.parquet(store)
+                .filter(F.col("ivf_list").isin(touched))
+                .select(id_col)
+            )
+            fresh = assigned.join(stored_ids, id_col, "left_anti")
+        similarity.ivf_add_batch(fresh, store, centroids, vec_col=vec_col)
+        assigned.unpersist()
         if compact_every and (bid + 1) % compact_every == 0:
             similarity.ivf_compact_store(spark, store, id_col=id_col)
 

@@ -444,3 +444,308 @@ def test_stream_semantic_matches_honor_tombstones(spark, emb, cent, tmp_path):
     ).count() == 0
     # self-guard: ids shared by batch and store never pair with themselves
     assert m1.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_intersect_matches_equal_probe_set_definition(spark, emb, cent):
+    """blocking='intersect' must equal its definition exactly: unordered
+    pairs whose nprobe probe SETS intersect, at floor-rounded cosine >=
+    threshold — computed here by brute force; and it must be a superset of
+    co-assignment blocking (a co-assigned pair shares its assigned list
+    in both probe sets)."""
+    from custom_columnar_format_spark.functions.vector import cosine as _cos
+    from custom_columnar_format_spark.streaming.vectors import semantic_match_batch
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 150)
+    t = 0.25
+    probed = base.select(
+        "vec_id", "embedding", S.ivf_probe_lists(cent, 2).alias("p")
+    )
+    a = probed.select(
+        F.col("vec_id").alias("id_a"), F.col("p").alias("pa"),
+        F.col("embedding").alias("va"),
+    )
+    b = probed.select(
+        F.col("vec_id").alias("id_b"), F.col("p").alias("pb"),
+        F.col("embedding").alias("vb"),
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.size(F.array_intersect("pa", "pb")) > 0)
+        .select(
+            "id_a", "id_b",
+            (F.floor(_cos(F.col("va"), F.col("vb")) * 1e4 + 0.5) / 1e4).alias("c"),
+        )
+        .filter(F.col("c") >= t)
+        .collect()
+    }
+    got_rows = semantic_match_batch(
+        base, None, cent, t, blocking="intersect", nprobe=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want and len(want) > 0
+    # min-witness dedupe: each pair emitted exactly once
+    assert len(got_rows) == len(got)
+    # superset of co-assignment blocking at the same threshold
+    assign = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_match_batch(base, None, cent, t).collect()
+    }
+    assert assign <= got
+
+
+def test_stream_intersect_matches_are_split_independent(spark, emb, cent, tmp_path):
+    """r9 VERDICT #4 done-criterion: the symmetric multiprobe tier drained
+    over 4 micro-batches equals the ONE-batch computation over the union at
+    nprobe=2 (probe-set intersection is symmetric, hence batch-split-
+    independent), and the loop persists each row's probe set so stored
+    rows match through their FULL sets."""
+    from custom_columnar_format_spark.streaming.vectors import (
+        semantic_match_batch,
+        start_vector_ingest_loop,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        base.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "store")
+    matches = str(tmp_path / "matches")
+    q = start_vector_ingest_loop(
+        stream, store, cent, str(tmp_path / "ck"),
+        matches_store=matches, threshold=0.25, blocking="intersect", nprobe=2,
+    )
+    q.awaitTermination()
+    streamed = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(matches).collect()}
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_match_batch(
+            base, None, cent, 0.25, blocking="intersect", nprobe=2
+        ).collect()
+    }
+    assert streamed == single and len(single) > 0
+    st = spark.read.parquet(store)
+    assert "ivf_probes" in st.columns
+    assert st.filter(F.element_at("ivf_probes", 1) != F.col("ivf_list")).count() == 0
+    assert st.count() == base.count()
+
+
+def test_stream_ingest_replay_is_idempotent(spark, emb, cent, tmp_path):
+    """r9 ADVICE (medium): an at-least-once replay — foreachBatch ran but
+    the checkpoint commit didn't — must fold in as a no-op. Simulated
+    faithfully by deleting the LAST commit marker and restarting on the
+    same checkpoint (Structured Streaming re-executes that batch with the
+    same offsets): the store must stay row-identical (no appended
+    duplicates — compaction never dedupes by id, so they'd be permanent)
+    and the matches partitions must reproduce exactly. A full fresh-
+    checkpoint re-run (every batch replayed) must also add zero rows."""
+    import os as _os
+
+    from custom_columnar_format_spark.streaming.vectors import start_vector_ingest_loop
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        base.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    matches = str(tmp_path / "matches")
+
+    def run(ck):
+        stream = spark.readStream.schema(base.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = start_vector_ingest_loop(
+            stream, store, cent, ck, matches_store=matches, threshold=0.25
+        )
+        q.awaitTermination()
+
+    ck1 = str(tmp_path / "ck1")
+    run(ck1)
+    store_rows = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    match_rows = sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(matches).collect()
+    )
+    assert store_rows == sorted(r["vec_id"] for r in base.collect())
+
+    # crash simulation: last batch's commit never landed -> replay it
+    # (drop the checksum sidecar too, or the local Hadoop FS refuses the
+    # replayed commit's rename)
+    last = sorted(int(f) for f in _os.listdir(_os.path.join(ck1, "commits")) if f.isdigit())[-1]
+    _os.remove(_os.path.join(ck1, "commits", str(last)))
+    crc = _os.path.join(ck1, "commits", f".{last}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run(ck1)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == store_rows
+    assert sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(matches).collect()
+    ) == match_rows
+
+    # full replay (fresh checkpoint, same store): still zero new rows, and
+    # the drained match SET is unchanged (cross pairs may move between
+    # batch partitions when every batch sees the full store, so multiset
+    # equality is not the contract here — the set is)
+    run(str(tmp_path / "ck2"))
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == store_rows
+    assert {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(matches).collect()
+    } == set(match_rows)
+
+
+def test_rebuild_equals_scratch_build_over_survivors(spark, emb, cent, tmp_path):
+    """r9 VERDICT #3 done-criterion: after grow + tombstone + rebuild, the
+    store must be ROW-IDENTICAL to an index built from scratch over the
+    surviving vectors with the same new quantizer, tombstones become
+    physical, and search needs no tombstone anti-join."""
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb.filter(F.col("vec_id") % 5 != 0), store, cent)
+    S.ivf_add_batch(emb.filter(F.col("vec_id") % 5 == 0), store, cent)
+    S.ivf_delete_ids(emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), store)
+
+    new_cent, stats = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=7)
+    assert not stats["skipped_empty"] and stats["healed"] == "clean"
+
+    live = emb.filter(F.col("vec_id") % 7 != 3)
+    scratch = str(tmp_path / "scratch")
+    S.ivf_write_partitioned(live, scratch, new_cent)
+    got = sorted(
+        (r["vec_id"], r["ivf_list"]) for r in spark.read.parquet(store).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["ivf_list"]) for r in spark.read.parquet(scratch).collect()
+    )
+    assert got == want and len(got) == live.count()
+    # tombstones are physical now: set cleared with the old generation
+    assert S.ivf_tombstones(spark, store) is None
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    assert _rows(
+        S.ivf_topk_partitioned(spark, store, qv, new_cent, k=10, nprobe=3)
+    ) == _rows(S.ivf_topk_partitioned(spark, scratch, qv, new_cent, k=10, nprobe=3))
+
+
+def test_rebuild_trains_without_tombstoned_rows(spark, emb, cent, tmp_path):
+    """The retrain must sample the LIVE rows only — rebuilding after
+    tombstoning half the corpus must produce the same centroids as
+    training on the survivors directly (a takedown must not keep steering
+    the quantizer)."""
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    S.ivf_delete_ids(emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), store)
+    new_cent, _ = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=11)
+    want = S.ivf_centroids(emb.filter(F.col("vec_id") % 2 != 0), nlist=NLIST, seed=11)
+    assert np.allclose(new_cent, want)
+
+
+def test_rebuild_crash_windows_heal_on_next_call(spark, emb, cent, tmp_path):
+    """Every crash window of the two-rename swap heals to ONE coherent
+    generation on the next call — never a mixed-generation layout (old and
+    new lists are assigned under different quantizers; a mix silently
+    breaks the probe→directory contract)."""
+    import os as _os
+    import shutil as _shutil
+
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    rows_v1 = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    staged, parked = S._rebuild_dirs(store)
+
+    # window A: crash after staging, before any rename (no commit marker
+    # scenario covered too) -> store untouched, stage dropped
+    _os.makedirs(staged)
+    with open(_os.path.join(staged, "junk"), "w") as fh:
+        fh.write("partial")
+    assert S.ivf_rebuild_heal(store) == "dropped_stale"
+    assert not _os.path.isdir(staged)
+
+    # window B: crash between rename 1 and rename 2 (committed stage) ->
+    # heal completes the swap forward
+    new_cent, _ = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=3)
+    # stage a fake "next generation" with a commit marker, park the store
+    _shutil.copytree(store, staged)
+    with open(_os.path.join(staged, "_REBUILD_COMMIT"), "w") as fh:
+        fh.write("1")
+    _os.rename(store, parked)
+    assert S.ivf_rebuild_heal(store) == "completed_swap"
+    assert _os.path.isdir(store) and not _os.path.isdir(parked) and not _os.path.isdir(staged)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == rows_v1
+
+    # window C: crash after rename 1 with an UNcommitted stage -> roll the
+    # parked old generation back
+    _shutil.copytree(store, staged)  # no commit marker
+    _os.rename(store, parked)
+    assert S.ivf_rebuild_heal(store) == "restored_old"
+    assert _os.path.isdir(store) and not _os.path.isdir(parked) and not _os.path.isdir(staged)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == rows_v1
+
+
+def test_rebuild_recomputes_persisted_probe_sets(spark, emb, cent, tmp_path):
+    """A store carrying ivf_probes (the streaming intersect tier) must come
+    out of a rebuild with probe sets recomputed under the NEW quantizer —
+    stale arrays encode old list ids and would silently mis-block the
+    streaming matcher."""
+    store = str(tmp_path / "store")
+    base = emb.select(
+        "vec_id", "embedding", S.ivf_probe_lists(cent, 2).alias("ivf_probes")
+    ).withColumn("ivf_list", F.element_at("ivf_probes", 1))
+    S._write_listed(base, store, "parquet", "overwrite", cluster=True)
+
+    new_cent, _ = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=5)
+    st = spark.read.parquet(store)
+    assert "ivf_probes" in st.columns
+    # first probe == assigned list, and the arrays match a fresh recompute
+    assert st.filter(F.element_at("ivf_probes", 1) != F.col("ivf_list")).count() == 0
+    fresh = emb.select("vec_id", S.ivf_probe_lists(new_cent, 2).alias("want"))
+    joined = st.join(fresh, "vec_id")
+    assert joined.filter(F.col("ivf_probes") != F.col("want")).count() == 0
+    assert joined.count() == emb.count()
+
+
+def test_probe_adjacency_lifecycle(spark, emb, cent, tmp_path):
+    """The intersect tier's directory-pruning metadata: the ingest loop
+    records (ivf_list, probe) pairs; the dataset stays nlist-bounded and
+    exactly matches a recompute from the stored rows; compaction refreshes
+    it from the survivors; rebuild regenerates it under the NEW quantizer
+    (old list ids must not leak through)."""
+    from custom_columnar_format_spark.streaming.vectors import start_vector_ingest_loop
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        base.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "store")
+    q = start_vector_ingest_loop(
+        stream, store, cent, str(tmp_path / "ck"),
+        matches_store=str(tmp_path / "m"), threshold=0.25,
+        blocking="intersect", nprobe=2,
+    )
+    q.awaitTermination()
+
+    def exact_adj():
+        return {
+            (r["ivf_list"], r["probe"])
+            for r in spark.read.parquet(store)
+            .select("ivf_list", F.explode("ivf_probes").alias("probe"))
+            .filter(F.col("probe") != F.col("ivf_list"))
+            .distinct()
+            .collect()
+        }
+
+    adj = S.ivf_probe_adjacency(spark, store)
+    assert adj is not None
+    got = {(r["ivf_list"], r["probe"]) for r in adj.collect()}
+    assert got == exact_adj()
+    assert len(got) <= NLIST * (NLIST - 1)  # non-identity (list, probe) pairs
+
+    # compaction refresh: purge some rows, adjacency re-derives exactly
+    S.ivf_delete_ids(base.filter(F.col("vec_id") % 2 == 0).select("vec_id"), store)
+    S.ivf_compact_store(spark, store)
+    adj2 = {(r["ivf_list"], r["probe"]) for r in S.ivf_probe_adjacency(spark, store).collect()}
+    assert adj2 == exact_adj()
+
+    # rebuild regenerates under the new quantizer
+    new_cent, _ = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=13)
+    adj3 = {(r["ivf_list"], r["probe"]) for r in S.ivf_probe_adjacency(spark, store).collect()}
+    assert adj3 == exact_adj()
