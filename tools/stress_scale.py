@@ -619,6 +619,89 @@ def main():
                       "post_compact_search_s": round(search2_dt, 2),
                       "bounded": cstats["files_after"] <= nlist_ivf
                                  and all(v % 7 != 3 for v in survivors)}), flush=True)
+    # Round-10 stage: quantizer REBUILD at corpus scale — tombstone a fresh
+    # slice, retrain on the live rows (hash-sampled), reassign everything,
+    # and atomically swap generations; the rebuilt store must answer
+    # exactly like a from-scratch layout over the survivors under the NEW
+    # quantizer, with the tombstones gone physical.
+    dead2 = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
+    similarity.ivf_delete_ids(dead2, grown)
+    t0 = time.time()
+    new_cent, rstats = similarity.ivf_rebuild_store(
+        spark, grown, nlist=nlist_ivf, seed=23
+    )
+    rebuild_dt = time.time() - t0
+    live = emb.filter((F.col("vec_id") % 7 != 3) & (F.col("vec_id") % 11 != 5))
+    scratch2 = os.path.join(root, "scratch2")
+    similarity.ivf_write_partitioned(live, scratch2, new_cent)
+    got_r = [r.asDict() for r in
+             similarity.ivf_topk_partitioned(spark, grown, qv, new_cent, k=10, nprobe=4).collect()]
+    want_r = [r.asDict() for r in
+              similarity.ivf_topk_partitioned(spark, scratch2, qv, new_cent, k=10, nprobe=4).collect()]
+    print(json.dumps({"stage": "ivf_rebuild", "rows": rstats["n_live"],
+                      "seconds": round(rebuild_dt, 2),
+                      "vecs_per_sec": round(rstats["n_live"] / rebuild_dt),
+                      "healed": rstats["healed"],
+                      "equals_scratch_build": got_r == want_r,
+                      "tombstones_physical":
+                          similarity.ivf_tombstones(spark, grown) is None}), flush=True)
+
+    # Round-10 stage: the symmetric multiprobe semantic matcher vs the
+    # rebuilt store — a 2k ingest batch of PLANTED NEAR-TWINS (stored
+    # vector + deterministic per-dim noise, cosine ~0.96-0.98) matched
+    # against the 500k-vector store under both blocking tiers. Recall
+    # denominator = planted pairs whose exact floor-rounded cosine clears
+    # the threshold (computed by an id-equijoin, never all-pairs);
+    # intersect(nprobe=2) must dominate single-list co-assignment.
+    from custom_columnar_format_spark.functions.vector import cosine as _cos_col
+    from custom_columnar_format_spark.streaming.vectors import semantic_match_batch
+
+    t_match = 0.92
+    twin_src = live.filter(F.col("vec_id") % 250 == 0)
+    batch_vecs = twin_src.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: v + (
+                F.pmod(F.xxhash64(F.col("vec_id") * 97 + i.cast("long")), F.lit(1000))
+                .cast("double") / 1000.0 - 0.5
+            ) * 0.35,
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    planted_true = (
+        twin_src.alias("s")
+        .join(
+            batch_vecs.withColumn("orig", F.col("vec_id") - 10_000_000).alias("b"),
+            F.col("s.vec_id") == F.col("orig"),
+        )
+        .select(
+            F.col("s.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.floor(_cos_col(F.col("s.embedding"), F.col("b.embedding")) * 1e4 + 0.5) / 1e4).alias("c"),
+        )
+        .filter(F.col("c") >= t_match)
+    )
+    n_true = planted_true.count()
+    store_df = spark.read.parquet(grown)
+    tiers = {}
+    for blocking in ("assign", "intersect"):
+        before = completed_stage_ids(spark)
+        t0 = time.time()
+        m = semantic_match_batch(
+            batch_vecs, store_df, new_cent, t_match, blocking=blocking, nprobe=2
+        )
+        hits = m.filter(F.col("id_b") - F.col("id_a") == 10_000_000).count()
+        dt = time.time() - t0
+        ratio, sid = straggler_ratio(spark, before)
+        tiers[blocking] = hits
+        print(json.dumps({"stage": f"semantic_match_{blocking}", "rows": hits,
+                          "seconds": round(dt, 2),
+                          "planted_recall": round(hits / n_true, 4) if n_true else None,
+                          "n_true_pairs": n_true,
+                          "straggler_ratio": ratio, "straggler_stage": sid,
+                          "bounded": ratio is None or ratio <= 8.0}), flush=True)
+    print(json.dumps({"stage": "semantic_match_recall_order",
+                      "bounded": tiers["intersect"] >= tiers["assign"]}), flush=True)
     shutil.rmtree(root, ignore_errors=True)
 
     print(json.dumps({"stage": "TOTAL", "n_docs": n_docs, "n_vecs": n_vecs,
