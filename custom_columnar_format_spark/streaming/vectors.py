@@ -270,6 +270,12 @@ def start_vector_ingest_loop(
         # the replay anti-join, and the store write — cache it so the
         # centroid-matmul UDF runs once per batch, not once per consumer
         assigned = assigned.persist()
+        try:
+            _fold_batch(assigned, bid)
+        finally:
+            assigned.unpersist()
+
+    def _fold_batch(assigned: DataFrame, bid: int) -> None:
         has_store = os.path.isdir(store) and any(
             e.startswith("ivf_list=") for e in os.listdir(store)
         )
@@ -336,7 +342,6 @@ def start_vector_ingest_loop(
             )
             fresh = assigned.join(stored_ids, id_col, "left_anti")
         similarity.ivf_add_batch(fresh, store, centroids, vec_col=vec_col)
-        assigned.unpersist()
         if compact_every and (bid + 1) % compact_every == 0:
             similarity.ivf_compact_store(spark, store, id_col=id_col)
 
