@@ -409,7 +409,6 @@ def main() -> None:
     sf_scaling: dict[str, dict[str, float]] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
         cal = calibration(tmpdir)
-        cal.update(calibration_parallel(spark))
         queries.update(bench_scbf(spark, tmpdir))
         for qdict in (queries, queries_pass2):
             for name in HEADLINE:
@@ -501,6 +500,14 @@ def main() -> None:
         for scheme in ("md5", "gear"):
             queries[f"q_cdc_scan_{scheme}_x25"] = round(scan_t[scheme], 4)
             queries[f"q_exactsubstr_clean_{scheme}_x5"] = round(clean_t[scheme], 4)
+
+        # The PARALLEL probe runs LAST on purpose: measured at session
+        # start, its 3× 16M-row shuffle left enough JVM/shuffle residue to
+        # slow the first subsequent heavy job ~3-4× (q_dedup_minhash pass-1
+        # read 27-90 s across four runs vs 6-10 s with the probe removed —
+        # bisected this round). At the end it reads the same contention
+        # signal without polluting any timed query.
+        cal.update(calibration_parallel(spark))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     factor = cal["cal_factor"] or 1.0
