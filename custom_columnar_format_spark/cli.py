@@ -128,13 +128,29 @@ def custom_to_csv(args) -> None:
 
 def inspect(args) -> None:
     """Engine extension: print schema/rows/compression of an SCBF file
-    without touching data blocks (header + metadata only)."""
+    without touching data blocks (header + metadata only). ``--head N``
+    additionally previews the first N rows (or, with ``--cols``, the
+    first N values of each requested column) through the pure-Python
+    codec path — the reference's reader demo surface
+    (reference reader.py:164-198), no Spark session."""
     from .scbf.reader_api import SCBFReader
 
     r = SCBFReader(args.file_path)
     print(f"rows: {r.num_rows}")
     for name, tp in r.schema().items():
         print(f"  {name}: {tp}")
+    if args.head:
+        if args.cols:
+            data = r.read_columns(args.cols)
+            for k, v in data.items():
+                print(f"--- Column: {k} ({len(v)} rows) ---")
+                print(v[: args.head])
+        else:
+            names, rows = r.read_all()
+            print("Columns:", names)
+            print(f"First {args.head} rows:")
+            for row in rows[: args.head]:
+                print(row)
 
 
 def compact_cmd(args) -> None:
@@ -210,6 +226,10 @@ def main(argv=None) -> int:
 
     ins = sub.add_parser("inspect", help="print schema and row count (metadata-only read)")
     ins.add_argument("file_path")
+    ins.add_argument("--head", type=int, default=0, metavar="N",
+                     help="also preview the first N rows (codec path, no Spark)")
+    ins.add_argument("--cols", nargs="+", default=None,
+                     help="with --head: preview only these columns, reference demo style")
     ins.set_defaults(fn=inspect)
 
     cp = sub.add_parser("compact", help="rewrite small files; optional (z-)ordering")

@@ -135,3 +135,31 @@ def test_reader_class_api_v2(tmp_path):
     assert rows[1] == [2, None, False] and rows[2] == [None, "c", True]
     assert r.read_columns(["ok"]) == {"ok": [True, False, True, None]}
     assert r.to_arrow(["id"]).column("id").to_pylist() == [1, 2, None, 4]
+
+
+def test_cli_inspect_head_preview(sample_csv, tmp_path, capsys):
+    """``inspect --head N`` is the reference reader demo surface
+    (reference reader.py:164-198: first-N-rows preview, or per-column
+    first-N values with --cols) — pure codec path, no Spark session."""
+    scbf = str(tmp_path / "out.scbf")
+    cli_main(["csv_to_custom", sample_csv, scbf, "--local"])
+
+    assert cli_main(["inspect", scbf, "--head", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 3" in out
+    assert "Columns: ['id', 'score', 'name']" in out
+    assert "First 2 rows:" in out
+    assert "[1, 1.5, 'alpha']" in out and "[2, 2.5, 'beta']" in out
+    assert "'gamma'" not in out  # head honored
+
+    assert cli_main(["inspect", scbf, "--head", "2", "--cols", "name", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "--- Column: name (3 rows) ---" in out
+    assert "['alpha', 'beta']" in out
+    assert "--- Column: id (3 rows) ---" in out
+    assert "[1, 2]" in out
+
+    # no --head: metadata only, unchanged surface
+    assert cli_main(["inspect", scbf]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 3" in out and "First" not in out
