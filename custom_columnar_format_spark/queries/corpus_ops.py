@@ -671,18 +671,28 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5b: semantic dedup, RAG chunking, bigram LM scoring, n-gram diversity
 # ---------------------------------------------------------------------------
 
-_SEM_NLIST = 16
 _SEM_TAU = 0.3
 
 
-def _semdedup_oracle_sql(nlist: int = _SEM_NLIST, tau: float = _SEM_TAU) -> str:
+def _semdedup_oracle_sql(tau: float = _SEM_TAU) -> str:
     """Replay of semdedup_prune with the seed-vector coarse quantizer
     (embeddings of vec_id < nlist, same scheme as q_sim_ivf_topk): argmax-
     cosine cluster assignment (ties → smaller centroid id), within-cluster
     pairs at ROUND(cos,4) ≥ tau, pruned = any member with a lower-id
-    neighbor above threshold, per-cluster census."""
+    neighbor above threshold, per-cluster census. nlist derives from the
+    SAME size rule as the engine (similarity.sem_nlist: ~256 vectors per
+    cluster, floor 16, cap 65536) via a scalar subquery, so the contract
+    holds at ANY corpus size — a fixed nlist here silently diverged from
+    the engine past ~4.3k vectors (r10 ADVICE)."""
+    from ..operators.similarity import SEM_NLIST_CAP, SEM_NLIST_FLOOR
+
+    nlist_sql = (
+        f"GREATEST({SEM_NLIST_FLOOR}, LEAST((SELECT COUNT(*) FROM embeddings) // 256, "
+        f"{SEM_NLIST_CAP}))"
+    )
     return f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {nlist}),
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                  WHERE vec_id < {nlist_sql}),
     a AS (
       SELECT e.vec_id, e.embedding, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -703,6 +713,56 @@ def _semdedup_oracle_sql(nlist: int = _SEM_NLIST, tau: float = _SEM_TAU) -> str:
     """
 
 
+
+def _sem_seed_centroids(emb: DataFrame, nlist: int):
+    """Collect the nlist seed embeddings (vec_id < nlist) into the L2-
+    normalized quantizer matrix. The ONLY driver collect on the SemDeDup
+    path, and it is bounded by ``similarity.SEM_NLIST_CAP`` rows by
+    construction (callers pass ``sem_nlist(n)``) — tested with a patched
+    cap in tests/test_similarity.py so the bound holds at any sf."""
+    import numpy as np
+
+    seeds = {
+        r[0]: r[1]
+        for r in emb.filter(F.col("vec_id") < nlist)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
+
+
+def _semdedup_census(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """The q_semdedup_prune body, with the quantizer cap exposed so the
+    bounded-collect contract is testable at small corpora (tests patch
+    ``cap`` low and assert the seed matrix never exceeds it)."""
+    from ..operators import similarity
+
+    emb = _emb_spread(spark, sf_dir)
+    # nlist grows with the corpus up to a CAP (r9 VERDICT #6: a FIXED
+    # nlist makes the within-cluster quadratic scale as N²/nlist; r10
+    # VERDICT #1: an UNCAPPED nlist = n//256 made the seed collect linear
+    # in N — ~2 GB at 1B vectors). sem_nlist = max(16, min(n//256, 65536))
+    # bounds the driver collect and the shipped quantizer at a constant
+    # (≈34 MB at 64 dims, shipped via SparkContext broadcast past 4 MB —
+    # see ivf_assign), while per-cluster occupancy stays ~256 until the
+    # cap and grows as N/65536 after it, the SemDeDup paper's own regime.
+    # The oracle SQL derives nlist from the SAME rule via a scalar
+    # subquery, so engine and oracle agree at any corpus size.
+    n = emb.count()
+    nlist = (
+        similarity.sem_nlist(n) if cap is None else similarity.sem_nlist(n, cap=cap)
+    )
+    cent = _sem_seed_centroids(emb, nlist)
+    marked = similarity.semdedup_prune(emb, cent, threshold=_SEM_TAU)
+    return marked.groupBy("sem_cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("pruned").cast("int")).cast("bigint").alias("n_pruned"),
+    )
+
+
 @query(
     "q_semdedup_prune",
     _semdedup_oracle_sql(),
@@ -713,38 +773,14 @@ def _semdedup_oracle_sql(nlist: int = _SEM_NLIST, tau: float = _SEM_TAU) -> str:
     "pruned when a lower-id neighbor sits at cosine ≥ τ — greedy keep-"
     "first, deterministic on any engine. Per-cluster (n_vectors, n_pruned) "
     "report. Scale shape: one shuffle on the cluster id; the quadratic "
-    "pair expansion is bounded per cluster and nlist grows with the corpus "
-    "so per-partition work stays flat; cross-cluster duplicates are "
-    "SemDeDup's documented miss, the price of never joining all-pairs.",
+    "pair expansion is bounded per cluster — nlist grows with the corpus "
+    "(~256/cluster) up to a 65536 cap that bounds the driver-side seed "
+    "collect and the broadcast quantizer at a constant; cross-cluster "
+    "duplicates are SemDeDup's documented miss, the price of never "
+    "joining all-pairs.",
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from ..operators import similarity
-
-    emb = _emb_spread(spark, sf_dir)
-    # nlist grows with the corpus (r9 VERDICT #6: a FIXED nlist makes the
-    # within-cluster quadratic scale as N²/nlist — the bench's sf-scaling
-    # probe was measuring that parameterization artifact, not the
-    # production shape, which keeps per-cluster occupancy roughly flat).
-    # ~256 vectors per cluster; floors to the oracle's 16 at the gate SFs
-    # (500-row sf0.01 / 2000-row sf0.1), so the fixed-nlist DuckDB replay
-    # is exact where the driver compares.
-    n = emb.count()
-    nlist = max(_SEM_NLIST, n // 256)
-    seeds = {
-        r[0]: r[1]
-        for r in emb.filter(F.col("vec_id") < nlist)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
-    marked = similarity.semdedup_prune(emb, cent, threshold=_SEM_TAU)
-    return marked.groupBy("sem_cluster").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(F.col("pruned").cast("int")).cast("bigint").alias("n_pruned"),
-    )
+    return _semdedup_census(spark, sf_dir)
 
 
 _BIGRAM_K = 0.5

@@ -216,6 +216,7 @@ def start_vector_ingest_loop(
     threshold: float = 0.9,
     blocking: str = "assign",
     nprobe: int = 2,
+    replay_guard: str = "touched",
 ):
     """Attach the IVF ingest loop to an embedding stream via foreachBatch.
 
@@ -248,7 +249,26 @@ def start_vector_ingest_loop(
     A consequence of the id anti-join: a TOMBSTONED id stays dead until
     compaction physically purges it — re-ingesting the same id revives it
     only after ``ivf_compact_store`` has run.
+
+    **Id-immutability contract** (``replay_guard="touched"``, default):
+    the replay anti-join prunes the stored-id read to the batch's touched
+    lists, which is only exact when an id's embedding never changes — a
+    re-crawled id with a CHANGED vector can assign to a different list,
+    evade the guard, and append a permanent duplicate id (and an
+    unchanged-list re-crawl is silently dropped). Under this contract ids
+    are immutable once ingested; updating one means tombstone + compact +
+    re-ingest. ``replay_guard="full"`` drops the contract: the anti-join
+    reads the store's FULL id set (id-only, column-pruned — one narrow
+    column scan per batch instead of a pruned one), deterministically
+    rejecting every re-ingested id regardless of which list its new
+    vector lands in. Pick "full" when upstream can re-emit ids with new
+    embeddings (r10 ADVICE #4).
+
+    The store may be generational (``similarity.ivf_init_generational``);
+    each batch resolves the pointer once and folds into that generation.
     """
+    if replay_guard not in ("touched", "full"):
+        raise ValueError(f"replay_guard must be 'touched' or 'full', got {replay_guard!r}")
     import os
 
     spark = stream_df.sparkSession
@@ -276,13 +296,29 @@ def start_vector_ingest_loop(
             assigned.unpersist()
 
     def _fold_batch(assigned: DataFrame, bid: int) -> None:
-        has_store = os.path.isdir(store) and any(
-            e.startswith("ivf_list=") for e in os.listdir(store)
+        # one pointer resolution per batch: every read below (data,
+        # tombstones, adjacency, replay guard) targets the same snapshot
+        # directory — identity on flat stores
+        cur = similarity._resolve_store(store)
+        has_store = os.path.isdir(cur) and any(
+            e.startswith("ivf_list=") for e in os.listdir(cur)
         )
+
+        def _read_store() -> DataFrame:
+            r = spark.read
+            if blocking == "intersect":
+                # a store that started probeless (assign tier) and later
+                # switched to intersect mixes files with and without the
+                # ivf_probes column; without mergeSchema Spark may infer
+                # from a probeless file and silently degrade EVERY stored
+                # row to single-list fallback (r10 ADVICE #5)
+                r = r.option("mergeSchema", "true")
+            return r.parquet(cur)
+
         if matches_store is not None:
             store_df = None
             if has_store:
-                store_df = spark.read.parquet(store)
+                store_df = _read_store()
                 if blocking == "intersect":
                     # directory pruning for the cross scan: a store row can
                     # witness an intersection only on one of its OWN probes,
@@ -299,7 +335,7 @@ def start_vector_ingest_loop(
                         ).distinct().collect()
                     }
                     cand = set(P)
-                    adj = similarity.ivf_probe_adjacency(spark, store)
+                    adj = similarity.ivf_probe_adjacency(spark, cur)
                     if adj is not None:
                         cand |= {
                             r[0]
@@ -315,7 +351,7 @@ def start_vector_ingest_loop(
                     # loop): full scan — pruning must never lose a witness
                 # honor logical deletes: a tombstoned vector must not keep
                 # generating matches between deletion and the next compaction
-                dead = similarity.ivf_tombstones(spark, store, id_col)
+                dead = similarity.ivf_tombstones(spark, cur, id_col)
                 if dead is not None:
                     store_df = store_df.join(F.broadcast(dead), id_col, "left_anti")
             m = semantic_match_batch(
@@ -329,19 +365,26 @@ def start_vector_ingest_loop(
             )
         fresh = assigned
         if has_store:
-            # replay guard: drop rows whose id the store already holds in
-            # the batch's touched lists (bounded by nlist; the id-only read
-            # is partition-pruned to those directories)
-            touched = [
-                r[0] for r in assigned.select("ivf_list").distinct().collect()
-            ]
-            stored_ids = (
-                spark.read.parquet(store)
-                .filter(F.col("ivf_list").isin(touched))
-                .select(id_col)
-            )
+            if replay_guard == "full":
+                # exact by construction at the cost of an id-only scan of
+                # the whole store (one narrow column): rejects a re-crawled
+                # id even when its new vector assigns to a different list
+                stored_ids = _read_store().select(id_col)
+            else:
+                # "touched": drop rows whose id the store already holds in
+                # the batch's touched lists (bounded by nlist; the id-only
+                # read is partition-pruned to those directories). Exact
+                # ONLY under the id-immutability contract — see docstring.
+                touched = [
+                    r[0] for r in assigned.select("ivf_list").distinct().collect()
+                ]
+                stored_ids = (
+                    _read_store()
+                    .filter(F.col("ivf_list").isin(touched))
+                    .select(id_col)
+                )
             fresh = assigned.join(stored_ids, id_col, "left_anti")
-        similarity.ivf_add_batch(fresh, store, centroids, vec_col=vec_col)
+        similarity.ivf_add_batch(fresh, cur, centroids, vec_col=vec_col)
         if compact_every and (bid + 1) % compact_every == 0:
             similarity.ivf_compact_store(spark, store, id_col=id_col)
 

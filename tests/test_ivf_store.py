@@ -749,3 +749,195 @@ def test_probe_adjacency_lifecycle(spark, emb, cent, tmp_path):
     new_cent, _ = S.ivf_rebuild_store(spark, store, nlist=NLIST, seed=13)
     adj3 = {(r["ivf_list"], r["probe"]) for r in S.ivf_probe_adjacency(spark, store).collect()}
     assert adj3 == exact_adj()
+
+
+# ---------------------------------------------------------------------------
+# Generational layout: versioned directories + atomic pointer (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_generational_migration_and_lifecycle(spark, emb, cent, tmp_path):
+    """Flat → generational migration is in-place and idempotent; appends,
+    deletes, compaction and vacuum all work through the pointer; compaction
+    commits a NEW generation instead of renaming under readers."""
+    flat = str(tmp_path / "flat")
+    genr = str(tmp_path / "genr")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    S.ivf_write_partitioned(emb, flat, cent)
+
+    S.ivf_write_partitioned(hist, genr, cent)
+    gen_dir = S.ivf_init_generational(genr)
+    assert S.ivf_current_generation(genr) == "gen-000001"
+    assert S.ivf_init_generational(genr) == gen_dir  # idempotent
+    S.ivf_add_batch(batch, genr, cent)  # append lands inside gen-000001
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    want = _rows(S.ivf_topk_partitioned(spark, flat, qv, cent, k=5, nprobe=3))
+    # centroids=None: reader loads the quantizer saved with the generation
+    assert _rows(S.ivf_topk_partitioned(spark, genr, qv, k=5, nprobe=3)) == want
+
+    # logical delete + physical purge: compaction stages gen-000002 and
+    # flips the pointer; the old generation stays until vacuum
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    S.ivf_delete_ids(doomed, genr)
+    stats = S.ivf_compact_store(spark, genr)
+    assert stats["generation"] == "gen-000002"
+    assert S.ivf_current_generation(genr) == "gen-000002"
+    assert os.path.isdir(os.path.join(genr, "_generations", "gen-000001"))
+    survivors = {r["vec_id"] for r in emb.collect()} - {r["vec_id"] for r in doomed.collect()}
+    assert {r["vec_id"] for r in spark.read.parquet(S._resolve_store(genr)).collect()} == survivors
+    # quantizer carried forward: pointer reads still answer
+    got = S.ivf_topk_partitioned(spark, genr, qv, k=5, nprobe=NLIST)
+    assert len(_rows(got)) == 5
+    assert S.ivf_vacuum_generations(genr, keep=0) == ["gen-000001"]
+    assert not os.path.isdir(os.path.join(genr, "_generations", "gen-000001"))
+
+
+def test_generational_concurrent_reads_never_partial(spark, emb, cent, tmp_path):
+    """The r10 VERDICT #3 scenario: top-k reads hammer the store WHILE a
+    rebuild (new quantizer) and then a tombstone+compact swap generations.
+    Every observed result must equal a complete generation's answer — old
+    or new — never an error and never a mix (a read of one generation's
+    layout under another's quantizer would produce a set outside both)."""
+    import threading
+
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    S.ivf_init_generational(store)
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+
+    def snap():
+        return frozenset(
+            (r["vec_id"], r["cos_sim"])
+            for r in S.ivf_topk_partitioned(spark, store, qv, k=5, nprobe=2).collect()
+        )
+
+    expected = {snap()}
+    results, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                results.append(snap())
+            except Exception as e:  # noqa: BLE001 — any reader error fails the test
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        S.ivf_rebuild_store(spark, store, nlist=6, seed=3)
+        expected.add(snap())
+        S.ivf_delete_ids(emb.filter(F.col("vec_id") % 3 == 0).select("vec_id"), store)
+        S.ivf_compact_store(spark, store)
+        expected.add(snap())
+    finally:
+        stop.set()
+        t.join()
+    assert errors == []
+    assert results, "reader thread never completed a read"
+    bad = [r for r in results if r not in expected]
+    assert bad == [], f"{len(bad)} torn/partial reads: {bad[:2]}"
+
+
+def test_rebuild_heal_clears_leftover_marker_in_live_store(spark, emb, cent, tmp_path):
+    """Window D of the marker protocol (r10 ADVICE #1): a crash AFTER the
+    final rename but BEFORE marker cleanup leaves _REBUILD_COMMIT inside
+    the live store. Heal must finish forward (remove the marker, drop the
+    park) — the pre-r11 ordering rolled this committed swap BACK."""
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    rows_v1 = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    _, parked = S._rebuild_dirs(store)
+
+    import shutil as _shutil
+
+    _shutil.copytree(store, parked)  # the parked old generation
+    with open(os.path.join(store, "_REBUILD_COMMIT"), "w") as fh:
+        fh.write("1")
+    assert S.ivf_rebuild_heal(store) == "completed_swap"
+    assert not os.path.isfile(os.path.join(store, "_REBUILD_COMMIT"))
+    assert not os.path.isdir(parked)
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == rows_v1
+    # the marker is hidden from readers even while present (underscore)
+    with open(os.path.join(store, "_REBUILD_COMMIT"), "w") as fh:
+        fh.write("1")
+    assert sorted(r["vec_id"] for r in spark.read.parquet(store).collect()) == rows_v1
+    os.remove(os.path.join(store, "_REBUILD_COMMIT"))
+
+
+def test_probe_adjacency_unreadable_dir_falls_back_to_none(spark, emb, cent, tmp_path):
+    """r10 ADVICE #2: an adjacency dir that exists but holds no readable
+    parquet (legacy crash mid-refresh) must degrade to None (full-scan
+    fallback), not raise on every subsequent micro-batch."""
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    os.makedirs(S._probe_adjacency_dir(store))
+    assert S.ivf_probe_adjacency(spark, store) is None
+
+
+def test_write_listed_records_adjacency_for_probe_frames(spark, emb, cent, tmp_path):
+    """r10 ADVICE #5: ANY probes-carrying write records adjacency — a
+    direct _write_listed must maintain the pruning invariant, not just
+    ivf_add_batch."""
+    store = str(tmp_path / "store")
+    base = emb.select(
+        "vec_id", "embedding", S.ivf_probe_lists(cent, 2).alias("ivf_probes")
+    ).withColumn("ivf_list", F.element_at("ivf_probes", 1))
+    S._write_listed(base, store, "parquet", "overwrite", cluster=True)
+    adj = S.ivf_probe_adjacency(spark, store)
+    assert adj is not None
+    want = {
+        (r["ivf_list"], r["probe"])
+        for r in base.select("ivf_list", F.explode("ivf_probes").alias("probe"))
+        .filter(F.col("probe") != F.col("ivf_list"))
+        .distinct()
+        .collect()
+    }
+    assert {(r["ivf_list"], r["probe"]) for r in adj.collect()} == want
+
+
+def test_replay_guard_full_rejects_changed_vector_reingest(spark, tmp_path):
+    """r10 ADVICE #4: under the default 'touched' guard a re-crawled id
+    whose CHANGED vector assigns to a different list evades the replay
+    anti-join and appends a permanent duplicate id (the documented
+    id-immutability contract); replay_guard='full' anti-joins the store's
+    entire id set and deterministically rejects the re-ingest."""
+    from custom_columnar_format_spark.streaming.vectors import start_vector_ingest_loop
+
+    dim = 8
+    cent2 = np.zeros((2, dim))
+    cent2[0, 0], cent2[1, 0] = 1.0, -1.0  # two antipodal lists
+    v1 = [[float(i == 0) for i in range(dim)]] * 10          # → list 0
+    v2 = [[-float(i == 0) for i in range(dim)]] * 10         # same ids → list 1
+    b1 = spark.createDataFrame(
+        [(i, v1[0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(i, v2[0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+
+    def run(guard):
+        store = str(tmp_path / f"store_{guard}")
+        for j, b in enumerate([b1, b2]):
+            src = str(tmp_path / f"src_{guard}_{j}")
+            b.coalesce(1).write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(b1.schema).parquet(src)
+            q = start_vector_ingest_loop(
+                stream, store, cent2, str(tmp_path / f"ck_{guard}_{j}"),
+                replay_guard=guard,
+            )
+            q.awaitTermination()
+        return spark.read.parquet(store)
+
+    full = run("full")
+    assert full.count() == 10  # re-ingest rejected outright
+    assert full.filter(F.col("ivf_list") != 0).count() == 0  # originals kept
+    touched = run("touched")
+    # the contract's documented failure mode, pinned so it stays documented:
+    # the changed vector lands in list 1, evades the touched-lists guard,
+    # and the id is now permanently duplicated
+    assert touched.count() == 20
+    assert touched.select("vec_id").distinct().count() == 10

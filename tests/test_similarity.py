@@ -422,3 +422,110 @@ def test_int8_quantization_error_bounds(spark):
     worst = (63.0 / 256 / 2) ** 2
     for lbl in (0, 1):
         assert 0.0 < got[lbl]["mse"] <= worst + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup quantizer: bounded seed collect + scale-independent oracle
+# (r10 VERDICT #1 / ADVICE #3)
+# ---------------------------------------------------------------------------
+
+
+def _synth_emb_dir(tmp_path, n=6000, dim=8, seed=7):
+    """Synthetic embeddings.parquet past the ~4.3k-row point where a FIXED
+    oracle nlist diverged from the engine's n//256 rule (r10 ADVICE #3)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+        }
+    )
+    d = tmp_path / "semsf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _norm_frames(df):
+    import pandas as pd  # noqa: F401
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_sem_nlist_rule_bounded():
+    # floor below 4096 rows, n//256 in the middle, hard-capped forever after
+    assert similarity.sem_nlist(0) == 16
+    assert similarity.sem_nlist(500) == 16
+    assert similarity.sem_nlist(4351) == 16
+    assert similarity.sem_nlist(6000) == 23
+    assert similarity.sem_nlist(256 * 65536) == 65536
+    assert similarity.sem_nlist(10**12) == 65536  # 1T vectors: still constant
+    assert similarity.sem_nlist(10**12, cap=20) == 20
+
+
+def test_semdedup_oracle_scale_independent(spark, tmp_path):
+    """Engine vs DuckDB at a corpus size where nlist = 23 ≠ the old fixed
+    16 — the regime where r10's oracle silently diverged."""
+    import duckdb
+    import pandas as pd
+
+    from custom_columnar_format_spark.queries.corpus_ops import (
+        _semdedup_oracle_sql,
+        q_semdedup_prune,
+    )
+
+    d = _synth_emb_dir(tmp_path)
+    eng = q_semdedup_prune(spark, d).toPandas()
+    assert eng["sem_cluster"].nunique() > 16  # really using nlist=23
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    ora = con.execute(_semdedup_oracle_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        _norm_frames(eng), _norm_frames(ora), check_dtype=False, rtol=1e-6, atol=1e-6
+    )
+
+
+def test_semdedup_seed_collect_capped(spark, tmp_path):
+    """The driver-side seed collect is bounded by the cap at ANY corpus
+    size: with cap=20 on a 6000-row corpus (n//256 = 23 > cap) the seed
+    matrix holds exactly 20 rows, and the engine still hash-matches a
+    DuckDB replay that derives nlist from the same capped rule."""
+    import duckdb
+    import pandas as pd
+
+    from custom_columnar_format_spark.queries import corpus_ops
+
+    d = _synth_emb_dir(tmp_path)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    nlist = similarity.sem_nlist(emb.count(), cap=20)
+    assert nlist == 20
+    cent = corpus_ops._sem_seed_centroids(emb, nlist)
+    assert cent.shape[0] == 20  # the collect is the cap, not n//256
+
+    eng = corpus_ops._semdedup_census(spark, d, cap=20).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    capped_rule = "GREATEST(16, LEAST((SELECT COUNT(*) FROM embeddings) // 256, 20))"
+    sql = corpus_ops._semdedup_oracle_sql().replace(
+        "GREATEST(16, LEAST((SELECT COUNT(*) FROM embeddings) // 256, 65536))",
+        capped_rule,
+    )
+    assert capped_rule in sql  # the replace really rewired the rule
+    ora = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        _norm_frames(eng), _norm_frames(ora), check_dtype=False, rtol=1e-6, atol=1e-6
+    )
