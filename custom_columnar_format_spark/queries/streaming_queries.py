@@ -714,3 +714,30 @@ def q_stream_semantic_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(matches).select("id_a", "id_b", "cos_sim")
+
+
+@query(
+    "q_stream_lifetime_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="STREAMING per-user lifetime aggregates via applyInPandasWithState "
+    "(the protobuf-free twin of the Spark-4 transformWithStateInPandas "
+    "processor, same output contract — streaming/events.py): one (n, total) "
+    "state tuple per user, O(users) never O(events); each micro-batch folds "
+    "in and emits the user's running totals, and the LAST emission per user "
+    "over the drained backlog equals the batch groupBy — the oracle. The "
+    "update-mode sink keeps every emission, so the query takes each user's "
+    "max-n row (the fold is strictly increasing in n_events).",
+)
+def q_stream_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.read_events_stream(spark, sf_dir)
+    drained = _drain(ev.aipws_user_lifetime_stats(stream), output_mode="update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (F.floor(F.max_by("total_value", "n_events") * 1e4 + 0.5) / 1e4).alias(
+            "total_value"
+        ),
+    )

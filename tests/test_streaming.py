@@ -217,3 +217,89 @@ def test_tws_lifetime_stats_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_aipws_lifetime_stats_matches_batch(spark, sf_small):
+    """applyInPandasWithState twin of tws_user_lifetime_stats (same output
+    contract, no protobuf): drained stream totals == batch groupBy. This
+    plus the processor unit test below is the in-container coverage for
+    the lifetime-stats stateful surface whose TWS e2e is env-gated."""
+    import tempfile
+
+    from custom_columnar_format_spark.queries.tables import load
+    from custom_columnar_format_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, sf_small)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in ev.run_available_now(
+            ev.aipws_user_lifetime_stats(stream), "aipws_q", tempfile.mkdtemp(),
+            output_mode="update",
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in load(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_tws_processor_fold_logic_with_fake_handle():
+    """Unit test of LifetimeStatsProcessor against a fake handle/state —
+    exercises OUR fold logic (init / exists / get / update / emission
+    schema) without the TWS state server, whose protobuf wire protocol is
+    absent in this container and not installable. The e2e twin
+    (test_tws_lifetime_stats_matches_batch) stays env-gated; between the
+    two, only Spark's own TWS plumbing goes untested here."""
+    import pandas as pd
+
+    from custom_columnar_format_spark.streaming.events import LifetimeStatsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            assert name == "totals"
+            return self.state
+
+    proc = LifetimeStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    # micro-batch 1: two chunks for user 7
+    out1 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [3.5]})]),
+            None,
+        )
+    )
+    assert len(out1) == 1
+    assert out1[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 3, "total_value": 6.5}
+    ]
+    # micro-batch 2: state survives and folds forward
+    out2 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [0.5]})]), None)
+    )
+    assert out2[0].to_dict("records") == [
+        {"user_id": 7, "n_events": 4, "total_value": 7.0}
+    ]
+    assert handle.state.get() == (4, 7.0)
+    proc.close()
