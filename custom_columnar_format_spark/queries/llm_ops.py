@@ -2383,3 +2383,52 @@ def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embed_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_quantization_error(_emb_spread(spark, sf_dir))
+
+
+@query(
+    "q_sim_ivf_generational",
+    _ivf_rebuilt_oracle_sql(),
+    doc="the GENERATIONAL store lifecycle end-to-end (r10 VERDICT #3): the "
+    "corpus is materialized under the old seed quantizer, migrated in "
+    "place to the versioned-generations layout (_generations/gen-NNNNNN + "
+    "atomic _CURRENT pointer), ids ≡ 3 (mod 7) are tombstoned, compaction "
+    "commits gen-000002 (physical purge, quantizer carried forward) and a "
+    "deterministic-seed rebuild commits gen-000003 (new quantizer saved "
+    "WITH the generation) — each swap one atomic pointer write, concurrent "
+    "readers never see a partial layout (tests/test_ivf_store.py runs a "
+    "live reader thread through both swaps). The final search passes "
+    "centroids=None: the reader resolves the pointer once and loads the "
+    "quantizer stored with that generation, so data and quantizer can "
+    "never mix across generations. Oracle: identical end state to the "
+    "flat-store rebuild (q_sim_ivf_rebuilt) — the layout is invisible to "
+    "results, which is the point.",
+)
+def q_sim_ivf_generational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import numpy as np
+
+    emb = _emb_spread(spark, sf_dir)
+    cent_old, qv = _seed_centroids(emb)
+    path = _query_scratch("ivf_gen", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_write_partitioned(emb, path, cent_old)
+    similarity.ivf_init_generational(path)
+    similarity.ivf_delete_ids(
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), path
+    )
+    cstats = similarity.ivf_compact_store(spark, path)
+    assert cstats.get("generation") == "gen-000002"
+    seeds = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 != 3)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    )
+    new_cent = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    _, rstats = similarity.ivf_rebuild_store(spark, path, nlist=16, centroids=new_cent)
+    assert rstats.get("generation") == "gen-000003"
+    similarity.ivf_vacuum_generations(path, keep=1)
+    return similarity.ivf_topk_partitioned(spark, path, qv, k=10, nprobe=4)
