@@ -201,6 +201,47 @@ def snapshot_cmd(args) -> None:
         print({"expired": snapshot.expire_snapshots(args.path, keep_last=args.keep_last)})
 
 
+def ivf_cmd(args) -> None:
+    """IVF embedding-store maintenance from the command line — the ops
+    surface of operators/similarity.py's store lifecycle (init-generational
+    / compact / rebuild / vacuum-generations / heal / info). Engine
+    extension; the reference has no similarity search (SURVEY.md §2.2)."""
+    from .operators import similarity
+
+    if args.action == "init-generational":
+        print({"generation_dir": similarity.ivf_init_generational(args.path)})
+        return
+    if args.action == "vacuum-generations":
+        print({"removed": similarity.ivf_vacuum_generations(args.path, keep=args.keep_last)})
+        return
+    if args.action == "heal":
+        print({"action": similarity.ivf_rebuild_heal(args.path)})
+        return
+    if args.action == "info":
+        gen = similarity.ivf_current_generation(args.path)
+        cent = similarity.ivf_store_centroids(args.path)
+        print({
+            "layout": "generational" if gen else "flat",
+            "current_generation": gen,
+            "data_dir": similarity._resolve_store(args.path),
+            "quantizer": list(cent.shape) if cent is not None else None,
+        })
+        return
+
+    spark, owned = _get_spark()
+    try:
+        if args.action == "compact":
+            print(similarity.ivf_compact_store(spark, args.path))
+        elif args.action == "rebuild":
+            cent, stats = similarity.ivf_rebuild_store(
+                spark, args.path, nlist=args.nlist, sample_cap=args.sample_cap
+            )
+            print(stats)
+    finally:
+        if owned:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scbf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +297,18 @@ def main(argv=None) -> int:
     sn.add_argument("--snapshot", default=None, help="id or tag (rollback)")
     sn.add_argument("--keep-last", type=int, default=1)
     sn.set_defaults(fn=snapshot_cmd)
+
+    iv = sub.add_parser("ivf", help="IVF embedding-store maintenance "
+                        "(init-generational/compact/rebuild/vacuum-generations/heal/info)")
+    iv.add_argument("action", choices=["init-generational", "compact", "rebuild",
+                                       "vacuum-generations", "heal", "info"])
+    iv.add_argument("path")
+    iv.add_argument("--nlist", type=int, default=16, help="rebuild: quantizer size")
+    iv.add_argument("--sample-cap", type=int, default=50_000,
+                    help="rebuild: bounded training-sample size")
+    iv.add_argument("--keep-last", type=int, default=1,
+                    help="vacuum-generations: superseded generations to retain")
+    iv.set_defaults(fn=ivf_cmd)
 
     args = p.parse_args(argv)
     args.fn(args)

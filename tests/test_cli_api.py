@@ -163,3 +163,53 @@ def test_cli_inspect_head_preview(sample_csv, tmp_path, capsys):
     assert cli_main(["inspect", scbf]) == 0
     out = capsys.readouterr().out
     assert "rows: 3" in out and "First" not in out
+
+
+def test_cli_ivf_maintenance_surface(spark, sf_small, tmp_path, capsys):
+    """The IVF store ops surface end-to-end from the CLI: info (flat) →
+    init-generational → info (pointer) → compact (generation flip) →
+    rebuild → vacuum-generations → heal (no-op on a healthy store)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from custom_columnar_format_spark.cli import main
+    from custom_columnar_format_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cent = S.ivf_centroids(emb, nlist=8)
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+
+    assert main(["ivf", "info", store]) == 0
+    out = capsys.readouterr().out
+    assert "'layout': 'flat'" in out and "'quantizer': [8, " in out
+
+    assert main(["ivf", "init-generational", store]) == 0
+    capsys.readouterr()
+    assert main(["ivf", "info", store]) == 0
+    out = capsys.readouterr().out
+    assert "'layout': 'generational'" in out and "gen-000001" in out
+
+    S.ivf_delete_ids(emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"), store)
+    assert main(["ivf", "compact", store]) == 0
+    out = capsys.readouterr().out
+    assert "'generation': 'gen-000002'" in out
+
+    assert main(["ivf", "rebuild", store, "--nlist", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "'generation': 'gen-000003'" in out
+
+    assert main(["ivf", "vacuum-generations", store, "--keep-last", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "gen-000001" in out and "gen-000002" in out
+
+    assert main(["ivf", "heal", store]) == 0
+    out = capsys.readouterr().out
+    assert "'action':" in out
+
+    # the store still answers through the pointer with its stored quantizer
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    got = S.ivf_topk_partitioned(spark, store, qv, k=5, nprobe=8)
+    assert got.count() == 5
+    survivors = {r["vec_id"] for r in spark.read.parquet(S._resolve_store(store)).collect()}
+    assert all(v % 2 != 0 for v in survivors)
