@@ -983,8 +983,10 @@ def semdedup_pairs(
 
     Scale shape: one shuffle on the cluster id; the quadratic pair
     expansion is bounded per cluster (cluster population ~ N/nlist — at
-    corpus scale nlist grows with N so in-cluster work stays constant per
-    partition). Cross-cluster duplicates are missed by construction —
+    corpus scale nlist grows with N up to ``SEM_NLIST_CAP``, which bounds
+    the quantizer a constant; past the cap, occupancy grows as N/65536 and
+    the SemDeDup paper's answer is within-cluster subsampling, not more
+    clusters). Cross-cluster duplicates are missed by construction —
     that is SemDeDup's documented approximation, traded for never running
     an all-pairs join. The self-join is cluster-key equi (no cartesian);
     both sides are corpus-sized so stats can never broadcast one.

@@ -166,16 +166,23 @@ def run_corpus(spark, root, corpus, emb, n_vecs, nlists):
                 .select("ivf_list").distinct().collect()
             }
 
-        # pruning effectiveness is a batch-size/nlist story: a nightly 2k
-        # batch probes most of the directory; a trickle micro-batch is
-        # where the adjacency pays — measure both
-        cand_micro = cand_partitions(bp.filter(F.col("vec_id") % 64 == 0))
-        print(json.dumps({
-            "stage": f"prune_micro_{corpus}_nlist{nlist}",
-            "batch_rows": bp.filter(F.col("vec_id") % 64 == 0).count(),
-            "cand_partitions": len(cand_micro), "of_nlist": nlist,
-            "pruned_frac": round(1 - len(cand_micro) / nlist, 4),
-        }), flush=True)
+        # pruning effectiveness is a batch-size/nlist story: candidate
+        # partitions ≈ min(nlist, |P|·(1 + fan-in)), so a nightly 2k batch
+        # probes essentially the whole directory (amortized — fine), while
+        # the trickle regime (single vectors per micro-batch) is where the
+        # adjacency pays. Measure the curve.
+        for sel, tag in (
+            (F.col("vec_id") == F.lit(10_000_250), "1row"),
+            (F.col("vec_id") % 64 == 0, "micro"),
+        ):
+            sub = bp.filter(sel)
+            cand_sub = cand_partitions(sub)
+            print(json.dumps({
+                "stage": f"prune_{tag}_{corpus}_nlist{nlist}",
+                "batch_rows": sub.count(),
+                "cand_partitions": len(cand_sub), "of_nlist": nlist,
+                "pruned_frac": round(1 - len(cand_sub) / nlist, 4),
+            }), flush=True)
         cand = cand_partitions(bp)
         store_df = spark.read.parquet(store).filter(F.col("ivf_list").isin(sorted(cand)))
 
