@@ -529,20 +529,23 @@ def main() -> None:
             cdc_gear_note = (
                 f"q_cdc_scan_*_x25 is the kernel pair, best-of-3 warm,"
                 f" all reps in BENCH_DETAIL cdc_reps: gear/md5 ="
-                f" {cdc_scan_ratio}x this committed run (quiet target"
-                f" <=0.7x; 0.49x at 1M docs - SCALE.md);"
+                f" {cdc_scan_ratio}x this committed run. The ratio is"
+                f" volume- and box-dependent (measured: 0.46x at"
+                f" sf0.01-x25, ~0.8-1.0x warm-quiet at sf0.1-x25, 0.49x"
+                f" at 1M docs - PLANS.md r11 plateau experiment);"
                 f" q_exactsubstr_clean_*_x5 is end-to-end (join/rebuild"
                 f" stages are scheme-independent and dilute the scan win)"
             )
         else:
             cdc_gear_note = (
-                f"CONTENDED, NOT COMPARABLE this run: within-scheme rep"
-                f" spread exceeded 1.35x (md5"
+                f"NOT COMPARABLE this run: within-scheme rep spread"
+                f" exceeded 1.35x (md5"
                 f" {cdc_reps['scan']['md5']}, gear"
-                f" {cdc_reps['scan']['gear']}) - external load tore the"
-                f" pair; nominal best-of-3 ratio {cdc_scan_ratio}x carries"
-                f" no signal (quiet evidence: 0.58x x25, 0.49x 1M docs -"
-                f" SCALE.md)"
+                f" {cdc_reps['scan']['gear']}) - external load or gear's"
+                f" multi-rep Arrow warmup tore the pair; nominal best-of-3"
+                f" ratio {cdc_scan_ratio}x carries reduced signal"
+                f" (reference points: 0.46x sf0.01-x25, ~0.8-1.0x"
+                f" warm-quiet sf0.1-x25, 0.49x 1M docs - PLANS.md r11)"
             )
 
         # The PARALLEL probe runs LAST on purpose: measured at session
