@@ -217,6 +217,7 @@ def start_vector_ingest_loop(
     blocking: str = "assign",
     nprobe: int = 2,
     replay_guard: str = "touched",
+    vacuum_keep: int = 1,
 ):
     """Attach the IVF ingest loop to an embedding stream via foreachBatch.
 
@@ -266,6 +267,11 @@ def start_vector_ingest_loop(
 
     The store may be generational (``similarity.ivf_init_generational``);
     each batch resolves the pointer once and folds into that generation.
+    Every compaction then commits a NEW generation, so the loop vacuums
+    superseded ones down to ``vacuum_keep`` (default 1 — the grace window
+    for a reader that resolved the pointer just before the flip) right
+    after each compaction; otherwise a long-running stream would retain
+    every generation it ever compacted.
     """
     if replay_guard not in ("touched", "full"):
         raise ValueError(f"replay_guard must be 'touched' or 'full', got {replay_guard!r}")
@@ -387,6 +393,14 @@ def start_vector_ingest_loop(
         similarity.ivf_add_batch(fresh, cur, centroids, vec_col=vec_col)
         if compact_every and (bid + 1) % compact_every == 0:
             similarity.ivf_compact_store(spark, store, id_col=id_col)
+            # a generational store flips to a new generation on every
+            # compaction; without retention the superseded ones accumulate
+            # for the life of the stream. keep=1 leaves exactly one prior
+            # generation as the grace window for readers that resolved the
+            # pointer just before the flip (no query on this deployment
+            # outlives a full compaction cycle) — ivf_vacuum_generations
+            # is a no-op on flat stores.
+            similarity.ivf_vacuum_generations(store, keep=vacuum_keep)
 
     writer = stream_df.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint

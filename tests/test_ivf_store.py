@@ -941,3 +941,33 @@ def test_replay_guard_full_rejects_changed_vector_reingest(spark, tmp_path):
     # and the id is now permanently duplicated
     assert touched.count() == 20
     assert touched.select("vec_id").distinct().count() == 10
+
+
+def test_ingest_loop_vacuums_generations(spark, emb, cent, tmp_path):
+    """A generational store under the ingest loop flips a generation per
+    compaction; the loop must vacuum superseded ones down to vacuum_keep
+    or a long-running stream retains every generation it ever compacted."""
+    from custom_columnar_format_spark.streaming.vectors import start_vector_ingest_loop
+
+    base = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        base.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(base.limit(0), store, cent)  # empty seed layout
+    S.ivf_init_generational(store)
+
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_vector_ingest_loop(
+        stream, store, cent, str(tmp_path / "ck"), compact_every=2,
+    )
+    q.awaitTermination()
+
+    gens = sorted(os.listdir(os.path.join(store, "_generations")))
+    cur = S.ivf_current_generation(store)
+    # 4 batches / compact_every=2 → two compactions → two flips; retention
+    # keeps the current generation plus at most vacuum_keep=1 prior one
+    assert cur == gens[-1]
+    assert len(gens) <= 2
+    got = {r["vec_id"] for r in spark.read.parquet(S._resolve_store(store)).collect()}
+    assert got == {r["vec_id"] for r in base.collect()}
