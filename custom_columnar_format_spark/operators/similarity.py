@@ -189,17 +189,58 @@ def ivf_centroids(
 _CENT_BROADCAST_BYTES = 4 << 20
 
 
+# Content-addressed cache of live centroid broadcasts. A streaming ingest
+# loop calls ivf_assign / ivf_probe_lists once per MICRO-BATCH with the
+# same frozen quantizer; without the cache each call allocated a fresh
+# broadcast that was never released — ~34 MB re-torrented to every
+# executor per batch and accumulated in block managers for the stream's
+# lifetime. Keyed by (applicationId, md5(matrix bytes)) so a restarted
+# session never reuses a dead context's broadcast; evicted entries are
+# unpersist()ed (executor copies dropped, driver copy kept — an evicted
+# broadcast still referenced by a cached plan re-ships lazily instead of
+# erroring, unlike destroy()). Hash cost is ~50 ms per call on the 34 MB
+# cap — three orders cheaper than the re-broadcast it replaces, and only
+# paid on the >4 MB path.
+_CENT_BC_CACHE: "OrderedDict[tuple, object]" = None  # built lazily below
+_CENT_BC_MAX = 4
+
+
 def _cent_carrier(cent: np.ndarray):
     """Return (closure_matrix_or_None, broadcast_or_None) for shipping a
     centroid matrix to executors — broadcast when it's big, closure when
     it's small. Keeps large quantizers (SemDeDup's capped 65536 × dim ≈
-    34 MB) off the per-task serialization path."""
+    34 MB) off the per-task serialization path. Broadcasts are memoized
+    per (SparkContext, matrix content) so repeated calls — one per
+    micro-batch in the streaming ingest loop — reuse one torrent."""
+    import hashlib
+    from collections import OrderedDict
+
     from pyspark.sql import SparkSession
 
+    global _CENT_BC_CACHE
+
     active = SparkSession.getActiveSession()
-    if active is not None and cent.nbytes > _CENT_BROADCAST_BYTES:
-        return None, active.sparkContext.broadcast(cent)
-    return cent, None
+    if active is None or cent.nbytes <= _CENT_BROADCAST_BYTES:
+        return cent, None
+    if _CENT_BC_CACHE is None:
+        _CENT_BC_CACHE = OrderedDict()
+    key = (
+        active.sparkContext.applicationId,
+        hashlib.md5(np.ascontiguousarray(cent).tobytes()).hexdigest(),
+    )
+    bc = _CENT_BC_CACHE.get(key)
+    if bc is None:
+        bc = active.sparkContext.broadcast(cent)
+        _CENT_BC_CACHE[key] = bc
+        while len(_CENT_BC_CACHE) > _CENT_BC_MAX:
+            _, evicted = _CENT_BC_CACHE.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass
+    else:
+        _CENT_BC_CACHE.move_to_end(key)
+    return None, bc
 
 
 def ivf_assign(centroids: np.ndarray, vec_col: str = "embedding") -> F.Column:
@@ -500,6 +541,31 @@ def _save_centroids(data_dir: str, centroids: np.ndarray | None) -> None:
                 np.ascontiguousarray(centroids, dtype=np.float64))
 
 
+def _heal_flat_compact(path: str) -> int:
+    """Recover a FLAT-store compaction crashed mid-swap: restore every
+    parked list (``<store>.compact_old``) the store is missing, THEN drop
+    the park — blindly rmtree'ing it would destroy the only copy of the
+    unswapped lists. Returns the number of lists moved back. Called at the
+    start of ``ivf_compact_store`` (flat branch) and by
+    ``ivf_init_generational`` before migrating — migrating over an
+    unhealed park would strand those lists outside the first generation
+    forever (the generational branch never looks at the park again)."""
+    import os
+    import shutil
+
+    parked = path.rstrip("/") + ".compact_old"
+    recovered = 0
+    if os.path.isdir(parked):
+        for entry in os.listdir(parked):
+            if entry.startswith("ivf_list=") and not os.path.isdir(
+                os.path.join(path, entry)
+            ):
+                shutil.move(os.path.join(parked, entry), os.path.join(path, entry))
+                recovered += 1
+        shutil.rmtree(parked, ignore_errors=True)
+    return recovered
+
+
 def ivf_init_generational(path: str, centroids: np.ndarray | None = None) -> str:
     """Migrate a flat store IN PLACE to the generational layout (no data
     rewrite — the list dirs and sidecars move into gen-000001, then the
@@ -513,6 +579,13 @@ def ivf_init_generational(path: str, centroids: np.ndarray | None = None) -> str
         if centroids is not None:
             _save_centroids(gen_dir, centroids)
         return gen_dir
+    # heal crashed FLAT maintenance before migrating: a compaction park or
+    # a rebuild stage/park left behind by a crash holds the only coherent
+    # copy of some lists; migrating without healing would strand them —
+    # the generational compaction branch never consults the flat park, so
+    # the loss would be permanent and silent.
+    ivf_rebuild_heal(path)
+    _heal_flat_compact(path)
     gen = _next_generation(path)
     gen_dir = os.path.join(_gen_root(path), gen)
     os.makedirs(gen_dir, exist_ok=True)
@@ -575,12 +648,25 @@ def _write_listed(
     path = _resolve_store(path)
     if cluster:
         assigned = assigned.repartition("ivf_list")
-    assigned.write.partitionBy("ivf_list").mode(mode).format(fmt).save(path)
-    if "ivf_probes" in assigned.columns and record_adjacency:
-        if mode == "overwrite":
-            shutil.rmtree(_probe_adjacency_dir(path), ignore_errors=True)
+    has_probes = "ivf_probes" in assigned.columns
+    if has_probes and record_adjacency and mode == "append":
+        # adjacency FIRST for appends: a crash between the two writes must
+        # err toward EXTRA recorded pairs (conservative — wider pruning),
+        # never toward stored rows with unrecorded pairs. The reverse
+        # order left a window that at-least-once replay cannot heal: the
+        # replayed batch's rows anti-join away as already-stored, so the
+        # missing (list, probe) pairs were never recorded and candidate-
+        # partition pruning could exclude true matches permanently.
+        # (Overwrite keeps data-first below: its callers target staged /
+        # generational dirs that stay unreferenced until the pointer flip,
+        # so ordering is crash-irrelevant there, and adjacency-first would
+        # append new pairs into the NOT-yet-cleared old dataset.)
         ivf_record_probe_adjacency(assigned, path)
-    elif "ivf_probes" not in assigned.columns and mode == "overwrite":
+    assigned.write.partitionBy("ivf_list").mode(mode).format(fmt).save(path)
+    if has_probes and record_adjacency and mode == "overwrite":
+        shutil.rmtree(_probe_adjacency_dir(path), ignore_errors=True)
+        ivf_record_probe_adjacency(assigned, path)
+    elif not has_probes and mode == "overwrite":
         # a probeless overwrite must not leave a stale probes adjacency
         adj = _probe_adjacency_dir(path)
         if os.path.isdir(adj):
@@ -976,10 +1062,22 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
     scorer: str = "expr",
+    within_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023): assign
     every vector to its max-cosine coarse cluster, then compute pairwise
     cosine ONLY within a cluster and keep pairs at/above ``threshold``.
+
+    ``within_cap`` is the paper's within-cluster subsampling, made
+    deterministic: only the ``within_cap`` LOWEST-id members of each
+    cluster act as PRUNER candidates (the a-side of the pair join). Every
+    vector still receives a decision, but per-cluster cost drops from
+    occupancy² to cap × occupancy — the knob for the past-the-nlist-cap
+    regime where occupancy grows as N/65536 (at 1B vectors ≈ 15k/cluster,
+    i.e. 225M pairs/cluster uncapped vs cap×15k). The documented miss: a
+    duplicate pair whose BOTH members rank after the cap goes undetected —
+    exactly the paper's subsampling approximation, but reproducible on any
+    engine (lowest-id, not random). ``None`` = exact (no cap).
 
     Scale shape: one shuffle on the cluster id; the quadratic pair
     expansion is bounded per cluster (cluster population ~ N/nlist — at
@@ -1008,7 +1106,17 @@ def semdedup_pairs(
     """
     if assigned is None:
         assigned = df.withColumn("sem_cluster", ivf_assign(centroids, vec_col))
-    a = assigned.select(
+    a_src = assigned
+    if within_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sem_cluster").orderBy(id_col)
+        a_src = (
+            assigned.withColumn("_sem_rn", F.row_number().over(w))
+            .filter(F.col("_sem_rn") <= within_cap)
+            .drop("_sem_rn")
+        )
+    a = a_src.select(
         "sem_cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
     )
     b = assigned.select(
@@ -1072,11 +1180,15 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = True,
+    within_cap: int | None = None,
 ) -> DataFrame:
     """The pruning decision on top of ``semdedup_pairs``: within each
     cluster, a vector is PRUNED when a lower-id vector exists at cosine ≥
     threshold (greedy keep-first — deterministic on any engine, no
     iteration). Returns (id, sem_cluster, pruned) for every input vector.
+    ``within_cap`` bounds the pruner candidates per cluster (see
+    ``semdedup_pairs``) — the linear-cost mode for clusters past the
+    nlist cap.
 
     The assignment column is an Arrow-batched Python evaluation consumed by
     THREE plan branches (both self-join sides + the census); ``persist``
@@ -1087,7 +1199,10 @@ def semdedup_prune(
     if persist:
         assigned = assigned.persist()
     doomed = (
-        semdedup_pairs(df, centroids, threshold, id_col, vec_col, assigned=assigned)
+        semdedup_pairs(
+            df, centroids, threshold, id_col, vec_col,
+            assigned=assigned, within_cap=within_cap,
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -1307,19 +1422,10 @@ def ivf_compact_store(
 
     _count_files = _count_store_files
     parked = path.rstrip("/") + ".compact_old"
-    recovered = 0
-    if os.path.isdir(parked):
-        # a previous compaction crashed mid-swap: restore every parked list
-        # the store is missing, THEN proceed — blindly rmtree'ing the park
-        # here would destroy the only copy of the unswapped lists
-        for entry in os.listdir(parked):
-            if entry.startswith("ivf_list=") and not os.path.isdir(os.path.join(path, entry)):
-                shutil.move(os.path.join(parked, entry), os.path.join(path, entry))
-                recovered += 1
-        shutil.rmtree(parked, ignore_errors=True)
+    recovered = _heal_flat_compact(path)
 
     files_before = _count_files(path)
-    store = spark.read.format(fmt).load(path)
+    store = _load_store(spark, path, fmt)
     n_total = store.count()
     dead = ivf_tombstones(spark, path, id_col)
     rows_deleted = 0
@@ -1389,6 +1495,23 @@ def ivf_compact_store(
     return stats
 
 
+def _load_store(spark, data_dir: str, fmt: str) -> DataFrame:
+    """Read a store directory for MAINTENANCE (compact / rebuild).
+    ``mergeSchema`` matters here and not in the pruned top-k read: a store
+    that gained ``ivf_probes`` mid-life (blocking tier switched from
+    'assign' to 'intersect') mixes probeless and probes-carrying files,
+    and plain schema inference may sample a probeless file — a compaction
+    or rebuild would then rewrite the store WITHOUT the probes column and
+    the loss is permanent (old files superseded), silently downgrading
+    the intersect matcher to single-list blocking forever. The streaming
+    ingest loop's reader makes the same choice (streaming/vectors.py
+    ``_read_store``)."""
+    r = spark.read.format(fmt)
+    if fmt in ("parquet", "orc"):
+        r = r.option("mergeSchema", "true")
+    return r.load(data_dir)
+
+
 def _count_store_files(p: str) -> int:
     import os
 
@@ -1412,7 +1535,7 @@ def _compact_generational(spark, path: str, fmt: str, id_col: str) -> dict:
 
     cur_dir = _resolve_store(path)
     files_before = _count_store_files(cur_dir)
-    store = spark.read.format(fmt).load(cur_dir)
+    store = _load_store(spark, cur_dir, fmt)
     n_total = store.count()
     dead = ivf_tombstones(spark, cur_dir, id_col)
     rows_deleted = 0
@@ -1706,7 +1829,7 @@ def ivf_rebuild_store(
     staged, parked = _rebuild_dirs(path)
 
     src_dir = _resolve_store(path)
-    store = spark.read.format(fmt).load(src_dir)
+    store = _load_store(spark, src_dir, fmt)
     dead = ivf_tombstones(spark, src_dir, id_col)
     live = store
     if dead is not None:

@@ -554,6 +554,13 @@ def tws_user_lifetime_stats(events: DataFrame, watermark: str = "2 hours") -> Da
     this runs as-is."""
     from ..shipping import ensure_worker_imports
 
+    if LifetimeStatsProcessor is None:
+        raise ImportError(
+            "transformWithStateInPandas requires pyspark>=4 "
+            "(pyspark.sql.streaming.stateful_processor is unavailable); "
+            "use aipws_user_lifetime_stats for the same semantics on "
+            "applyInPandasWithState"
+        )
     ensure_worker_imports(events.sparkSession)
 
     return (

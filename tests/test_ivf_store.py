@@ -971,3 +971,112 @@ def test_ingest_loop_vacuums_generations(spark, emb, cent, tmp_path):
     assert len(gens) <= 2
     got = {r["vec_id"] for r in spark.read.parquet(S._resolve_store(store)).collect()}
     assert got == {r["vec_id"] for r in base.collect()}
+
+
+def test_compact_preserves_probes_on_mixed_schema_store(spark, emb, cent, tmp_path):
+    """r11 review #1: a store that started probeless and later gained
+    ivf_probes (blocking tier switched to 'intersect') mixes file schemas;
+    compaction must read it with mergeSchema so the rewrite keeps the
+    probes column — plain inference can sample a probeless file and
+    rewrite the store WITHOUT it, and the loss is permanent. Exercised on
+    both the flat and the generational branch."""
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    for gen_mode in (False, True):
+        store = str(tmp_path / f"store_gen{gen_mode}")
+        S.ivf_write_partitioned(old, store, cent)  # probeless generation
+        if gen_mode:
+            S.ivf_init_generational(store)
+        probed = new.select(
+            "vec_id", "embedding", S.ivf_probe_lists(cent, 2).alias("ivf_probes")
+        ).withColumn("ivf_list", F.element_at("ivf_probes", 1))
+        S._write_listed(probed, store, "parquet", "append", cluster=True)
+
+        stats = S.ivf_compact_store(spark, store)
+        assert stats["files_after"] <= stats["files_before"]
+        compacted = spark.read.option("mergeSchema", "true").parquet(
+            S._resolve_store(store)
+        )
+        assert "ivf_probes" in compacted.columns
+        kept_probes = compacted.filter(F.size("ivf_probes") >= 1).count()
+        assert kept_probes == new.count()
+
+
+def test_append_records_adjacency_before_data(spark, emb, cent, tmp_path):
+    """r11 review #2: append-mode _write_listed must record the probe
+    adjacency BEFORE the data lands. A crash between the two writes then
+    errs toward extra pairs (wider pruning — safe); the reverse order
+    left stored rows with unrecorded pairs that at-least-once replay can
+    never heal (the replayed rows anti-join away as already stored)."""
+    store = str(tmp_path / "store")
+    probed = emb.select(
+        "vec_id", "embedding", S.ivf_probe_lists(cent, 2).alias("ivf_probes")
+    ).withColumn("ivf_list", F.element_at("ivf_probes", 1))
+    seed = probed.filter(F.col("vec_id") < 50)
+    batch = probed.filter(F.col("vec_id").between(50, 99))
+    S._write_listed(seed, store, "parquet", "overwrite", cluster=True)
+    rows_before_append = spark.read.parquet(store).count()
+
+    seen_at_adjacency_time = {}
+    real = S.ivf_record_probe_adjacency
+
+    def spy(assigned, path, adj_dir=None):
+        seen_at_adjacency_time["rows"] = spark.read.parquet(store).count()
+        return real(assigned, path, adj_dir=adj_dir)
+
+    orig = S.ivf_record_probe_adjacency
+    S.ivf_record_probe_adjacency = spy
+    try:
+        S._write_listed(batch, store, "parquet", "append", cluster=True)
+    finally:
+        S.ivf_record_probe_adjacency = orig
+    # adjacency ran while the store still held only the seed rows
+    assert seen_at_adjacency_time["rows"] == rows_before_append
+    assert spark.read.parquet(store).count() == seed.count() + batch.count()
+
+
+def test_init_generational_heals_crashed_compact_park(spark, emb, cent, tmp_path):
+    """r11 review #3: migrating a flat store that has a crashed
+    compaction's park (<store>.compact_old holding the ONLY copy of some
+    lists) must heal first — the generational branch never consults the
+    flat park again, so unhealed lists would be invisible forever."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    S.ivf_write_partitioned(emb, store, cent)
+    all_ids = {r["vec_id"] for r in spark.read.parquet(store).collect()}
+
+    # simulate the crash window: one list dir moved to the park, store copy gone
+    parked = store + ".compact_old"
+    os.makedirs(parked)
+    victim = next(e for e in os.listdir(store) if e.startswith("ivf_list="))
+    shutil.move(os.path.join(store, victim), os.path.join(parked, victim))
+
+    gen_dir = S.ivf_init_generational(store)
+    assert not os.path.isdir(parked)
+    assert os.path.isdir(os.path.join(gen_dir, victim))
+    got = {r["vec_id"] for r in spark.read.parquet(S._resolve_store(store)).collect()}
+    assert got == all_ids
+
+
+def test_cent_carrier_memoizes_large_broadcasts(spark, monkeypatch):
+    """r11 review #4: repeated _cent_carrier calls with the same frozen
+    quantizer (one per micro-batch in the ingest loop) must reuse ONE
+    broadcast, not torrent a fresh copy per batch and leak it."""
+    monkeypatch.setattr(S, "_CENT_BROADCAST_BYTES", 256)
+    monkeypatch.setattr(S, "_CENT_BC_CACHE", None)
+    cent_a = np.ones((16, 8), dtype=np.float64)
+    cent_b = np.full((16, 8), 2.0, dtype=np.float64)
+
+    loc1, bc1 = S._cent_carrier(cent_a)
+    loc2, bc2 = S._cent_carrier(cent_a.copy())  # same content, new object
+    loc3, bc3 = S._cent_carrier(cent_b)
+    assert loc1 is None and loc2 is None and loc3 is None
+    assert bc1 is bc2  # content-addressed reuse
+    assert bc3 is not bc1
+    assert np.array_equal(bc1.value, cent_a)
+    # small matrices stay on the closure path, no broadcast bookkeeping
+    small = np.ones((2, 2), dtype=np.float64)
+    monkeypatch.setattr(S, "_CENT_BROADCAST_BYTES", 1 << 20)
+    loc, bc = S._cent_carrier(small)
+    assert bc is None and loc is small

@@ -303,3 +303,16 @@ def test_tws_processor_fold_logic_with_fake_handle():
     ]
     assert handle.state.get() == (4, 7.0)
     proc.close()
+
+
+def test_tws_raises_clear_error_when_api_absent(monkeypatch):
+    """r11 review #5: on pyspark<4 the module-level import leaves
+    LifetimeStatsProcessor = None; calling the operator must raise an
+    explanatory ImportError, not 'NoneType is not callable'."""
+    import pytest
+
+    from custom_columnar_format_spark.streaming import events as ev
+
+    monkeypatch.setattr(ev, "LifetimeStatsProcessor", None)
+    with pytest.raises(ImportError, match="pyspark>=4"):
+        ev.tws_user_lifetime_stats(object())

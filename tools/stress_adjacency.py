@@ -130,16 +130,21 @@ def run_corpus(spark, root, corpus, emb, n_vecs, nlists):
         build_dt = time.time() - t0
 
         adj = similarity.ivf_probe_adjacency(spark, store)
-        pairs = adj.count()
-        fanin = (
-            adj.groupBy("probe").agg(F.count(F.lit(1)).alias("d"))
-            .agg(
-                F.max("d").alias("mx"),
-                F.expr("percentile_approx(d, 0.5)").alias("md"),
-                F.avg("d").alias("avg"),
+        pairs = adj.count() if adj is not None else 0
+        if pairs:
+            fanin = (
+                adj.groupBy("probe").agg(F.count(F.lit(1)).alias("d"))
+                .agg(
+                    F.max("d").alias("mx"),
+                    F.expr("percentile_approx(d, 0.5)").alias("md"),
+                    F.avg("d").alias("avg"),
+                )
+                .first()
             )
-            .first()
-        )
+        else:
+            # degenerate quantizer (e.g. nlist=1): single-element probe
+            # sets record no cross-probe pairs — zero fan-in, not a crash
+            fanin = {"mx": 0, "md": 0, "avg": 0.0}
         print(json.dumps({
             "stage": f"adjacency_{corpus}_nlist{nlist}",
             "n_vecs": n_vecs, "nprobe": NPROBE,
