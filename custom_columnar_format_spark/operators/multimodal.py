@@ -349,6 +349,78 @@ def extract_features(media: DataFrame, batch_hint: int = 256, decoder=decode_stu
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("thumb_sha256", StringType(), False),
+    ]
+)
+
+
+def fit_dims(w: int, h: int, target: int) -> tuple:
+    """Aspect-preserving fit of (w, h) into a target-pixel square: the long
+    side becomes ``target``, the short side scales by the same ratio,
+    half-up-rounded in EXACT integer arithmetic — ``(2*s*target + l) //
+    (2*l)`` — so the DuckDB oracle reproduces it bit-identically (float
+    round() is banker's in Python and engine-dependent in SQL)."""
+    if w >= h:
+        return target, max(1, (2 * h * target + w) // (2 * w))
+    return max(1, (2 * w * target + h) // (2 * h)), target
+
+
+def resize_images(
+    media: DataFrame,
+    target: int = 64,
+    decoder=decode_stub,
+) -> DataFrame:
+    """Thumbnail/resize stage over image payloads via Arrow-batched
+    ``mapInPandas`` — the third leg of the decode / feature-extract /
+    resize / frame-sample pipeline. Decodes each image (the ``decoder``
+    seam, same as ``extract_features``), computes aspect-preserving
+    ``fit_dims`` into a ``target``-px square, and emits a deterministic
+    thumbnail digest (stub: sha256 of payload + output dims; a real
+    decoder plugs pixel resampling + re-encode into the same seam).
+
+    Scale shape: the ``kind = 'image'`` filter sits BEFORE the UDF so
+    non-image payload bytes are never transferred to Python; output is
+    fixed-width metadata — raw bytes never enter a shuffle."""
+    from ..shipping import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                w, h, _ = decoder(raw, kind)
+                ow, oh = fit_dims(int(w), int(h), target)
+                digest = hashlib.sha256(
+                    raw + f"|{ow}x{oh}".encode()
+                ).hexdigest()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "out_w": ow,
+                        "out_h": oh,
+                        "thumb_sha256": digest,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """Frame-sampling fan-out for video payloads: emit up to ``max_frames``
     (media_id, frame_idx, frame_offset) rows per video — the Spark-side shape

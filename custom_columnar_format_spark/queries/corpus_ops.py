@@ -674,7 +674,7 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_TAU = 0.3
 
 
-def _semdedup_oracle_sql(tau: float = _SEM_TAU) -> str:
+def _semdedup_oracle_sql(tau: float = _SEM_TAU, within_cap: int | None = None) -> str:
     """Replay of semdedup_prune with the seed-vector coarse quantizer
     (embeddings of vec_id < nlist, same scheme as q_sim_ivf_topk): argmax-
     cosine cluster assignment (ties → smaller centroid id), within-cluster
@@ -683,7 +683,9 @@ def _semdedup_oracle_sql(tau: float = _SEM_TAU) -> str:
     SAME size rule as the engine (similarity.sem_nlist: ~256 vectors per
     cluster, floor 16, cap 65536) via a scalar subquery, so the contract
     holds at ANY corpus size — a fixed nlist here silently diverged from
-    the engine past ~4.3k vectors (r10 ADVICE)."""
+    the engine past ~4.3k vectors (r10 ADVICE). ``within_cap`` replays the
+    capped-pruner variant: only each cluster's ``within_cap`` lowest-id
+    members act as the pair join's a-side (similarity.semdedup_pairs)."""
     from ..operators.similarity import SEM_NLIST_CAP, SEM_NLIST_FLOOR
 
     nlist_sql = (
@@ -700,9 +702,16 @@ def _semdedup_oracle_sql(tau: float = _SEM_TAU) -> str:
       FROM embeddings e CROSS JOIN cent c
     ),
     lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+    pruners AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rrn
+        FROM lists
+      ) WHERE rrn <= {within_cap if within_cap is not None else 'rrn'}
+    ),
     pairs AS (
       SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
-      FROM lists x JOIN lists y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      FROM pruners x JOIN lists y ON x.cid = y.cid AND x.vec_id < y.vec_id
       WHERE ROUND({_cos_sql('x.embedding', 'y.embedding')}, 4) >= {tau}
     ),
     doomed AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
@@ -733,7 +742,10 @@ def _sem_seed_centroids(emb: DataFrame, nlist: int):
 
 
 def _semdedup_census(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    within_cap: int | None = None,
 ) -> DataFrame:
     """The q_semdedup_prune body, with the quantizer cap exposed so the
     bounded-collect contract is testable at small corpora (tests patch
@@ -756,7 +768,9 @@ def _semdedup_census(
         similarity.sem_nlist(n) if cap is None else similarity.sem_nlist(n, cap=cap)
     )
     cent = _sem_seed_centroids(emb, nlist)
-    marked = similarity.semdedup_prune(emb, cent, threshold=_SEM_TAU)
+    marked = similarity.semdedup_prune(
+        emb, cent, threshold=_SEM_TAU, within_cap=within_cap
+    )
     return marked.groupBy("sem_cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.col("pruned").cast("int")).cast("bigint").alias("n_pruned"),
@@ -781,6 +795,25 @@ def _semdedup_census(
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_census(spark, sf_dir)
+
+
+_SEM_WITHIN_CAP = 8
+
+
+@query(
+    "q_semdedup_prune_capped",
+    _semdedup_oracle_sql(within_cap=_SEM_WITHIN_CAP),
+    doc="SemDeDup census with the paper's within-cluster subsampling made "
+    f"deterministic: only each cluster's {_SEM_WITHIN_CAP} lowest-id "
+    "members act as pruner candidates, so per-cluster cost is cap × "
+    "occupancy instead of occupancy² — the linear mode for the past-the-"
+    "nlist-cap regime (1B vectors ≈ 15k/cluster → 225M pairs/cluster "
+    "uncapped). A pair whose both members rank after the cap is the "
+    "documented miss, exactly the paper's subsampling approximation but "
+    "reproducible on any engine (lowest-id, not random).",
+)
+def q_semdedup_prune_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_census(spark, sf_dir, within_cap=_SEM_WITHIN_CAP)
 
 
 _BIGRAM_K = 0.5

@@ -1385,6 +1385,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "sha256", "width", "height")
 
 
+@query(
+    "q_multimodal_frame_sample",
+    # sample_frames is pure column arithmetic (sequence + explode), so the
+    # oracle replays it exactly: frame i at byte offset i*64, up to
+    # min(floor(n_bytes/64), 7) inclusive, videos only (doc_id % 3 = 2).
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS frame_offset
+    FROM m, unnest(generate_series(0, least(CAST(floor(n_bytes / 64.0) AS BIGINT), 7))) AS t(i)
+    """,
+    doc="keyframe-sampling fan-out over video payloads: up to 8 "
+    "(media_id, frame_idx, frame_offset) rows per video via sequence + "
+    "explode — the Spark-side shape of frame extraction (the real decoder "
+    "plugs into the offset; see operators/multimodal.py sample_frames). "
+    "Whole-stage-codegen column ops, no UDF, no shuffle: the fan-out is "
+    "map-side, so at 100 TB it scales with input splits. Reference has no "
+    "media handling (SURVEY.md §2.2).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(_docs_spread(spark, sf_dir))
+    return multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+
+
+@query(
+    "q_multimodal_resize",
+    # Stub dims are sha256-hex arithmetic (same replay as
+    # q_multimodal_features); the aspect-preserving fit is exact integer
+    # half-up — (2*short*target + long) // (2*long) — and the thumbnail
+    # digest is sha256(payload || '|WxH'), all bit-replayable in DuckDB.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, sha256(text) AS d
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT media_id, text,
+             CAST(64 + (16*(strpos('0123456789abcdef', substr(d,1,1))-1)
+                        + (strpos('0123456789abcdef', substr(d,2,1))-1)) % 192 AS INT) AS width,
+             CAST(64 + (16*(strpos('0123456789abcdef', substr(d,3,1))-1)
+                        + (strpos('0123456789abcdef', substr(d,4,1))-1)) % 192 AS INT) AS height
+      FROM m
+    ), fitted AS (
+      SELECT media_id, text, width, height,
+             CAST(CASE WHEN width >= height THEN 64
+                  ELSE GREATEST(1, (2*width*64 + height) // (2*height)) END AS INT) AS out_w,
+             CAST(CASE WHEN width >= height
+                  THEN GREATEST(1, (2*height*64 + width) // (2*width))
+                  ELSE 64 END AS INT) AS out_h
+      FROM dims
+    )
+    SELECT media_id, width, height, out_w, out_h,
+           sha256(text || '|' || CAST(out_w AS VARCHAR) || 'x' || CAST(out_h AS VARCHAR))
+             AS thumb_sha256
+    FROM fitted
+    """,
+    doc="image resize/thumbnail stage: decode (stubbed; Pillow/PNG decoders "
+    "plug the same seam) -> aspect-preserving integer fit into 64px -> "
+    "deterministic thumbnail digest, via Arrow-batched mapInPandas with the "
+    "kind filter BEFORE the UDF so non-image bytes never reach Python. "
+    "Completes the decode / feature-extract / resize / frame-sample "
+    "pipeline. Reference has no media handling (SURVEY.md §2.2).",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(_docs_spread(spark, sf_dir))
+    return multimodal.resize_images(media, target=64)
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins & sessionization over events
 # ---------------------------------------------------------------------------

@@ -458,3 +458,36 @@ def test_ffmpeg_audio_feature_parse_golden():
     # odd trailing byte (truncated pipe) must not crash the frombuffer
     feat_odd = multimodal._audio_features_from_s16le(samples.tobytes() + b"\x7f")
     assert feat_odd is not None and all(abs(f - 0.5) < 1e-9 for f in feat_odd)
+
+
+def test_fit_dims_integer_half_up_and_floors():
+    # long side pinned to target, short side half-up in exact integer math
+    assert multimodal.fit_dims(128, 64, 64) == (64, 32)
+    assert multimodal.fit_dims(64, 128, 64) == (32, 64)
+    assert multimodal.fit_dims(100, 100, 64) == (64, 64)
+    # 64 * 99/100 = 63.36 → 63 ; 64 * 50/99 = 32.32 → 32
+    assert multimodal.fit_dims(100, 99, 64) == (64, 63)
+    # half-up, not banker's: 64 * 75/96 = 50.0 exactly; 64 * 33/96 = 22.0
+    assert multimodal.fit_dims(96, 75, 64) == (64, 50)
+    # extreme aspect never collapses below 1px
+    assert multimodal.fit_dims(10000, 1, 64) == (64, 1)
+    assert multimodal.fit_dims(1, 10000, 64) == (1, 64)
+
+
+def test_resize_images_only_images_and_digest(media):
+    out = multimodal.resize_images(media, target=64)
+    assert out.schema == multimodal.RESIZE_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {0, 3, 6}  # doc_id % 3 == 0 → image
+    for i, txt in TEXTS:
+        if i not in rows:
+            continue
+        r = rows[i]
+        d = hashlib.sha256(txt.encode()).digest()
+        assert (r.width, r.height) == (64 + d[0] % 192, 64 + d[1] % 192)
+        assert (r.out_w, r.out_h) == multimodal.fit_dims(r.width, r.height, 64)
+        assert max(r.out_w, r.out_h) == 64 and min(r.out_w, r.out_h) >= 1
+        want = hashlib.sha256(
+            txt.encode() + f"|{r.out_w}x{r.out_h}".encode()
+        ).hexdigest()
+        assert r.thumb_sha256 == want

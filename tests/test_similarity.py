@@ -529,3 +529,41 @@ def test_semdedup_seed_collect_capped(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _norm_frames(eng), _norm_frames(ora), check_dtype=False, rtol=1e-6, atol=1e-6
     )
+
+
+def test_semdedup_within_cap_semantics(spark):
+    """within_cap (the paper's within-cluster subsampling, deterministic):
+    a huge cap is EXACTLY the uncapped result; a small cap prunes a subset
+    of it (pruner candidates shrink, decisions never appear from nowhere);
+    a planted duplicate pair whose both members rank after the cap is the
+    documented miss."""
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((3, DIM)) * 3
+    x = np.stack([centers[i % 3] + 0.5 * rng.standard_normal(DIM) for i in range(60)])
+    # same-cluster near-twin pair with BOTH members late in id order:
+    # 57 copies 54 (both assigned to 54's cluster, ranks far past cap=2)
+    x[57] = x[54] + 0.005 * rng.standard_normal(DIM)
+    rows = [(i, [float(v) for v in x[i].astype(np.float32)]) for i in range(60)]
+    schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("embedding", ArrayType(FloatType()), False)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    tau = 0.98
+
+    def marked(within_cap):
+        return {
+            r.vec_id: r.pruned
+            for r in similarity.semdedup_prune(
+                df, cent, threshold=tau, within_cap=within_cap
+            ).collect()
+        }
+
+    exact = marked(None)
+    assert marked(10_000) == exact  # cap >= cluster size: identical
+    capped = marked(2)
+    assert set(capped) == set(exact)  # every vector still gets a decision
+    assert {i for i, p in capped.items() if p} <= {i for i, p in exact.items() if p}
+    # the planted late-pair: exact catches it, cap=2 documents the miss
+    assert exact[57] is True
+    assert capped[57] is False
