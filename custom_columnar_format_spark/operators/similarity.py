@@ -1077,7 +1077,12 @@ def semdedup_pairs(
     i.e. 225M pairs/cluster uncapped vs cap×15k). The documented miss: a
     duplicate pair whose BOTH members rank after the cap goes undetected —
     exactly the paper's subsampling approximation, but reproducible on any
-    engine (lowest-id, not random). ``None`` = exact (no cap).
+    engine (lowest-id, not random). Measured (SCALE.md round-11b, 100k
+    vectors at occupancy ~1.6k): recall over uniformly-ranked duplicates
+    is ≈ cap/occupancy at a pair cost of Σ min(cap,occ)·occ — size the cap
+    to the recall the corpus tolerates, and below the nlist cap keep nlist
+    scaling as the primary lever (at the intended ~256 occupancy, cap=256
+    IS exact). ``None`` = exact (no cap).
 
     Scale shape: one shuffle on the cluster id; the quadratic pair
     expansion is bounded per cluster (cluster population ~ N/nlist — at
