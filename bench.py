@@ -91,6 +91,11 @@ HEADLINE = [
     # datacard (full-outer digest join + per-source rollup)
     "q_sim_ivf_incremental",
     "q_datacard_diff",
+    # round 11: the capped-pruner SemDeDup twin — same census as
+    # q_semdedup_prune with pair cost sum(min(cap,occ) x occ) instead of
+    # occ^2 (SCALE.md r11b curve); the pair shows the budget valve's win
+    # in the committed artifact
+    "q_semdedup_prune_capped",
 ]
 
 
