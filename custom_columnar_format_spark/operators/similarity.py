@@ -19,6 +19,7 @@ so signatures are reproducible across runs and engines.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -203,6 +204,7 @@ _CENT_BROADCAST_BYTES = 4 << 20
 # paid on the >4 MB path.
 _CENT_BC_CACHE: "OrderedDict[tuple, object]" = None  # built lazily below
 _CENT_BC_MAX = 4
+_CENT_BC_LOCK = threading.Lock()
 
 
 def _cent_carrier(cent: np.ndarray):
@@ -222,25 +224,33 @@ def _cent_carrier(cent: np.ndarray):
     active = SparkSession.getActiveSession()
     if active is None or cent.nbytes <= _CENT_BROADCAST_BYTES:
         return cent, None
-    if _CENT_BC_CACHE is None:
-        _CENT_BC_CACHE = OrderedDict()
-    key = (
-        active.sparkContext.applicationId,
-        hashlib.md5(np.ascontiguousarray(cent).tobytes()).hexdigest(),
-    )
-    bc = _CENT_BC_CACHE.get(key)
-    if bc is None:
-        bc = active.sparkContext.broadcast(cent)
-        _CENT_BC_CACHE[key] = bc
-        while len(_CENT_BC_CACHE) > _CENT_BC_MAX:
-            _, evicted = _CENT_BC_CACHE.popitem(last=False)
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass
-    else:
-        _CENT_BC_CACHE.move_to_end(key)
-    return None, bc
+    # key carries shape + dtype, not just bytes: two byte-identical buffers
+    # shaped (a, b) vs (b, a) must never share a broadcast. The lock covers
+    # concurrent driver threads (one per streaming query) racing the lazy
+    # init / eviction — an orphaned double-init broadcast would silently
+    # reintroduce the per-batch leak this cache exists to fix.
+    with _CENT_BC_LOCK:
+        if _CENT_BC_CACHE is None:
+            _CENT_BC_CACHE = OrderedDict()
+        key = (
+            active.sparkContext.applicationId,
+            cent.shape,
+            cent.dtype.str,
+            hashlib.md5(np.ascontiguousarray(cent).tobytes()).hexdigest(),
+        )
+        bc = _CENT_BC_CACHE.get(key)
+        if bc is None:
+            bc = active.sparkContext.broadcast(cent)
+            _CENT_BC_CACHE[key] = bc
+            while len(_CENT_BC_CACHE) > _CENT_BC_MAX:
+                _, evicted = _CENT_BC_CACHE.popitem(last=False)
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass
+        else:
+            _CENT_BC_CACHE.move_to_end(key)
+        return None, bc
 
 
 def ivf_assign(centroids: np.ndarray, vec_col: str = "embedding") -> F.Column:

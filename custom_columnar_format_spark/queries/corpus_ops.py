@@ -674,6 +674,19 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_TAU = 0.3
 
 
+def _sem_pruners_sql(within_cap: int | None) -> str:
+    """The pair join's a-side: all cluster members when uncapped (no
+    per-cluster ROW_NUMBER sort wasted on a vacuous bound), the
+    ``within_cap`` lowest ids per cluster otherwise."""
+    if within_cap is None:
+        return "SELECT vec_id, embedding, cid FROM lists"
+    return f"""SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rrn
+        FROM lists
+      ) WHERE rrn <= {within_cap}"""
+
+
 def _semdedup_oracle_sql(tau: float = _SEM_TAU, within_cap: int | None = None) -> str:
     """Replay of semdedup_prune with the seed-vector coarse quantizer
     (embeddings of vec_id < nlist, same scheme as q_sim_ivf_topk): argmax-
@@ -702,13 +715,7 @@ def _semdedup_oracle_sql(tau: float = _SEM_TAU, within_cap: int | None = None) -
       FROM embeddings e CROSS JOIN cent c
     ),
     lists AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
-    pruners AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT vec_id, embedding, cid,
-               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rrn
-        FROM lists
-      ) WHERE rrn <= {within_cap if within_cap is not None else 'rrn'}
-    ),
+    pruners AS ({_sem_pruners_sql(within_cap)}),
     pairs AS (
       SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
       FROM pruners x JOIN lists y ON x.cid = y.cid AND x.vec_id < y.vec_id

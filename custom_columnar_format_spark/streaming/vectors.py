@@ -311,15 +311,16 @@ def start_vector_ingest_loop(
         )
 
         def _read_store() -> DataFrame:
-            r = spark.read
+            # a store that started probeless (assign tier) and later
+            # switched to intersect mixes files with and without the
+            # ivf_probes column; without mergeSchema Spark may infer from
+            # a probeless file and silently degrade EVERY stored row to
+            # single-list fallback (r10 ADVICE #5). _load_store is the
+            # SAME reader the maintenance paths (compact/rebuild) use, so
+            # the two can't drift apart.
             if blocking == "intersect":
-                # a store that started probeless (assign tier) and later
-                # switched to intersect mixes files with and without the
-                # ivf_probes column; without mergeSchema Spark may infer
-                # from a probeless file and silently degrade EVERY stored
-                # row to single-list fallback (r10 ADVICE #5)
-                r = r.option("mergeSchema", "true")
-            return r.parquet(cur)
+                return similarity._load_store(spark, cur, "parquet")
+            return spark.read.parquet(cur)
 
         if matches_store is not None:
             store_df = None

@@ -165,6 +165,10 @@ def run_corpus(spark, root, corpus, emb, n_vecs, nlists):
 
         def cand_partitions(b):
             P = {r[0] for r in b.select(F.explode("ivf_probes").alias("p")).distinct().collect()}
+            if adj is None:
+                # no recorded adjacency (degenerate nlist): the matcher's
+                # own fallback is a full store scan — candidates = all lists
+                return set(range(nlist))
             return set(P) | {
                 r[0]
                 for r in adj.filter(F.col("probe").isin(list(P)))
