@@ -34,5 +34,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values) -> Column:
-    """A literal query vector as an array<double> column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal query vector as an array<double> column.
+
+    Built as ONE ``F.expr`` SQL string (r11): a 64-dim vector as 64
+    ``F.lit`` calls costs ~100 ms of py4j round-trips per build; the parsed
+    tree is identical. ``repr(float)`` round-trips IEEE doubles exactly and
+    the ``D`` suffix forces DoubleType (bare decimal literals parse as
+    DECIMAL in Spark SQL)."""
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.array().cast("array<double>")
+    return F.expr(f"array({', '.join(f'{v!r}D' for v in vals)})")

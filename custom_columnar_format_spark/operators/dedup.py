@@ -140,13 +140,12 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     # yields nulls via try_element_at (plain element_at throws under ANSI),
     # which xxhash64 skips — short docs hash their whole text,
     # the same one-gram-per-short-doc rule as before.
+    slots = ", ".join(f"try_element_at(w, i + {1 + j})" for j in range(k))
     return w.select(
         "id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
-                lambda i: F.xxhash64(*[F.try_element_at(F.col("w"), i + 1 + j) for j in range(k)]),
-            )
+        F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size(w) - {k}, 0)),"
+            f" i -> xxhash64({slots})))"
         ).alias("shingles"),
     )
 
@@ -177,15 +176,12 @@ def gram_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
     # shorter than k produce one gram of their whole text — the same
     # one-gram-per-short-doc rule as shingle_table, and the same clamped
     # slice semantics as DuckDB's array_to_string(w[i:i+k-1], ' ').
+    slots = ", ".join(f"try_element_at(w, i + {1 + j})" for j in range(k))
     return w.select(
         "id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", *[F.try_element_at(F.col("w"), i + 1 + j) for j in range(k)]
-                ),
-            )
+        F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size(w) - {k}, 0)),"
+            f" i -> concat_ws(' ', {slots})))"
         ).alias("grams"),
     )
 
@@ -324,25 +320,43 @@ def km_hash_table(grams_df: DataFrame, grams_col: str = "grams") -> DataFrame:
     parse, 0.98 s) or parsing h2 from 6 hex chars + odd-multiplier spread
     (0.98 s) — both only ~10%, under the 15% adoption bar, and not worth
     weakening h1/h2 independence or churning every replaying oracle."""
-    m = grams_df.select("id", grams_col, F.transform(grams_col, F.md5).alias("m"))
+    m = grams_df.select(
+        "id", grams_col, F.expr(f"transform({grams_col}, x -> md5(x))").alias("m")
+    )
     return m.select(
         "id",
         grams_col,
-        F.transform(
-            "m", lambda x: F.conv(F.substring(x, 1, 12), 16, 10).cast("bigint")
+        F.expr(
+            "transform(m, x -> cast(conv(substring(x, 1, 12), 16, 10) as bigint))"
         ).alias("h1"),
-        F.transform(
-            "m",
-            lambda x: F.conv(F.substring(x, 13, 12), 16, 10).cast("bigint").bitwiseOR(F.lit(1)),
+        F.expr(
+            "transform(m, x -> cast(conv(substring(x, 13, 12), 16, 10) as bigint) | 1)"
         ).alias("h2"),
     )
 
 
-def minhash_signature_km(h1: F.Column, h2: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
+def minhash_signature_km(
+    h1: "F.Column | str" = "h1",
+    h2: "F.Column | str" = "h2",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> F.Column:
     """Cross-engine MinHash signature from KM base-hash arrays: element j is
     ``min_g (h1[g] + j*h2[g]) & MASK48``. Exact int64 arithmetic (≤ 2^54
     pre-mask) — DuckDB replays it verbatim, which is what lets the driver
-    hash-check the LSH pipeline end to end."""
+    hash-check the LSH pipeline end to end.
+
+    PERF (r11): when given column NAMES the 64-expression array is built as
+    ONE ``F.expr`` SQL string — 10 ms vs 2,130 ms for the per-term Python
+    form (64 ``zip_with`` lambdas each paying py4j round-trips). The query
+    result and the analyzed expression tree are identical; only the driver-
+    side construction cost changes. Column inputs keep the old path for
+    callers holding computed columns."""
+    if isinstance(h1, str) and isinstance(h2, str):
+        terms = ", ".join(
+            f"array_min(zip_with({h1}, {h2}, (a, b) -> (a + {j} * b) & {MASK48}))"
+            for j in range(num_hashes)
+        )
+        return F.expr(f"array({terms})")
     return F.array(
         *[
             F.array_min(
@@ -353,7 +367,9 @@ def minhash_signature_km(h1: F.Column, h2: F.Column, num_hashes: int = DEFAULT_N
     )
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) -> F.Column:
+def minhash_signature(
+    shingles: "F.Column | str", num_hashes: int = DEFAULT_NUM_HASHES
+) -> F.Column:
     """MinHash signature: for seed j, min over shingle-hash rehashes. Each
     rehash is ``xxhash64(shingle_hash, seed_j)``.
 
@@ -362,7 +378,16 @@ def minhash_signature(shingles: F.Column, num_hashes: int = DEFAULT_NUM_HASHES) 
     simhash_table's 65 sums — 64 aggregate expressions exceed
     ``spark.sql.codegen.maxFields``, knocking the whole aggregation out of
     whole-stage codegen, and the interpreted agg path is far slower than
-    interpreted array lambdas. Benchmark before 'optimizing' either form."""
+    interpreted array lambdas. Benchmark before 'optimizing' either form.
+    String input builds the array as one ``F.expr`` (see
+    ``minhash_signature_km`` — 100-200× cheaper driver-side construction,
+    identical expression tree)."""
+    if isinstance(shingles, str):
+        terms = ", ".join(
+            f"array_min(transform({shingles}, s -> xxhash64(s, {j})))"
+            for j in range(num_hashes)
+        )
+        return F.expr(f"array({terms})")
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
@@ -443,13 +468,11 @@ def _sig_pipeline_from_base(base: DataFrame, num_hashes: int, scheme: str):
     """(base, sigs) from an already-built shingle table — split out so the
     signature projection can be re-bound onto a persisted base."""
     if scheme == "xxhash64":
-        sigs = base.select(
-            "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-        )
+        sigs = base.select("id", minhash_signature("shingles", num_hashes).alias("sig"))
     else:
         hashed = km_hash_table(base.select("id", F.col("shingles").alias("grams")))
         sigs = hashed.select(
-            "id", minhash_signature_km(F.col("h1"), F.col("h2"), num_hashes).alias("sig")
+            "id", minhash_signature_km("h1", "h2", num_hashes).alias("sig")
         )
     return base, sigs
 
@@ -724,30 +747,26 @@ def band_table(
 ) -> DataFrame:
     """(band, band_hash, id) LSH band rows from an (id, sig) table — band
     key = the raw signature slice rendered as a string (no extra hash,
-    identical text in any engine)."""
+    identical text in any engine).
+
+    PERF (r11): the 16-struct explode array is built as ONE ``F.expr`` SQL
+    string — ~10 ms vs ~1,240 ms for the per-struct Python construction
+    (py4j round-trips per element_at/cast/struct). Identical expression
+    tree and results."""
     rows_per_band = num_hashes // num_bands
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+    structs = ", ".join(
+        "struct({b} as band, concat_ws(',', {slots}) as band_hash)".format(
+            b=b,
+            slots=", ".join(
+                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return sigs.select("id", F.expr(f"explode(array({structs}))").alias("b")).select(
+        F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id"
+    )
 
 
 def minhash_history_matches(
@@ -957,21 +976,20 @@ def simhash_table(
             "id",
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
         )
+    # Both wide expression lists are built as single F.expr SQL strings
+    # (r11): ~60 per-term Python constructions cost seconds of driver-side
+    # py4j round-trips per query; the parsed trees and results are identical.
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
+        F.expr(f"sum(cast(shiftright(h, {b}) & 1 as int))").alias(f"c{b}")
         for b in range(nbits)
     ]
     counts = posts.groupBy("id").agg(*aggs)
     # bit b set iff popcount_b*2 >= n  (majority of shingles have the bit)
-    sim = F.lit(0).cast("bigint")
-    for b in range(nbits):
-        sim = sim.bitwiseOR(
-            F.shiftleft(
-                F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-                b,
-            )
-        )
-    return counts.select("id", sim.alias("sim"))
+    sim_sql = " | ".join(
+        f"shiftleft(cast(case when c{b} * 2 >= n then 1 else 0 end as bigint), {b})"
+        for b in range(nbits)
+    )
+    return counts.select("id", F.expr(sim_sql).alias("sim"))
 
 
 def _simhash_bits(scheme: str) -> int:
@@ -1094,6 +1112,8 @@ def containment_pairs(
     probe_modulus: int = 64,
     probe_min_docs: int | None = None,
     guard_stats: dict | None = None,
+    persist: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """WORD-ALIGNED containment pairs: (id_inner, id_outer) where the inner
     doc's normalized word sequence occurs contiguously inside the outer
@@ -1173,19 +1193,59 @@ def containment_pairs(
     because two plan branches consume each; this function does NOT
     unpersist them — the blocks live until the caller (or harness) calls
     ``unpersist``/``clearCache``, the same caller-owns-lifecycle contract
-    as the MinHash signature table."""
+    as the MinHash signature table.
+
+    PERF (r11, guide §2.4/§5): the normalized-text table feeds FOUR plan
+    branches (long/short blocking + both verify sides) and the posting
+    stream three more — unpersisted, that was 8 parquet scans, each
+    re-normalizing the corpus (plan audit: 8× Scan parquet, 0 reuse).
+    ``persist`` (default) caches ``norm`` once and derives every branch —
+    including both posting streams — from it, the same checkpoint-the-
+    shared-subtree move as the MinHash shingle table (at 100 TB swap the
+    cache for a parquet temp table). ``handles`` receives persisted frames
+    for deterministic unpersist by library callers."""
     from pyspark.sql.window import Window
 
-    norm = df.filter(F.trim(F.col(text_col)) != "").select(
+    def _track(cached: DataFrame) -> DataFrame:
+        if handles is not None:
+            handles.append(cached)
+        return cached
+
+    sc = df.sparkSession.sparkContext
+    src = df.filter(F.trim(F.col(text_col)) != "")
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    norm = src.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
     )
+    if persist:
+        norm = _track(norm.persist())
+    words = norm.select("id", F.split(F.col("t"), " ").alias("w"))
     nwords = F.size(F.split(F.col("t"), " "))
 
     # explode-first postings (bag semantics — see gram_postings for why the
     # array-then-explode form is 160× slower): doc frequency therefore
     # counts DISTINCT docs, and candidate pairs are deduped at the (small)
-    # candidate table, never on the posting stream
-    g = gram_postings(df, text_col, id_col, k)
+    # candidate table, never on the posting stream. Built from the CACHED
+    # norm table (identical expressions to gram_postings over the raw df —
+    # split of the same normalized text), so the scan+normalize pass runs
+    # once instead of 8×.
+    def _postings(kk: int) -> DataFrame:
+        return words.select(
+            "id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - kk, F.lit(0)))
+            ).alias("_i"),
+        ).select(
+            "id",
+            F.concat_ws(
+                " ",
+                *[F.try_element_at(F.col("w"), F.col("_i") + 1 + j) for j in range(kk)],
+            ).alias("gram"),
+        )
+
+    g = _postings(k)
     gdf = g.groupBy("gram").agg(F.countDistinct("id").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "gram")
     long_ids = norm.filter(nwords >= k).select("id")
@@ -1257,7 +1317,7 @@ def containment_pairs(
              "n_heavy": len(heavy_rows) if use_guard else 0}
         )
     if use_guard:
-        gdf = gdf.persist()
+        gdf = _track(gdf.persist())
         heavy = df.sparkSession.createDataFrame(heavy_rows, "gram: string")
         g_main = g.join(F.broadcast(heavy), "gram", "left_anti")
         gdf_main = gdf.join(F.broadcast(heavy), "gram", "left_anti")
@@ -1287,7 +1347,7 @@ def containment_pairs(
         # blk (one row per blocked doc) is read by the candidate join AND
         # the all-heavy derivation below — persist (lazily) so the
         # blocking pass runs once.
-        blk = blk.persist()
+        blk = _track(blk.persist())
     cand_long = (
         blk.hint("merge")
         .join(g_main.select(F.col("id").alias("id_outer"), "gram").hint("merge"), "gram")
@@ -1325,7 +1385,7 @@ def containment_pairs(
             )
             cand_long = cand_long.unionByName(cand_heavy)
 
-    uni = gram_postings(df, text_col, id_col, k=1).select(
+    uni = _postings(1).select(
         F.col("id").alias("id_outer"), F.col("gram").alias("word")
     )
     short_blk = norm.filter(nwords < k).select(

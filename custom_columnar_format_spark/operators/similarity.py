@@ -946,19 +946,24 @@ def adc_dist_col(codebooks: np.ndarray, query_vec: Sequence[float], codes_col: s
     fixed left-fold of M ``element_at`` lookups against the literal
     query-to-codeword table. This is the read-path half of PQ — no vector
     column, no encode; shared by ``pq_adc_topk`` (codes computed on the
-    fly) and ``ivf_pq_topk_partitioned`` (codes stored at write time)."""
+    fly) and ``ivf_pq_topk_partitioned`` (codes stored at write time).
+
+    PERF (r11): the M·ksub literal table (e.g. 8×256 = 2048 ``F.lit`` calls)
+    is built as ONE ``F.expr`` SQL string — the per-literal py4j form costs
+    ~1 s of driver time per query build; ``repr(float)``+``D`` round-trips
+    doubles bit-identically (verified incl. denormals/-0.0), so the parsed
+    tree and the fold order are unchanged."""
     n_subspaces, ksub, sub_dim = codebooks.shape
     q = np.asarray(list(query_vec), dtype=np.float64)
-    dist = F.lit(0.0)
+    terms = []
     for m in range(n_subspaces):
         lut = [
             float(((q[m * sub_dim : (m + 1) * sub_dim] - codebooks[m][j]) ** 2).sum())
             for j in range(ksub)
         ]
-        dist = dist + F.element_at(
-            F.array(*[F.lit(d) for d in lut]), F.element_at(F.col(codes_col), m + 1)
-        )
-    return dist
+        arr = ", ".join(f"{d!r}D" for d in lut)
+        terms.append(f"element_at(array({arr}), element_at({codes_col}, {m + 1}))")
+    return F.expr(" + ".join(["0.0D"] + terms))
 
 
 def ivf_pq_write_partitioned(
