@@ -44,4 +44,44 @@ def lit_vector(values) -> Column:
     vals = [float(v) for v in values]
     if not vals:
         return F.array().cast("array<double>")
-    return F.expr(f"array({', '.join(f'{v!r}D' for v in vals)})")
+    return F.expr(vector_sql(vals))
+
+
+# --- SQL-string twins (r11) -------------------------------------------------
+# Loop-built vector expressions (k dots against k literal centroids, a
+# 16-projection array, an argmin over k fold distances) cost 50-200 py4j
+# round-trips EACH when assembled Column-by-Column from Python; assembling
+# the same expression as one SQL string and parsing it with a single
+# ``F.expr`` call is 100-200× cheaper driver-side and yields the identical
+# analyzed tree (same functions, same fold order — the oracle replay
+# contract is unchanged). Operands are SQL fragments: a column name or the
+# output of ``vector_sql``.
+
+
+def vector_sql(values) -> str:
+    """The ``array(<doubles>)`` literal fragment for SQL-string builders."""
+    vals = [float(v) for v in values]
+    if not vals:
+        return "cast(array() as array<double>)"
+    return f"array({', '.join(f'{v!r}D' for v in vals)})"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL twin of ``dot`` — identical cast/fold order."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) *"
+        f" cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL twin of ``norm``."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + cast(x as double) *"
+        f" cast(x as double)))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL twin of ``cosine`` — same ``dot/(norm*norm)`` tree."""
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"

@@ -36,9 +36,26 @@ def connected_components(
     caller wanting singleton clusters unions the full id table afterwards).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize once; both directions feed every round
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # symmetrize once; both directions feed every round. ONE pass over the
+    # edge pipeline (r11, guide §2.4): explode [(a,b),(b,a)] — identical
+    # rows to union(e, reversed), but the upstream edge computation (often
+    # an expensive MinHash-pairs plan) runs once, not once per union branch
+    # (measured: q_dedup_clusters spent ~2× its pair-pipeline cost here).
+    # Plain array-of-structs under explode is codegen-safe (the 160× trap
+    # is transform-BUILT arrays — see gram_postings).
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -54,6 +71,11 @@ def connected_components(
             .groupBy(sym.a.alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # checkpoint FIRST, then derive both the convergence probe and the
+        # next round's labels from the materialized rows (r11): the old
+        # order (count, then checkpoint) executed the round's join pipeline
+        # twice per iteration — once for `changed`, once for the lineage
+        # cut. Same labels, half the per-iteration work.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -63,12 +85,10 @@ def connected_components(
                 ),
                 "label",
             )
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = (
-            new_labels.select("node", F.col("new_label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
@@ -126,14 +146,17 @@ def incremental_components(
     state = state.select(
         F.col(state.columns[0]).alias("node"), F.col(state.columns[1]).alias("label")
     )
-    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a").isNotNull() & F.col("b").isNotNull()
+    # the batch's edges are BOUNDED by contract but often come off an
+    # expensive pipeline (history band-matches); materialize them once —
+    # they feed `ends`, `mapped`, and (via connected_components) `sym`
+    # (r11: the 3× recompute was most of q_dedup_clusters_incremental's
+    # wall-clock)
+    e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    ends = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
-    )
+    ends = e.select(F.explode(F.array("a", "b")).alias("node")).distinct()
     # ONE pass over corpus-scale state: the stars of endpoints history knows
     star = state.join(F.broadcast(ends), "node", "left_semi").select("node", "label")
     # r9 VERDICT #8: the correctness argument REQUIRES stored labels to be

@@ -477,6 +477,15 @@ def _sig_pipeline_from_base(base: DataFrame, num_hashes: int, scheme: str):
     return base, sigs
 
 
+def _sig_base_table(df: DataFrame, text_col: str, id_col: str, shingle_k: int, scheme: str):
+    """The scheme's shingle base table — the ONE place the dispatch lives."""
+    if scheme == "xxhash64":
+        return shingle_table(df, text_col, id_col, shingle_k)
+    return gram_table(df, text_col, id_col, shingle_k).withColumnRenamed(
+        "grams", "shingles"
+    )
+
+
 def _sig_pipeline(
     df: DataFrame,
     text_col: str,
@@ -489,12 +498,7 @@ def _sig_pipeline(
     MinHash signature derivation lives; minhash_neardup_pairs,
     minhash_signatures, and lsh_bucket_stats all build from here so the
     hash scheme can never silently fork between them."""
-    if scheme == "xxhash64":
-        base = shingle_table(df, text_col, id_col, shingle_k)
-    else:
-        base = gram_table(df, text_col, id_col, shingle_k).withColumnRenamed(
-            "grams", "shingles"
-        )
+    base = _sig_base_table(df, text_col, id_col, shingle_k, scheme)
     return _sig_pipeline_from_base(base, num_hashes, scheme)
 
 
@@ -579,11 +583,15 @@ def minhash_neardup_pairs(
             handles.append(cached)
         return cached
 
-    base, sigs = _sig_pipeline(df, text_col, id_col, shingle_k, num_hashes, scheme)
+    # build the shingle base alone, persist, THEN bind the signature
+    # projection once — the old build-then-rebind order constructed the
+    # 64-wide signature select twice and threw the first away (~0.3 s of
+    # driver time per query, r11)
+    base = _sig_base_table(df, text_col, id_col, shingle_k, scheme)
     if persist:
+        # the signature projection below reads the CACHED shingles
         base = _track(base.persist())
-        # rebind: the signature projection must read the CACHED shingles
-        _, sigs = _sig_pipeline_from_base(base, num_hashes, scheme)
+    _, sigs = _sig_pipeline_from_base(base, num_hashes, scheme)
     # The signature table feeds the banding branch and (only when oversized
     # buckets exist) the full-signature second pass; it is tiny
     # (id + num_hashes longs) so always persist alongside the shingles.

@@ -34,7 +34,7 @@ from typing import List, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import lit_vector
+from ..functions.vector import lit_vector, vector_sql
 
 Vector = Sequence[float]
 
@@ -46,6 +46,16 @@ def seed_centroids(
     the seed model, not data). TakeOrderedAndProject on the id column."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     return [[float(v) for v in r[vec_col]] for r in rows]
+
+
+def _sq_dist_sql(vec: str, centroid: Vector) -> str:
+    """SQL fragment: squared L2 of array column ``vec`` to a literal
+    centroid — the same fixed-order fold as ``sq_dist``."""
+    return (
+        f"aggregate(zip_with({vec}, {vector_sql(centroid)},"
+        f" (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def sq_dist(vec: F.Column, centroid: Vector) -> F.Column:
@@ -65,12 +75,16 @@ def assign_expr(centroids: Sequence[Vector], vec_col: str = "embedding") -> F.Co
     distances is evaluated ONCE into a (dist, cid) struct and ``array_min``
     picks the lexicographic minimum — exact-equality ties resolve to the
     smallest cid, i.e. the same answer as ``ORDER BY dist, cid`` (which is
-    how oracles replay it)."""
-    structs = [
-        F.struct(sq_dist(F.col(vec_col), c).alias("d"), F.lit(cid).alias("cid"))
+    how oracles replay it).
+
+    Built as ONE ``F.expr`` SQL string (r11): the k × dim fold forest cost
+    ~100 py4j round-trips per build — and ``kmeans_fit`` builds it once per
+    iteration. Identical parsed tree and results."""
+    structs = ", ".join(
+        f"struct({_sq_dist_sql(vec_col, c)} as d, {cid} as cid)"
         for cid, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*structs)).getField("cid").cast("int")
+    )
+    return F.expr(f"cast(array_min(array({structs})).cid as int)")
 
 
 def lloyd_assign(

@@ -73,9 +73,22 @@ def knn_join_bruteforce(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
-def signature_col(vec: F.Column, planes: np.ndarray) -> F.Column:
+def signature_col(vec: "F.Column | str", planes: np.ndarray) -> F.Column:
     """LSH signature: integer whose bit p = sign(dot(vec, plane_p)). Computed
-    as JVM expressions over the array column — one pass, no UDF."""
+    as JVM expressions over the array column — one pass, no UDF.
+
+    Given a column NAME, the num_planes dot folds are built as ONE
+    ``F.expr`` SQL string (r11) — identical tree, ~100× cheaper driver-side
+    construction; Column input keeps the per-Column path."""
+    if isinstance(vec, str):
+        from ..functions.vector import dot_sql, vector_sql
+
+        bits_sql = " | ".join(
+            f"(case when {dot_sql(vec, vector_sql(plane))} >= 0"
+            f" then cast({1 << p} as bigint) else cast(0 as bigint) end)"
+            for p, plane in enumerate(planes)
+        )
+        return F.expr(bits_sql)
     bits = []
     for p, plane in enumerate(planes):
         d = dot(vec, lit_vector(plane))
@@ -91,7 +104,7 @@ def with_lsh_signature(
 ) -> DataFrame:
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, num_planes, seed)
-    return df.withColumn("lsh_sig", signature_col(F.col(vec_col), planes))
+    return df.withColumn("lsh_sig", signature_col(vec_col, planes))
 
 
 def lsh_topk(
@@ -116,7 +129,7 @@ def lsh_topk(
             q_sig |= 1 << p
     probe_sigs = [q_sig] + ([q_sig ^ (1 << p) for p in range(num_planes)] if multiprobe else [])
 
-    sigged = df.withColumn("lsh_sig", signature_col(F.col(vec_col), planes))
+    sigged = df.withColumn("lsh_sig", signature_col(vec_col, planes))
     bucketed = sigged.filter(F.col("lsh_sig").isin(probe_sigs))
     q = lit_vector(qv)
     return (

@@ -105,6 +105,7 @@ def bpe_train(
     n_merges: int = 16,
     min_count: int = 1,
     max_vocab: int = 1_000_000,
+    local_train_max_vocab: int = 200_000,
 ) -> List[Tuple[str, str]]:
     """Train ``n_merges`` BPE merges over the corpus. Returns the ordered
     merge list. One corpus pass (word counts); each iteration re-tokenizes
@@ -132,9 +133,20 @@ def bpe_train(
     if min_count > 1:
         wc_dist = wc_dist.filter(F.col("n") >= min_count)
     capped = wc_dist.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab)
-    wc = df.sparkSession.createDataFrame(
-        capped.collect(), "word: string, n: long"
-    )
+    rows = capped.collect()
+    # PERF (r11, guide §1.2): the capped vocab is ALREADY on the driver —
+    # below ``local_train_max_vocab`` run the merge loop there with the
+    # pure-python trainer (``bpe_reference``, pinned bit-equal to this loop
+    # by test_bpe_train_matches_reference: greedy max count, (count DESC,
+    # pair ASC) tie-break, incremental merge application ≡ from-scratch
+    # re-tokenization by construction). The Spark loop below paid one full
+    # UDF job + TakeOrdered per merge — ~1 s × n_merges of fixed overhead
+    # to re-tokenize a table that fits in a dict. Past the threshold
+    # (web-scale vocabs at the 10^6 cap) the distributed loop keeps the
+    # per-iteration tokenize parallel, so it stays.
+    if len(rows) <= local_train_max_vocab:
+        return bpe_reference([(r["word"], r["n"]) for r in rows], n_merges)
+    wc = df.sparkSession.createDataFrame(rows, "word: string, n: long")
     # The capped collect also keeps the loop's lineage flat: each iteration
     # plans against a local table, not n_merges stacked UDF applications.
     merges: List[Tuple[str, str]] = []

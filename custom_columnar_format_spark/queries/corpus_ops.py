@@ -1102,24 +1102,29 @@ def _rp_oracle_sql(dim: int = 64, rp_dim: int = _RP_DIM, k: int = _RP_K) -> str:
     "itself (vec_id=0), so engine and oracle share the exact fold order.",
 )
 def q_rp_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import dot, norm
+    from ..functions.vector import cosine_sql, dot_sql, vector_sql
     from ..operators.similarity import _hyperplanes
 
     emb = _emb_spread(spark, sf_dir)
     planes = _hyperplanes(64, _RP_DIM, seed=_RP_SEED)
-    pv = F.array(
-        *[dot(F.col("embedding"), lit_vector(planes[j])) for j in range(_RP_DIM)]
+    # one F.expr per wide expression (r11): the 16-projection array and each
+    # cosine cost 50-100 py4j round-trips built Column-by-Column — ~2 s of
+    # the query's warm wall-clock was driver-side construction gaps
+    pv = F.expr(
+        "array("
+        + ", ".join(dot_sql("embedding", vector_sql(planes[j])) for j in range(_RP_DIM))
+        + ")"
     )
     proj = emb.select("vec_id", "embedding", pv.alias("pv"))
     pq = proj.filter(F.col("vec_id") == 0).first()["pv"]
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
 
-    def ranked(variant: str, df: DataFrame, vec: F.Column, q: F.Column) -> DataFrame:
-        c = dot(vec, q) / (norm(vec) * norm(q))
+    def ranked(variant: str, df: DataFrame, vec: str, q) -> DataFrame:
+        c = F.expr(cosine_sql(vec, vector_sql(q)))
         return _cos_topk_ranked(variant, df, c, _RP_K)
 
-    full = ranked("full", emb, F.col("embedding"), lit_vector(qv))
-    rp = ranked(f"rp{_RP_DIM}", proj, F.col("pv"), lit_vector(pq))
+    full = ranked("full", emb, "embedding", qv)
+    rp = ranked(f"rp{_RP_DIM}", proj, "pv", pq)
     return full.unionByName(rp)
 
 
@@ -1467,7 +1472,7 @@ def _cluster_quality_oracle_sql(nlist: int = 16) -> str:
 def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from ..functions.vector import cosine as _cos
+    from ..functions.vector import cosine_sql, vector_sql
     from ..operators import similarity
 
     emb = _emb_spread(spark, sf_dir)
@@ -1477,8 +1482,12 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cent = np.stack([np.asarray(seeds[i], dtype=np.float64) for i in sorted(seeds)])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True).clip(min=1e-12)
-    all_cos = F.array(
-        *[_cos(F.col("embedding"), lit_vector(cent[j])) for j in range(len(cent))]
+    # 16 literal-centroid cosines as ONE F.expr (r11): identical tree,
+    # ~100× cheaper driver-side construction than per-Column assembly
+    all_cos = F.expr(
+        "array("
+        + ", ".join(cosine_sql("embedding", vector_sql(cent[j])) for j in range(len(cent)))
+        + ")"
     )
     assigned = emb.withColumn("sem_cluster", similarity.ivf_assign(cent)).withColumn(
         "sorted_cos", F.sort_array(all_cos)

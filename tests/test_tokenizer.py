@@ -76,3 +76,13 @@ def test_bpe_merges_shrink_token_counts(docs):
     n0 = none.agg(F.sum("n_tokens")).first()[0]
     n1 = trained.agg(F.sum("n_tokens")).first()[0]
     assert n1 < n0  # merges must compress
+
+
+def test_bpe_train_distributed_path_matches_reference(docs):
+    # r11: small vocabs short-circuit to the driver-side reference trainer,
+    # so the DISTRIBUTED merge loop must keep its own reference-equality pin
+    # (local_train_max_vocab=0 forces it regardless of vocab size)
+    wc = _ref_word_counts(docs)
+    want = tokenizer.bpe_reference(wc, n_merges=8)
+    got = tokenizer.bpe_train(docs, "text", n_merges=8, local_train_max_vocab=0)
+    assert got == want
