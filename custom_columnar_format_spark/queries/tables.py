@@ -22,6 +22,30 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """PERF (r11): the DataFrame HANDLE is memoized per session — building
+    a fresh reader costs ~125 ms of file-listing + schema inference per
+    call, and the suite calls load() 60-90× per bench pass. This is plan
+    reuse, not result caching: every action on the memoized frame still
+    scans the parquet files. The key carries the path's (mtime, size) so a
+    rewritten directory (e.g. a freshly built scaled corpus) gets a fresh
+    file index instead of a stale listing; the memo dies with the session
+    object."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    memo = spark.__dict__.setdefault("_scbf_table_memo", {})
+    if key is not None and key in memo:
+        return memo[key]
+    df = _load_fresh(spark, sf_dir, name)
+    if key is not None:
+        memo[key] = df
+    return df
+
+
+def _load_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Spark ≤4.0 needs
         # nanosAsLong=true (ts arrives as raw int64 nanos, truncate to µs —
