@@ -427,6 +427,15 @@ def main() -> None:
                 # cache from squeezing the next one's executor memory.
                 spark.catalog.clearCache()
 
+        # r11 VERDICT #1: the codec probe runs FIRST and the parallel probe
+        # LAST — a contention window opening mid-suite (what tore the r11
+        # 32-core artifact) was invisible to both. Re-run the single-core
+        # codec stanza right after the headline loop and once more after
+        # the CDC stanza; the per-tier factors land in BENCH_DETAIL
+        # (additions only — the contract line is unchanged), so a torn
+        # window is attributable from the committed artifact alone.
+        cal["cal_factor_mid"] = calibration(tmpdir)["cal_factor"]
+
         # sf-scaling probe: same queries, ~5× the corpus (see module doc)
         scaled_dir = build_scaled_dir(spark, tmpdir)
         for name in _SCALING_QUERIES:
@@ -562,6 +571,11 @@ def main() -> None:
                 f" (reference points: 0.46x sf0.01-x25, ~0.8-1.0x"
                 f" warm-quiet sf0.1-x25, 0.49x 1M docs - PLANS.md r11)"
             )
+
+        # end-of-CDC re-probe (see cal_factor_mid above): brackets the
+        # scaling + CDC tiers the same way cal_factor_mid brackets the
+        # headline loop
+        cal["cal_factor_post"] = calibration(tmpdir)["cal_factor"]
 
         # The PARALLEL probe runs LAST on purpose: measured at session
         # start, its 3× 16M-row shuffle left enough JVM/shuffle residue to

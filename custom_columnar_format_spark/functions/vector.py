@@ -58,12 +58,36 @@ def lit_vector(values) -> Column:
 # output of ``vector_sql``.
 
 
+def ident_sql(name: str) -> str:
+    """Backtick-quote a column NAME for interpolation into the SQL-string
+    fast paths (ADVICE r11: a name like ``a-b`` or one with spaces would
+    silently parse as an expression — subtraction — through a bare f-string,
+    where the old ``F.col`` path handled it). Backticks inside the name are
+    doubled per Spark's identifier escaping."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _double_sql(v: float) -> str:
+    """One IEEE double as a SQL fragment. ``repr(v)+'D'`` round-trips every
+    finite double exactly; non-finite values (NaN/inf can reach here through
+    data-derived centroids or PQ LUTs) would render as unparseable ``nanD``/
+    ``infD`` (ADVICE r11), so they map to the engine's literal spellings —
+    the same values ``F.lit`` produces."""
+    if v != v:
+        return "cast('NaN' as double)"
+    if v == float("inf"):
+        return "cast('Infinity' as double)"
+    if v == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return f"{v!r}D"
+
+
 def vector_sql(values) -> str:
     """The ``array(<doubles>)`` literal fragment for SQL-string builders."""
     vals = [float(v) for v in values]
     if not vals:
         return "cast(array() as array<double>)"
-    return f"array({', '.join(f'{v!r}D' for v in vals)})"
+    return f"array({', '.join(_double_sql(v) for v in vals)})"
 
 
 def dot_sql(a: str, b: str) -> str:

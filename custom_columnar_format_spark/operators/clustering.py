@@ -24,16 +24,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize + cut lineage. ``reliable=False`` (default): eager
+    ``localCheckpoint`` — executor-local blocks, the fast path for local
+    mode and short-lived jobs. ``reliable=True``: eager ``checkpoint`` to
+    the session's checkpoint dir (``sc.setCheckpointDir`` — HDFS/object
+    store on a real cluster), which survives executor loss; at 100 TB an
+    iterative job that loses one executor mid-loop would otherwise die with
+    its local blocks (guide §5). Same rows either way."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes don't appear (a
     caller wanting singleton clusters unions the full id table afterwards).
+
+    ``reliable_checkpoint=True`` swaps every per-round ``localCheckpoint``
+    for a reliable ``checkpoint`` into the session's checkpoint dir (set
+    ``spark.sparkContext.setCheckpointDir`` first) — required on real
+    clusters where an executor lost mid-iteration would take its local
+    blocks (and the whole loop) with it; local mode keeps the cheap
+    default.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize once; both directions feed every round. ONE pass over the
@@ -54,14 +73,12 @@ def connected_components(
         )
         .select("s.a", "s.b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = _cut(sym, reliable_checkpoint)
 
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = _cut(
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
+        reliable_checkpoint,
     )
 
     for _ in range(max_iter):
@@ -76,16 +93,15 @@ def connected_components(
         # order (count, then checkpoint) executed the round's join pipeline
         # twice per iteration — once for `changed`, once for the lineage
         # cut. Same labels, half the per-iteration work.
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+        new_labels = _cut(
+            labels.join(neighbor_min, "node", "left").select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
                     "new_label"
                 ),
                 "label",
-            )
-            .localCheckpoint(eager=True)
+            ),
+            reliable_checkpoint,
         )
         changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
@@ -101,6 +117,7 @@ def incremental_components(
     dst: str = "id_b",
     max_iter: int = 20,
     delta_only: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Fold a NEW batch's edges into stored (node, label) component state
     WITHOUT recomputing connected components over all history — the cluster
@@ -139,6 +156,9 @@ def incremental_components(
     construction — so broadcasting them is deliberate and safe (the
     corpus-scale ``state`` side always streams; the same bounded-build
     justification as the contamination probe set).
+
+    ``reliable_checkpoint``: see ``connected_components`` — flows through
+    to every lineage cut in this maintenance pass and the inner closure.
     """
     # positional contract like minhash_history_matches: first column = node,
     # second = its stored component label (connected_components' output
@@ -151,10 +171,11 @@ def incremental_components(
     # they feed `ends`, `mapped`, and (via connected_components) `sym`
     # (r11: the 3× recompute was most of q_dedup_clusters_incremental's
     # wall-clock)
-    e = (
-        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .localCheckpoint(eager=True)
+    e = _cut(
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        ),
+        reliable_checkpoint,
     )
     ends = e.select(F.explode(F.array("a", "b")).alias("node")).distinct()
     # ONE pass over corpus-scale state: the stars of endpoints history knows
@@ -193,8 +214,12 @@ def incremental_components(
         .filter(F.col("a") != F.col("b"))
     )
     # the small iterative closure over rewritten edges (reps + new ids only)
-    cc = connected_components(mapped, src="a", dst="b", max_iter=max_iter)
-    cc = cc.localCheckpoint(eager=True)  # feeds the remap AND the new-node rows
+    cc = connected_components(
+        mapped, src="a", dst="b", max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    # feeds the remap AND the new-node rows
+    cc = _cut(cc, reliable_checkpoint)
     remap = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("_old"), F.col("component").alias("_new")
     )

@@ -320,8 +320,11 @@ def km_hash_table(grams_df: DataFrame, grams_col: str = "grams") -> DataFrame:
     parse, 0.98 s) or parsing h2 from 6 hex chars + odd-multiplier spread
     (0.98 s) — both only ~10%, under the 15% adoption bar, and not worth
     weakening h1/h2 independence or churning every replaying oracle."""
+    from ..functions.vector import ident_sql
+
+    gq = ident_sql(grams_col)
     m = grams_df.select(
-        "id", grams_col, F.expr(f"transform({grams_col}, x -> md5(x))").alias("m")
+        "id", grams_col, F.expr(f"transform({gq}, x -> md5(x))").alias("m")
     )
     return m.select(
         "id",
@@ -352,6 +355,9 @@ def minhash_signature_km(
     side construction cost changes. Column inputs keep the old path for
     callers holding computed columns."""
     if isinstance(h1, str) and isinstance(h2, str):
+        from ..functions.vector import ident_sql
+
+        h1, h2 = ident_sql(h1), ident_sql(h2)
         terms = ", ".join(
             f"array_min(zip_with({h1}, {h2}, (a, b) -> (a + {j} * b) & {MASK48}))"
             for j in range(num_hashes)
@@ -383,6 +389,9 @@ def minhash_signature(
     ``minhash_signature_km`` — 100-200× cheaper driver-side construction,
     identical expression tree)."""
     if isinstance(shingles, str):
+        from ..functions.vector import ident_sql
+
+        shingles = ident_sql(shingles)
         terms = ", ".join(
             f"array_min(transform({shingles}, s -> xxhash64(s, {j})))"
             for j in range(num_hashes)
@@ -1122,6 +1131,7 @@ def containment_pairs(
     guard_stats: dict | None = None,
     persist: bool = True,
     handles: list | None = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """WORD-ALIGNED containment pairs: (id_inner, id_outer) where the inner
     doc's normalized word sequence occurs contiguously inside the outer
@@ -1207,11 +1217,34 @@ def containment_pairs(
     branches (long/short blocking + both verify sides) and the posting
     stream three more — unpersisted, that was 8 parquet scans, each
     re-normalizing the corpus (plan audit: 8× Scan parquet, 0 reuse).
-    ``persist`` (default) caches ``norm`` once and derives every branch —
-    including both posting streams — from it, the same checkpoint-the-
-    shared-subtree move as the MinHash shingle table (at 100 TB swap the
-    cache for a parquet temp table). ``handles`` receives persisted frames
-    for deterministic unpersist by library callers."""
+    ``persist`` (default) caches ``norm`` once (explicit
+    ``MEMORY_AND_DISK`` — the corpus must spill, never OOM, at 100 TB) and
+    derives every branch — including both posting streams — from it.
+    ``spill_dir`` is the promised disk-backed alternative for clusters
+    where even spillable executor cache is unwanted: ``norm`` is written
+    once to ``<spill_dir>/containment_norm`` as parquet and every branch
+    reads that temp table (plan-cut identical to the cache; the caller
+    owns the directory's lifecycle). ``handles`` receives persisted frames
+    for deterministic unpersist by library callers.
+
+    PERF (r12, guide §2.3 "aggregate before you shuffle" / §2.4): the
+    k-gram posting stream used to cross three gram-keyed Exchanges (df
+    aggregation, df-attach SMJ, candidate SMJ — each shuffling one row per
+    gram OCCURRENCE). With the guard machinery bounding per-gram df, the
+    stream is now aggregated ONCE into per-gram sorted distinct id arrays
+    (``gagg``); doc frequency is ``size(ids)`` (free), the rarest-gram
+    choice is a map-side-partial ``min(struct(df, gram))`` aggregation
+    (replacing the Sort+Window), and the candidate join explodes the
+    (already gram-partitioned) array table instead of re-shuffling
+    postings. Candidates were always deduped downstream, so bag→set is
+    result-identical. The unigram posting stream similarly explodes
+    ``array_distinct(w)`` (map-side set, no shuffle added). Only the
+    ``heavy_df_cap=None`` escape hatch keeps the old join plan: with no df
+    bound a hot gram's id array could not be bounded, and SMJ spills where
+    an aggregation buffer cannot."""
+    import os as _os
+
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     def _track(cached: DataFrame) -> DataFrame:
@@ -1226,8 +1259,12 @@ def containment_pairs(
     norm = src.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
     )
-    if persist:
-        norm = _track(norm.persist())
+    if spill_dir is not None:
+        tmp = _os.path.join(spill_dir, "containment_norm")
+        norm.write.mode("overwrite").parquet(tmp)
+        norm = df.sparkSession.read.parquet(tmp)
+    elif persist:
+        norm = _track(norm.persist(StorageLevel.MEMORY_AND_DISK))
     words = norm.select("id", F.split(F.col("t"), " ").alias("w"))
     nwords = F.size(F.split(F.col("t"), " "))
 
@@ -1350,18 +1387,62 @@ def containment_pairs(
             .select(F.col("id").alias("id_inner"), "gram")
         )
 
-    blk = rarest_block(g_main, gdf_main)
-    if use_guard:
-        # blk (one row per blocked doc) is read by the candidate join AND
-        # the all-heavy derivation below — persist (lazily) so the
-        # blocking pass runs once.
-        blk = _track(blk.persist())
-    cand_long = (
-        blk.hint("merge")
-        .join(g_main.select(F.col("id").alias("id_outer"), "gram").hint("merge"), "gram")
-        .filter(F.col("id_inner") != F.col("id_outer"))
-        .select("id_inner", "id_outer")
-    )
+    if heavy_df_cap is not None:
+        # r12 aggregated path (PERF r12 note in the docstring): the guard
+        # machinery bounds per-gram df on this stream — heavy grams are
+        # anti-joined out on guarded corpora, the probe over-catches hot
+        # grams on probed-clean ones, and sub-probe corpora have df ≤
+        # n_docs < probe_min_docs — so the per-gram id array is bounded
+        # and the posting stream can be aggregated ONCE instead of
+        # crossing three gram-keyed Exchanges. df = size(ids) (free); the
+        # rarest-gram choice is min(struct(df, gram)) — identical to the
+        # row_number-over-(df, gram) window but map-side partial and
+        # sort-free; the candidate join explodes the (already gram-
+        # partitioned) array table. Candidates are deduped downstream, so
+        # the bag→set change cannot alter results.
+        gagg = g_main.groupBy("gram").agg(
+            F.array_sort(F.collect_set("id")).alias("ids")
+        )
+        if persist:
+            # feeds the blocking branch AND the candidate join
+            gagg = _track(gagg.persist(StorageLevel.MEMORY_AND_DISK))
+        blk = (
+            gagg.select(
+                "gram", F.size("ids").alias("df"), F.explode("ids").alias("id")
+            )
+            .join(long_ids.hint("shuffle_hash"), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.min(F.struct("df", "gram")).alias("m"))
+            .select(F.col("id").alias("id_inner"), F.col("m.gram").alias("gram"))
+        )
+        if use_guard:
+            # blk (one row per blocked doc) is read by the candidate join
+            # AND the all-heavy derivation below — persist (lazily) so the
+            # blocking pass runs once.
+            blk = _track(blk.persist())
+        cand_long = (
+            blk.hint("merge")
+            .join(gagg.hint("merge"), "gram")
+            .select("id_inner", F.explode("ids").alias("id_outer"))
+            .filter(F.col("id_inner") != F.col("id_outer"))
+            .select("id_inner", "id_outer")
+        )
+    else:
+        # heavy_df_cap=None disables the guard AND the df bound — a hot
+        # gram's id array would be unbounded, so keep the join plan (SMJ
+        # spills; an aggregation buffer cannot).
+        blk = rarest_block(g_main, gdf_main)
+        if use_guard:
+            blk = _track(blk.persist())
+        cand_long = (
+            blk.hint("merge")
+            .join(
+                g_main.select(F.col("id").alias("id_outer"), "gram").hint("merge"),
+                "gram",
+            )
+            .filter(F.col("id_inner") != F.col("id_outer"))
+            .select("id_inner", "id_outer")
+        )
 
     if use_guard:
         # Second pass for all-heavy inner docs (every gram above the cap:
@@ -1393,9 +1474,13 @@ def containment_pairs(
             )
             cand_long = cand_long.unionByName(cand_heavy)
 
-    uni = _postings(1).select(
-        F.col("id").alias("id_outer"), F.col("gram").alias("word")
-    )
+    # one row per DISTINCT word per doc (r12): array_distinct runs map-side
+    # on the plain split array (codegen-safe explode — not a HOF-built
+    # array), shrinking the unigram stream entering the SMJ sort below;
+    # candidates were always deduped downstream, so bag→set is free.
+    uni = words.select(
+        "id", F.explode(F.array_distinct("w")).alias("gram")
+    ).select(F.col("id").alias("id_outer"), F.col("gram").alias("word"))
     short_blk = norm.filter(nwords < k).select(
         F.col("id").alias("id_inner"), F.element_at(F.split(F.col("t"), " "), 1).alias("word")
     )

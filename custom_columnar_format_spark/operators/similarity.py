@@ -81,8 +81,9 @@ def signature_col(vec: "F.Column | str", planes: np.ndarray) -> F.Column:
     ``F.expr`` SQL string (r11) — identical tree, ~100× cheaper driver-side
     construction; Column input keeps the per-Column path."""
     if isinstance(vec, str):
-        from ..functions.vector import dot_sql, vector_sql
+        from ..functions.vector import dot_sql, ident_sql, vector_sql
 
+        vec = ident_sql(vec)
         bits_sql = " | ".join(
             f"(case when {dot_sql(vec, vector_sql(plane))} >= 0"
             f" then cast({1 << p} as bigint) else cast(0 as bigint) end)"
@@ -965,7 +966,12 @@ def adc_dist_col(codebooks: np.ndarray, query_vec: Sequence[float], codes_col: s
     is built as ONE ``F.expr`` SQL string — the per-literal py4j form costs
     ~1 s of driver time per query build; ``repr(float)``+``D`` round-trips
     doubles bit-identically (verified incl. denormals/-0.0), so the parsed
-    tree and the fold order are unchanged."""
+    tree and the fold order are unchanged. Non-finite LUT entries (NaN/inf
+    from degenerate data-derived codebooks) render through
+    ``vector._double_sql`` — ``repr`` alone would emit unparseable ``nanD``
+    (ADVICE r11)."""
+    from ..functions.vector import _double_sql
+
     n_subspaces, ksub, sub_dim = codebooks.shape
     q = np.asarray(list(query_vec), dtype=np.float64)
     terms = []
@@ -974,7 +980,7 @@ def adc_dist_col(codebooks: np.ndarray, query_vec: Sequence[float], codes_col: s
             float(((q[m * sub_dim : (m + 1) * sub_dim] - codebooks[m][j]) ** 2).sum())
             for j in range(ksub)
         ]
-        arr = ", ".join(f"{d!r}D" for d in lut)
+        arr = ", ".join(_double_sql(d) for d in lut)
         terms.append(f"element_at(array({arr}), element_at({codes_col}, {m + 1}))")
     return F.expr(" + ".join(["0.0D"] + terms))
 

@@ -29,11 +29,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scans the parquet files. The key carries the path's (mtime, size) so a
     rewritten directory (e.g. a freshly built scaled corpus) gets a fresh
     file index instead of a stale listing; the memo dies with the session
-    object."""
+    object.
+
+    Key fidelity (ADVICE r11): a plain FILE keys on its own (mtime, size) —
+    any rewrite bumps it. A DIRECTORY dataset keys on a shallow listing
+    digest (sorted child names with each child's (mtime, size)) instead of
+    the directory inode's stat, because rewriting a part-file in place need
+    not bump the directory entry. Deeper in-place edits (nested subdirs,
+    e.g. hive-partitioned layouts) are still invisible — whole-directory
+    rewrites (what Spark's overwrite mode does, including refreshing
+    ``_SUCCESS``) are the supported invalidation."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            listing = tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(path), key=lambda e: e.name)
+            )
+            key = (path, listing)
+        else:
+            key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     memo = spark.__dict__.setdefault("_scbf_table_memo", {})

@@ -169,3 +169,40 @@ def test_incremental_rejects_non_canonical_state(spark):
         for r in clustering.incremental_components(good_state, new_edges).collect()
     }
     assert got == {3: 3, 9: 3, 100: 3}
+
+
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    """reliable_checkpoint=True (guide §5: executor-loss-safe lineage cuts
+    for real clusters) must produce exactly the labels the localCheckpoint
+    default does, for both the from-scratch and the incremental loop."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 10)],
+        "id_a: long, id_b: long",
+    )
+    base = {
+        (r.node, r.component)
+        for r in clustering.connected_components(edges).collect()
+    }
+    rel = {
+        (r.node, r.component)
+        for r in clustering.connected_components(
+            edges, reliable_checkpoint=True
+        ).collect()
+    }
+    assert rel == base
+    state = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (50, 50)], "node: long, component: long"
+    )
+    new_edges = spark.createDataFrame([(3, 50), (60, 61)], "id_a: long, id_b: long")
+    base_inc = {
+        (r.node, r.component)
+        for r in clustering.incremental_components(state, new_edges).collect()
+    }
+    rel_inc = {
+        (r.node, r.component)
+        for r in clustering.incremental_components(
+            state, new_edges, reliable_checkpoint=True
+        ).collect()
+    }
+    assert rel_inc == base_inc

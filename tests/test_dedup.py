@@ -233,6 +233,36 @@ def test_containment_guard_exact_count_branch(spark):
     assert got == want
 
 
+def test_containment_spill_dir_matches_persist(spark, tmp_path):
+    """The disk-backed spill path (norm written once to a parquet temp table
+    and re-read by every branch — the 100 TB alternative to executor cache)
+    must produce identical pairs to the default persisted plan, and must
+    actually write the temp table."""
+    import os
+
+    from custom_columnar_format_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "XX alpha beta gamma delta epsilon zeta eta theta YY"),
+        (3, "beta gamma delta"),
+        (4, "totally unrelated words about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "text", "doc_id", k=5).collect()
+    }
+    got = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(
+            df, "text", "doc_id", k=5, spill_dir=str(tmp_path)
+        ).collect()
+    }
+    assert got == want
+    assert os.path.isdir(os.path.join(str(tmp_path), "containment_norm"))
+
+
 def test_containment_small_corpus_skips_probe(spark):
     """Below probe_min_docs (default cap × modulus) the probe must not run
     at all — the plain plan with zero added eager jobs (the round-7 bench

@@ -103,3 +103,70 @@ def test_dot_norm_cosine_sql_twins(vecs):
         F.expr(V.cosine_sql("embedding", V.vector_sql(q))),
         V.cosine(F.col("embedding"), V.lit_vector(q)),
     )
+
+
+def test_band_table_matches_per_struct_construction(docs):
+    """ADVICE r11: band_table's one-F.expr explode array had no direct twin
+    pin. Reproduce the pre-r11 per-struct Python construction and compare
+    full row sets."""
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    nh, nb = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_NUM_BANDS
+    rpb = nh // nb
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(F.col("sig"), b * rpb + r + 1).cast("string")
+                    for r in range(rpb)
+                ],
+            ).alias("band_hash"),
+        )
+        for b in range(nb)
+    ]
+    old = (
+        sigs.select("id", F.explode(F.array(*structs)).alias("b"))
+        .select(F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "id")
+    )
+    new = dedup.band_table(sigs, nh, nb)
+    got = {tuple(r) for r in new.collect()}
+    want = {tuple(r) for r in old.collect()}
+    assert got == want and len(got) == len(DOCS) * nb
+
+
+def test_simhash_table_matches_per_column_construction(docs):
+    """ADVICE r11: simhash_table's single-F.expr agg list + bit-fold had no
+    direct twin pin. Reproduce the per-Column aggregation and bit fold."""
+    nbits = 60  # km-md5 scheme
+    base = dedup.gram_table(docs, "text", "doc_id", 2)
+    posts = base.select("id", F.explode("grams").alias("g")).select(
+        "id", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
+        for b in range(nbits)
+    ]
+    counts = posts.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("bigint")
+    for b in range(nbits):
+        bit = F.when(F.col(f"c{b}") * 2 >= F.col("n"), 1).otherwise(0).cast("bigint")
+        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    old = counts.select("id", sim.alias("sim"))
+    new = dedup.simhash_table(docs, "text", "doc_id")
+    assert {tuple(r) for r in new.collect()} == {tuple(r) for r in old.collect()}
+
+
+def test_ident_sql_quotes_hostile_names(spark):
+    """ADVICE r11: the string-name fast paths must survive identifiers that
+    would misparse bare (a dash reads as subtraction)."""
+    df = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, [0.5, -1.0, 2.0, 0.25])],
+        "vec_id: long, `my-vec`: array<double>",
+    )
+    planes = similarity._hyperplanes(4, 3, seed=5)
+    _assert_cols_equal(
+        df,
+        similarity.signature_col("my-vec", planes),
+        similarity.signature_col(F.col("my-vec"), planes),
+    )
