@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ._parallel import ensure_parallelism as _ensure_parallelism
+
 DEFAULT_NUM_HASHES = 64
 DEFAULT_NUM_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
@@ -126,10 +128,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     pipeline to a handful of cores (measured 2.0 s → 0.1 s for the sf0.1
     signature pass). At real scale the input already has more partitions
     than cores and the branch is a no-op — no shuffle added."""
-    df = df.filter(F.trim(F.col(text_col)) != "")
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
@@ -165,10 +164,7 @@ def gram_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
     Same staging discipline as ``shingle_table`` (words materialized before
     the shingling ``transform`` references them — the lambda re-inlining
     pathology), same empty-doc scan filter, same parallelism widening."""
-    df = df.filter(F.trim(F.col(text_col)) != "")
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
@@ -204,10 +200,7 @@ def chunk_table(
     Same staging discipline as ``gram_table`` (words materialized before the
     ``transform`` lambda references them — the re-inlining pathology), same
     empty-doc scan filter, same parallelism widening."""
-    df = df.filter(F.trim(F.col(text_col)) != "")
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     w = df.select(
         F.col(id_col).alias("id"),
         *keep_cols,
@@ -243,10 +236,7 @@ def gram_postings(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     whole-text gram, same clamped slices as ``gram_table``); doc-frequency
     consumers count ``countDistinct(id)``, set consumers dedupe the final
     (small) result instead of the posting stream."""
-    df = df.filter(F.trim(F.col(text_col)) != "")
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     w = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )
@@ -273,10 +263,7 @@ def chunk_postings(
     ``chunk_table``, explode-first for the same Generate-over-HOF-array
     reason as ``gram_postings`` (chunks are ``transform``-built). One row
     per chunk occurrence, positions preserved, NOT deduplicated per doc."""
-    df = df.filter(F.trim(F.col(text_col)) != "")
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     n = chunk_words
     w = df.select(
         F.col(id_col).alias("id"),
@@ -445,8 +432,7 @@ def _explode_pairs(df: DataFrame, arr_col: str) -> DataFrame:
     emitted pair — O(n⁴) per bucket. ``slice`` is codegen-native, so here
     each input row evaluates it once and streams its pairs."""
     return (
-        df.select(F.col(arr_col).alias("_arr"))
-        .select("_arr", F.posexplode("_arr").alias("_i", "_a"))
+        df.select(F.posexplode(F.col(arr_col)).alias("_i", "_a"), F.col(arr_col).alias("_arr"))
         .select(
             "_a",
             F.explode(F.slice(F.col("_arr"), F.col("_i") + 2, F.size(F.col("_arr")))).alias("_b"),
@@ -1252,10 +1238,7 @@ def containment_pairs(
             handles.append(cached)
         return cached
 
-    sc = df.sparkSession.sparkContext
-    src = df.filter(F.trim(F.col(text_col)) != "")
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+    src = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     norm = src.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
     )

@@ -1161,6 +1161,19 @@ def semdedup_pairs(
     b = assigned.select(
         "sem_cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
     )
+    # Skew/parallelism salt (r12, guide §2.5): the join key has only
+    # len(centroids) distinct values — when nlist < cores (the bench
+    # regime; nlist grows with the corpus, so a real deployment has the
+    # opposite shape) the whole occ×occ pair expansion lands on ≤ nlist
+    # tasks. Salt deterministically: the b side keys on
+    # pmod(xxhash64(id_b), S), the (cap-bounded, narrower) a side explodes
+    # S ways, and the join on (sem_cluster, salt) matches each (a, b) pair
+    # EXACTLY once — identical pair set, max task cost ÷ S. S derives from
+    # cores/nlist and collapses to 1 (no replication, plan unchanged) as
+    # soon as nlist ≥ 2×parallelism.
+    nlist = max(1, len(centroids))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, min(16, -(-2 * par // nlist)))
     if scorer == "arrow":
         from ..shipping import ensure_worker_imports
 
@@ -1168,9 +1181,19 @@ def semdedup_pairs(
         raw = cosine_pair_pandas_udf()(F.col("v_a"), F.col("v_b"))
     else:
         raw = cosine(F.col("v_a"), F.col("v_b"))
+    if n_salt > 1:
+        a = a.withColumn(
+            "_sem_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        b = b.withColumn(
+            "_sem_salt",
+            F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_salt)).cast("int"),
+        )
+        joined = a.join(b, ["sem_cluster", "_sem_salt"])
+    else:
+        joined = a.join(b, "sem_cluster")
     return (
-        a.join(b, "sem_cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "sem_cluster",
             "id_a",

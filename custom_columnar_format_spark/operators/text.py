@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._parallel import ensure_parallelism as _ensure_parallelism
+
 # Tiny per-language stopword marker sets for the heuristic language ID.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of"],
@@ -336,10 +338,7 @@ def bigram_postings(
     pathology in SCALE.md). Docs with fewer than two tokens emit nothing."""
     from .dedup import normalize_text
 
-    d = df.filter(F.trim(F.col(text_col)) != "")
-    sc = d.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism)
+    d = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     w = d.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
@@ -522,10 +521,7 @@ def hashing_trick_embed(
     """
     from .dedup import normalize_text
 
-    d = df.filter(F.trim(F.col(text_col)) != "")
-    sc = d.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism)
+    d = _ensure_parallelism(df).filter(F.trim(F.col(text_col)) != "")
     toks = (
         d.select(
             F.col(id_col).alias("id"),

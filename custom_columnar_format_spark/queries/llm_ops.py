@@ -17,8 +17,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import asof, dedup, multimodal, similarity, text
+from ..operators._parallel import ensure_parallelism
 from .registry import query
 from .tables import load
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """``ensure_parallelism``, memoized per load() handle: the spread result
+    is deterministic per (handle, session parallelism), and stashing it
+    avoids re-deriving the widened frame on every query build (the
+    partition-count probe itself is already handle-memoized — see
+    operators/_parallel.py)."""
+    out = df.__dict__.get("_scbf_spread")
+    if out is None:
+        out = ensure_parallelism(df)
+        df.__dict__["_scbf_spread"] = out
+    return out
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,20 +41,13 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize the CPU-heavy text/hash operators onto a single core. At
     production scale the corpus has more splits than cores and this is a
     no-op (no shuffle added)."""
-    df = load(spark, sf_dir, "documents")
-    sc = spark.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    return df
+    return _spread(load(spark, sf_dir, "documents"))
+
 
 def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, widened like _docs_spread — the per-row cosine/signature
     arithmetic is CPU-bound and the test corpus is a single parquet split."""
-    df = load(spark, sf_dir, "embeddings")
-    sc = spark.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    return df
+    return _spread(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
