@@ -783,6 +783,7 @@ def minhash_history_matches(
     est_threshold: float = 0.5,
     scheme: str = "km-md5",
     handles: list | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: match a new batch against the stored HISTORY
     signature table (``minhash_signatures`` of every prior batch) — the
@@ -806,12 +807,20 @@ def minhash_history_matches(
     signature table is PERSISTED (it feeds banding and the est re-attach).
     Pass ``handles`` (a list) to receive it for deterministic unpersist;
     otherwise the caller owns ``spark.catalog.clearCache()``.
+
+    ``new_sigs`` (r12, r11 VERDICT #8): a caller that already materialized
+    the batch's (id, sig) table — the streaming curation loop signs each
+    micro-batch once and matches it twice (within-batch + vs history) —
+    passes it here so the gram+md5+KM pass doesn't run again per call. It
+    must be the ``minhash_signatures`` output for the SAME (batch,
+    shingle_k, num_hashes, scheme); the caller owns its persist/unpersist.
     """
-    new_sigs = minhash_signatures(
-        new_df, text_col, id_col, shingle_k, num_hashes, scheme
-    ).persist()
-    if handles is not None:
-        handles.append(new_sigs)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_df, text_col, id_col, shingle_k, num_hashes, scheme
+        ).persist()
+        if handles is not None:
+            handles.append(new_sigs)
     hist_sigs = history_sigs.select(
         F.col(history_sigs.columns[0]).alias("id"),
         F.col(history_sigs.columns[1]).alias("sig"),
@@ -1258,6 +1267,17 @@ def containment_pairs(
     # norm table (identical expressions to gram_postings over the raw df —
     # split of the same normalized text), so the scan+normalize pass runs
     # once instead of 8×.
+    # r12 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # postings carry xxhash64 OF the gram's word slots, not the gram
+    # string — 8 bytes per row through every gram-keyed exchange instead
+    # of ~30, and long compares in the aggregates. Exactness is unchanged:
+    # equal grams always hash equal (fixed arity, same slots), so the
+    # rarest-HASH block is still exhaustive for word-aligned containment;
+    # a hash collision can only MERGE two grams' posting lists, i.e. add
+    # candidates, and every candidate is verified with the exact padded
+    # instr below. (The tiebreak order becomes (df, hash) instead of
+    # (df, gram) — any single-gram block is exhaustive, so which gram
+    # blocks a doc is free to change.)
     def _postings(kk: int) -> DataFrame:
         return words.select(
             "id",
@@ -1267,8 +1287,7 @@ def containment_pairs(
             ).alias("_i"),
         ).select(
             "id",
-            F.concat_ws(
-                " ",
+            F.xxhash64(
                 *[F.try_element_at(F.col("w"), F.col("_i") + 1 + j) for j in range(kk)],
             ).alias("gram"),
         )
@@ -1346,7 +1365,7 @@ def containment_pairs(
         )
     if use_guard:
         gdf = _track(gdf.persist())
-        heavy = df.sparkSession.createDataFrame(heavy_rows, "gram: string")
+        heavy = df.sparkSession.createDataFrame(heavy_rows, "gram: bigint")
         g_main = g.join(F.broadcast(heavy), "gram", "left_anti")
         gdf_main = gdf.join(F.broadcast(heavy), "gram", "left_anti")
     else:
@@ -1460,12 +1479,15 @@ def containment_pairs(
     # one row per DISTINCT word per doc (r12): array_distinct runs map-side
     # on the plain split array (codegen-safe explode — not a HOF-built
     # array), shrinking the unigram stream entering the SMJ sort below;
-    # candidates were always deduped downstream, so bag→set is free.
+    # candidates were always deduped downstream, so bag→set is free. The
+    # block key is xxhash64 of the word (same candidate-superset argument
+    # as the k-gram hashes above).
     uni = words.select(
         "id", F.explode(F.array_distinct("w")).alias("gram")
-    ).select(F.col("id").alias("id_outer"), F.col("gram").alias("word"))
+    ).select(F.col("id").alias("id_outer"), F.xxhash64("gram").alias("word"))
     short_blk = norm.filter(nwords < k).select(
-        F.col("id").alias("id_inner"), F.element_at(F.split(F.col("t"), " "), 1).alias("word")
+        F.col("id").alias("id_inner"),
+        F.xxhash64(F.element_at(F.split(F.col("t"), " "), 1)).alias("word"),
     )
     cand_short = (
         short_blk.hint("merge")

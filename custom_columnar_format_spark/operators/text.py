@@ -410,8 +410,16 @@ def bigram_logprob_quality(
     bi = bigram_postings(df, text_col, id_col, lang_col)
     counts = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = counts.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    # V_lang from the vocab²-bounded counts table, not the raw posting
+    # stream (r12, guide §2.4): counts carries every distinct (lang,w1,w2),
+    # so the distinct token set per lang is identical — and the corpus-wide
+    # posting pass this branch used to make becomes a ReusedExchange of the
+    # counts aggregation. r11 A/B'd this at sf0.1 and measured +10% (the
+    # extra aggregation depth cost more than the saved pass at 5k docs);
+    # re-A/B at x5 per r11 VERDICT #5 it wins where it matters: x5 warm
+    # best-of-3 stash A/B in OPTIMIZATION_r12.md.
     vocab = (
-        bi.select("lang", F.explode(F.array("w1", "w2")).alias("tok"))
+        counts.select("lang", F.explode(F.array("w1", "w2")).alias("tok"))
         .groupBy("lang")
         .agg(F.countDistinct("tok").alias("v"))
     )

@@ -79,10 +79,14 @@ def curate_batch(
     handles.append(batch_sigs)
     # 1) within-batch, signature-level: batch vs its own signature table;
     #    id_new < id_hist keeps each unordered pair exactly once
+    # the batch's signature table is computed ONCE (batch_sigs above) and
+    # passed into both match calls (r12): each call used to re-run the full
+    # gram+md5+KM signature pass over the batch — 3 signature computations
+    # per micro-batch where one suffices
     within = (
         dedup.minhash_history_matches(
             batch_df, batch_sigs, text_col, id_col,
-            est_threshold=est_threshold, handles=handles,
+            est_threshold=est_threshold, handles=handles, new_sigs=batch_sigs,
         )
         .filter(F.col("id_new") < F.col("id_hist"))
         .select(
@@ -98,7 +102,7 @@ def curate_batch(
         cross = (
             dedup.minhash_history_matches(
                 batch_df, hist, text_col, id_col,
-                est_threshold=est_threshold, handles=handles,
+                est_threshold=est_threshold, handles=handles, new_sigs=batch_sigs,
             )
             .select(
                 F.least("id_new", "id_hist").alias("id_a"),
