@@ -35,12 +35,43 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
 
+def _union_find_components(rows) -> dict:
+    """Driver-side min-label closure over symmetrized (a, b) rows: classic
+    union-find, then one pass assigning each node the MINIMUM id in its
+    set — exactly the distributed loop's converged labels."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     reliable_checkpoint: bool = False,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
@@ -53,7 +84,19 @@ def connected_components(
     clusters where an executor lost mid-iteration would take its local
     blocks (and the whole loop) with it; local mode keeps the cheap
     default.
-    """
+
+    PERF (r12, guide §1.2 — the BPE-trainer precedent): at or below
+    ``local_max_edges`` symmetrized rows (counted on the ALREADY
+    materialized edge table, so the gate is one cheap job) the closure
+    runs on the driver via union-find instead of the iterative loop — the
+    loop costs ~(checkpoint + probe + AQE stage jobs) × rounds of pure
+    fixed overhead, ~90 jobs and seconds of driver gaps for a
+    batch-bounded graph that a dict closes in milliseconds. Labels are
+    identical by construction (min id reachable; pinned by
+    test_cc_local_vs_distributed). The local path takes only NUMERIC node
+    ids (Python and Spark order strings differently); above the cap — the
+    100 TB regime for from-scratch corpus closures — the distributed loop
+    runs unchanged, and the collect is bounded by the cap."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize once; both directions feed every round. ONE pass over the
     # edge pipeline (r11, guide §2.4): explode [(a,b),(b,a)] — identical
@@ -75,6 +118,22 @@ def connected_components(
         .distinct()
     )
     sym = _cut(sym, reliable_checkpoint)
+
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StructField, StructType
+
+    node_type = sym.schema["a"].dataType
+    if isinstance(node_type, (LongType, IntegerType, ShortType)):
+        # the count reads the materialized checkpoint blocks — one cheap job
+        if sym.count() <= local_max_edges:
+            labels = _union_find_components(
+                (r["a"], r["b"]) for r in sym.collect()
+            )
+            schema = StructType(
+                [StructField("node", node_type), StructField("component", node_type)]
+            )
+            return edges.sparkSession.createDataFrame(
+                sorted(labels.items()), schema
+            )
 
     labels = _cut(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
@@ -118,6 +177,7 @@ def incremental_components(
     max_iter: int = 20,
     delta_only: bool = False,
     reliable_checkpoint: bool = False,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """Fold a NEW batch's edges into stored (node, label) component state
     WITHOUT recomputing connected components over all history — the cluster
@@ -216,7 +276,7 @@ def incremental_components(
     # the small iterative closure over rewritten edges (reps + new ids only)
     cc = connected_components(
         mapped, src="a", dst="b", max_iter=max_iter,
-        reliable_checkpoint=reliable_checkpoint,
+        reliable_checkpoint=reliable_checkpoint, local_max_edges=local_max_edges,
     )
     # feeds the remap AND the new-node rows
     cc = _cut(cc, reliable_checkpoint)

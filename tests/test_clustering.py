@@ -206,3 +206,44 @@ def test_reliable_checkpoint_matches_local(spark, tmp_path):
         ).collect()
     }
     assert rel_inc == base_inc
+
+
+def test_cc_local_vs_distributed(spark):
+    """The driver-side union-find fast path (local_max_edges gate) must
+    produce exactly the distributed loop's labels — random graph, both
+    from-scratch and through the incremental fold."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    local = {
+        (r.node, r.component)
+        for r in clustering.connected_components(df).collect()
+    }
+    # max_iter=100: the distributed loop is an any-diameter propagation
+    # capped by max_iter (a safety valve); this random graph can need more
+    # than the default 20 rounds, while union-find is always converged —
+    # compare converged vs converged
+    dist = {
+        (r.node, r.component)
+        for r in clustering.connected_components(
+            df, local_max_edges=0, max_iter=100
+        ).collect()
+    }
+    assert local == dist
+    state = spark.createDataFrame([(1, 1), (2, 1), (500, 500)], "node: long, component: long")
+    new_edges = spark.createDataFrame([(2, 500), (600, 601)], "id_a: long, id_b: long")
+    inc_local = {
+        (r.node, r.component)
+        for r in clustering.incremental_components(state, new_edges).collect()
+    }
+    inc_dist = {
+        (r.node, r.component)
+        for r in clustering.incremental_components(
+            state, new_edges, local_max_edges=0
+        ).collect()
+    }
+    assert inc_local == inc_dist == {(1, 1), (2, 1), (500, 1), (600, 600), (601, 600)}
